@@ -1,0 +1,98 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure built-in expressions (split/regexp/aggregate) — JVM-side,
+codegen-friendly, no Python in the hot path, and each has an exact
+ANSI-SQL twin for the DuckDB oracle.
+
+Reference parity: F1 truncation (/root/reference/src/queries.py:450),
+id formatting F6 (/root/reference/src/db.py:33). The rest is the
+north-star extension surface (language-ID, quality scoring, token
+counting, fingerprinting) sized for 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .vector import ColumnOrName, _col
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + frozen so Spark and the SQL oracle agree exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def tokens(text: ColumnOrName) -> Column:
+    """Whitespace tokenization of lowercased text (empty-safe)."""
+    t = F.lower(F.trim(_col(text)))
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def token_count(text: ColumnOrName) -> Column:
+    return F.size(tokens(text))
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+
+def quality_score(text: ColumnOrName) -> Column:
+    """Deterministic document quality score in [0, 1].
+
+    score = 0.4*length_score + 0.3*stopword_ratio_score + 0.3*(1 - punct_ratio)
+      - length_score: min(n_tokens, 100)/100
+      - stopword_ratio_score: min(stopword_ratio * 5, 1)  (healthy prose
+        has ~10-20% stopwords; 20%+ saturates)
+      - punct_ratio: punctuation chars / total chars
+    """
+    t = _col(text)
+    toks = tokens(t)
+    ntok = F.size(toks).cast("double")
+    nchar = F.length(t).cast("double")
+    npunct = (
+        nchar - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    ).cast("double")
+    length_score = F.least(ntok, F.lit(100.0)) / 100.0
+    stop_ratio = F.when(ntok > 0, _count_in(toks, STOPWORDS) / ntok).otherwise(0.0)
+    stop_score = F.least(stop_ratio * 5.0, F.lit(1.0))
+    punct_ratio = F.when(nchar > 0, npunct / nchar).otherwise(0.0)
+    return 0.4 * length_score + 0.3 * stop_score + 0.3 * (1.0 - punct_ratio)
+
+
+def lang_id(text: ColumnOrName) -> Column:
+    """Marker-word language guess; 'und' (undetermined) when no marker hits.
+
+    Ties break by language code ascending (stable, oracle-friendly).
+    """
+    toks = tokens(text)
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for code in sorted(LANG_MARKERS):  # ascending: later codes must strictly beat
+        n = _count_in(toks, LANG_MARKERS[code])
+        best = F.when(n > best_n, F.lit(code)).otherwise(best)
+        best_n = F.greatest(n, best_n)
+    return best
+
+
+def doc_fingerprint(text: ColumnOrName) -> Column:
+    """64-bit-ish content fingerprint: md5 of whitespace-normalized,
+    lowercased text, first 16 hex chars. Identical content (modulo
+    whitespace/case) → identical fingerprint; portable to any SQL engine
+    with md5()."""
+    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    return F.substring(F.md5(norm), 1, 16)
+
+
+def truncate(text: ColumnOrName, n: int = 500) -> Column:
+    """Reference F1: text[:n] (/root/reference/src/queries.py:450)."""
+    return F.substring(_col(text), 1, n)

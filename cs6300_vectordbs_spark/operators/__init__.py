@@ -1,0 +1,28 @@
+from .similarity import similarity_topk, pairwise_similarity  # noqa: F401
+from .metrics_ir import (  # noqa: F401
+    latency_percentiles,
+    latency_summary,
+    recall_at_k,
+    recall_at_k_per_query,
+    ndcg_at_k,
+)
+from .judge import (  # noqa: F401
+    clamp_score,
+    is_relevant,
+    parse_judge_response,
+    sim_judge_score,
+    label_judge,
+    llm_judge_scores,
+)
+from .upsert import upsert_latest, idempotent_load_needed  # noqa: F401
+from .sampling import hash_bucket, hash_sample, seeded_topn  # noqa: F401
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    word_shingles,
+    ngram_jaccard_pairs,
+    minhash_signature,
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_buckets,
+)
+from .ann import srp_lsh_topk, brp_lsh_pairs, srp_signature  # noqa: F401

@@ -1,0 +1,179 @@
+"""Approximate nearest-neighbor search — the scale path for top-k.
+
+The reference delegates ANN to HNSW (Chroma, /root/reference/src/
+chroma.py:77) / Pinecone serverless (/root/reference/src/pineconeDB.py:89).
+Spark has no HNSW; the idiomatic stand-ins:
+
+  srp_lsh_topk     sign-random-projection (SimHash-family) LSH done as
+                   pure DataFrame ops: signature = sign bits of dot
+                   products with fixed seeded hyperplanes; candidates =
+                   equi-join on banded signature buckets; exact cosine
+                   re-rank within candidates. Every stage is a hash
+                   join / hash agg on short keys — shuffle volume is
+                   O(candidates), never O(|corpus| x |queries|).
+  brp_lsh_pairs    MLlib BucketedRandomProjectionLSH approxSimilarityJoin
+                   on L2-normalized vectors (normalized L2 <-> cosine:
+                   cos = 1 - d^2/2).
+
+Exact brute-force (operators/similarity.py) is the correctness oracle;
+tests assert recall of the LSH path against it.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim, dot
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def srp_signature(
+    vec_col: str, dim: int, n_bits: int = 16, seed: int = 42
+) -> Column:
+    """Array of n_bits sign bits (0/1) from seeded random hyperplanes.
+    Pure expressions — hyperplanes are literal arrays, dot is codegen."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = [
+        (dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0).cast("int")
+        for p in planes
+    ]
+    return F.array(*bits)
+
+
+def _band_keys(sig_col: str, n_bits: int, bands: int) -> Column:
+    rows = n_bits // bands
+    keys = [
+        F.concat_ws(
+            ",",
+            F.lit(str(b)),
+            *[F.col(sig_col)[i].cast("string") for i in range(b * rows, (b + 1) * rows)],
+        )
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def srp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    n_bits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k cosine search.
+
+    Docs sharing ANY of ``bands`` signature bands with the query become
+    candidates; candidates get exact cosine re-rank, top-k per query.
+    More bands / fewer rows-per-band => higher recall, more candidates.
+    Output schema matches similarity_topk: (query_id, rank, <id>, sim, dist).
+    """
+    csig = corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        _band_keys_from_vec(corpus_vec, dim, n_bits, bands, seed).alias("__bands"),
+    ).select(corpus_id, corpus_vec, F.explode("__bands").alias("band_key"))
+
+    qsig = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        _band_keys_from_vec(query_vec, dim, n_bits, bands, seed).alias("__bands"),
+    ).select("__qid", "__qvec", F.explode("__bands").alias("band_key"))
+
+    cand = (
+        csig.join(F.broadcast(qsig), on="band_key")
+        .dropDuplicates(["__qid", corpus_id])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col("__qid"))
+
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col(corpus_id),
+        cosine_sim("__qvec", corpus_vec).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", corpus_id, "sim", (1.0 - F.col("sim")).alias("dist"))
+    )
+
+
+def _band_keys_from_vec(
+    vec_col: str, dim: int, n_bits: int, bands: int, seed: int
+) -> Column:
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits = [
+        (dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0).cast("string")
+        for p in planes
+    ]
+    rows = n_bits // bands
+    keys = [
+        F.concat_ws(",", F.lit(str(b)), *bits[b * rows : (b + 1) * rows])
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def brp_lsh_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    min_sim: float = 0.2,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH candidate pairs with exact
+    cosine attached. Vectors are L2-normalized first so the Euclidean
+    threshold maps to a cosine floor: d = sqrt(2 * (1 - min_sim))."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        v = df.select(
+            F.col(idc).alias("id"),
+            array_to_vector(F.transform(F.col(vc), lambda x: x.cast("double"))).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(v)
+
+    c = prep(corpus, corpus_id, corpus_vec)
+    q = prep(queries, query_id, query_vec)
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    thresh = float((2.0 * (1.0 - min_sim)) ** 0.5)
+    joined = model.approxSimilarityJoin(q, c, thresh, distCol="l2_dist")
+    return joined.select(
+        F.col("datasetA.id").alias("query_id"),
+        F.col("datasetB.id").alias(corpus_id),
+        (1.0 - F.col("l2_dist") * F.col("l2_dist") / 2.0).alias("sim"),
+    )

@@ -1,0 +1,39 @@
+"""Deterministic sampling (reference T3).
+
+The reference uses unseeded ``random.sample(dataset, 500)``
+(/root/reference/src/queries.py:438) — nondeterministic. Verified paths
+need cross-engine determinism, so two strategies:
+
+  - hash_sample: Knuth-style multiplicative hash on the key, pure
+    arithmetic → identical in Spark and any SQL engine, scan-parallel,
+    no sort. The scale-path default.
+  - seeded_topn: exact-N via rand(seed) + limit — deterministic within
+    Spark but NOT portable across engines (seeded PRNGs differ), so it
+    never appears in oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import ColumnOrName, _col
+
+# Knuth multiplicative hashing constant (2^32 * golden ratio conjugate).
+_KNUTH = 2654435761
+
+
+def hash_bucket(key: ColumnOrName, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer key."""
+    k = _col(key).cast("bigint")
+    return ((k * _KNUTH) % 4294967296 % buckets).cast("int")
+
+
+def hash_sample(df: DataFrame, key: str, pct: int = 10) -> DataFrame:
+    """Keep ~pct% of rows, deterministically, by integer key."""
+    return df.filter(hash_bucket(key, 100) < pct)
+
+
+def seeded_topn(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """Exact-count random-ish sample, deterministic within Spark."""
+    return df.orderBy(F.rand(seed)).limit(n)

@@ -1,0 +1,120 @@
+"""Top-k similarity search — the reference's core capability.
+
+Reference: ``collection.query(query_texts=[q], n_results=5)``
+(/root/reference/src/chroma.py:97-100) and ``index.query(vector=...,
+top_k=5)`` (/root/reference/src/pineconeDB.py:127-131), one query at a
+time over an HNSW index.
+
+Spark-first design (exact path):
+  - the query batch is SMALL (the reference uses ~500 queries); the
+    corpus is BIG (100 TB target). So: broadcast the queries, keep the
+    corpus partitioned in place — the join is a BroadcastNestedLoopJoin
+    that streams corpus partitions once, no corpus shuffle.
+  - cosine is a pure codegen expression (functions/vector.py).
+  - per-query top-k = rank() window + filter; Spark >= 3.5 rewrites this
+    into WindowGroupLimit, which applies a PARTIAL top-k inside each map
+    task before the shuffle, so only ~k rows per query per partition
+    move — the shuffle is O(queries * k * partitions), independent of
+    corpus size.
+  - ties break by id ascending so results are deterministic and match
+    the SQL oracle.
+
+The approximate/ANN path (LSH-bucketed) lives in operators/ann.py; this
+exact operator is its correctness oracle, same relationship as
+brute-force vs HNSW in the reference stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim, cosine_dist
+
+
+def similarity_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    filter_expr: Column | str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact brute-force top-k cosine search of ``queries`` against ``corpus``.
+
+    Returns (query_id, rank, <corpus_id>, sim, dist) with 1-based rank,
+    ordered by similarity desc, ties by corpus id asc.
+
+    ``filter_expr`` is the metadata-filter surface the reference stores
+    advertise but never use (SURVEY.md V6); applied pre-join so Catalyst
+    pushes it into the corpus scan.
+
+    ``exclude_self`` drops corpus rows whose id equals the query id
+    (self-match suppression when queries are drawn from the corpus).
+    """
+    c = corpus
+    if filter_expr is not None:
+        c = c.filter(filter_expr)
+
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    )
+
+    joined = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        joined = joined.filter(F.col(corpus_id) != F.col("__qid"))
+
+    sim = cosine_sim("__qvec", corpus_vec)
+    scored = joined.select(
+        F.col("__qid").alias("query_id"),
+        F.col(corpus_id),
+        sim.alias("sim"),
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            corpus_id,
+            F.col("sim"),
+            (F.lit(1.0) - F.col("sim")).alias("dist"),
+        )
+    )
+
+
+def pairwise_similarity(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float | None = None,
+    upper_triangle: bool = True,
+) -> DataFrame:
+    """All-pairs cosine similarity (optionally thresholded).
+
+    ``upper_triangle=True`` keeps only left_id < right_id — the standard
+    near-duplicate-pair shape. The threshold filter sits directly on the
+    join output so AQE can size the shuffle; for genuinely huge inputs
+    use the LSH path in operators/ann.py instead of all-pairs.
+    """
+    l = left.select(F.col(left_id).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    r = right.select(F.col(right_id).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    cond = F.col("id_a") < F.col("id_b") if upper_triangle else F.lit(True)
+    out = l.join(r, on=cond, how="inner").select(
+        "id_a", "id_b", cosine_sim("vec_a", "vec_b").alias("sim")
+    )
+    if min_sim is not None:
+        out = out.filter(F.col("sim") >= min_sim)
+    return out

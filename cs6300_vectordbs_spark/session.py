@@ -1,0 +1,53 @@
+"""SparkSession builder with scale-aware defaults.
+
+Local testing runs on local[N] but every conf here is chosen to also be
+the right default on a large cluster: AQE (runtime re-plan, skew-join
+splitting, shuffle coalescing), Arrow for the few Pandas-UDF paths, and
+a broadcast threshold big enough that dimension tables and query
+batches broadcast instead of shuffling the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cs6300-vectordbs-spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all cores. Shuffle
+    partitions default to 2x parallelism locally; on a real cluster AQE
+    coalescing makes the static number mostly irrelevant.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(str(cpus)), 8)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime plan fixes — shuffle coalesce, skew-join split,
+        # dynamic broadcast conversion. Essential at 100 TB, harmless at sf0.001.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow transfer for the (rare) pandas-UDF paths (embedding stage,
+        # multimodal decode) — batch columnar, not row pickling.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Query batches and dimension tables are small; broadcast them
+        # rather than shuffling the big fact/corpus side.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
