@@ -48,19 +48,6 @@ def srp_signature(
     return F.array(*bits)
 
 
-def _band_keys(sig_col: str, n_bits: int, bands: int) -> Column:
-    rows = n_bits // bands
-    keys = [
-        F.concat_ws(
-            ",",
-            F.lit(str(b)),
-            *[F.col(sig_col)[i].cast("string") for i in range(b * rows, (b + 1) * rows)],
-        )
-        for b in range(bands)
-    ]
-    return F.array(*keys)
-
-
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -45,14 +45,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
-    """Distinct n-word shingles of lowercased text, as strings."""
+    """Distinct n-word shingles of lowercased text, as strings.
+
+    Docs with fewer than ``n`` tokens produce an EMPTY array — the
+    sequence bound must be guarded because Spark's ``sequence(0, -1)``
+    yields a descending [0, -1], not an empty range.
+    """
     t = F.lower(F.trim(_col(text)))
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     # shingle i = tokens[i..i+n-1] joined by space, for i in 0..len-n
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
 
 
@@ -75,33 +83,27 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    ex = sh.select("id", F.explode("sh").alias("s"))
-    a = ex.select(F.col("id").alias("id_a"), "s")
-    b = ex.select(F.col("id").alias("id_b"), "s")
+    # Carry |shingles| through the explode so no per-doc side table (and
+    # therefore no join against a table with one row per document —
+    # which must never be broadcast at scale) is needed downstream.
+    ex = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+    a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
+    b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
     inter = (
         a.join(b, on="s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    out = (
-        inter.join(
-            F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))),
-            on="id_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))),
-            on="id_b",
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    out = inter.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
     )
     return out.filter(F.col("jaccard") >= min_jaccard)
 
@@ -194,29 +196,61 @@ def minhash_lsh_pairs(
     return est
 
 
+def _hexmap() -> Column:
+    """Literal map hex-char -> value 0..15; a map lookup works inside
+    lambda expressions (unlike shift functions, whose shift count must
+    be a Python literal) and has a trivial SQL twin (strpos into a hex
+    digit string). Built lazily — Column literals need a live session."""
+    pairs = [(c, int(c, 16)) for c in "0123456789abcdef"]
+    return F.create_map(*[F.lit(x) for pair in pairs for x in pair])
+
+
+def _bits64(s: Column) -> Column:
+    """array<int> of 64 bits (0/1) of md5(s): hex char j (1-based, first
+    16 chars) contributes bits 4j-4..4j-1 as (v, v/2, v/4, v/8) % 2."""
+    hexmap = _hexmap()
+    chars = F.split(F.substring(F.md5(s), 1, 16), "")
+    return F.flatten(
+        F.transform(
+            chars,
+            lambda c: F.array(
+                (F.element_at(hexmap, c) % 2).cast("int"),
+                (F.floor(F.element_at(hexmap, c) / 2) % 2).cast("int"),
+                (F.floor(F.element_at(hexmap, c) / 4) % 2).cast("int"),
+                (F.floor(F.element_at(hexmap, c) / 8) % 2).cast("int"),
+            ),
+        )
+    )
+
+
+# Signed weight of bit position i in a two's-complement bigint.
+_BIT_WEIGHTS = [2**i for i in range(63)] + [-(2**63)]
+
+
 def simhash64(text: ColumnOrName, n: int = 2) -> Column:
     """64-bit SimHash over word n-grams, built from md5 bits (portable).
 
-    For each of 64 bit positions, sum +1/-1 over shingles by that bit of
-    the shingle hash; fingerprint bit = sign. Implemented as array ops —
-    JVM-side, no UDF. Returns bigint (may be negative: bit 63 is the
-    sign bit)."""
+    Single pass over the shingle array: the accumulator is an array of
+    64 vote counters; each shingle contributes +1/-1 per bit position
+    (via zip_with), and the fingerprint bit is the vote's sign. All
+    JVM-side array expressions — no UDF, no per-bit re-scan of the
+    shingles. Returns bigint (may be negative: bit 63 is the sign bit).
+    Empty shingle sets (short docs) yield fingerprint 0.
+    """
     sh = word_shingles(text, n)
-    # 64-bit hash from md5: conv of 15 hex chars gives 60 bits; combine
-    # two 60-bit halves to cover 64.
-    h1 = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    h2 = lambda s: F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("bigint")  # noqa: E731
-    bit = lambda h, i: F.shiftrightunsigned(h, i % 60) % 2  # noqa: E731
-    acc = F.lit(0).cast("bigint")
-    for i in range(64):
-        hf = h1 if i < 60 else h2
-        votes = F.aggregate(
-            sh,
-            F.lit(0).cast("bigint"),
-            lambda a, s, i=i, hf=hf: a + F.when(bit(hf(s), i) == 1, 1).otherwise(-1),
-        )
-        acc = acc + F.when(votes > 0, F.lit(2 ** i if i < 63 else -(2 ** 63)).cast("bigint")).otherwise(0)
-    return acc
+    votes = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(0).cast("bigint"), 64),
+        lambda acc, s: F.zip_with(
+            acc, _bits64(s), lambda a, b: a + 2 * b.cast("bigint") - 1
+        ),
+    )
+    weights = F.array(*[F.lit(w).cast("bigint") for w in _BIT_WEIGHTS])
+    return F.aggregate(
+        F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_buckets(

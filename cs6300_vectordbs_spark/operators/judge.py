@@ -42,7 +42,9 @@ def parse_judge_response(resp: ColumnOrName) -> Column:
     """
     r = _col(resp)
     raw = F.regexp_extract(r, r"Score:\s*([0-9.]+)", 1)
-    score = clamp_score(F.coalesce(F.try_cast(raw, "double"), F.lit(DEFAULT_SCORE)))
+    # regexp_extract yields '' on no match; ''.try_cast -> null -> 3.0.
+    # (try_cast is a Column method, not an F-level function.)
+    score = clamp_score(F.coalesce(raw.try_cast("double"), F.lit(DEFAULT_SCORE)))
     expl = F.regexp_extract(r, r"Explanation:\s*(.*)", 1)
     return F.struct(score.alias("score"), expl.alias("explanation"))
 

@@ -24,9 +24,17 @@ _KNUTH = 2654435761
 
 
 def hash_bucket(key: ColumnOrName, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key."""
-    k = _col(key).cast("bigint")
-    return ((k * _KNUTH) % 4294967296 % buckets).cast("int")
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    The key is reduced to 31 bits BEFORE the Knuth multiply so the
+    product stays below 2^63 (2^31 * 2654435761 < 2^63 — masking to 32
+    bits would still overflow ANSI bigint), and ``pmod`` keeps every
+    intermediate non-negative for negative keys. Identical arithmetic in
+    any SQL engine: ((key % 2^31) * 2654435761) % 2^32 % buckets for
+    non-negative keys.
+    """
+    k = F.pmod(_col(key).cast("bigint"), F.lit(2147483648))
+    return F.pmod(F.pmod(k * _KNUTH, F.lit(4294967296)), F.lit(buckets)).cast("int")
 
 
 def hash_sample(df: DataFrame, key: str, pct: int = 10) -> DataFrame:

@@ -39,9 +39,14 @@ def upsert_latest(
     u = updates.withColumn("__prio", F.lit(1))
     both = b.unionByName(u)
 
-    order_keys = [F.col("__prio")]
+    # Ordering fields get reserved aliases so the payload never contains
+    # a duplicate field name (version_col may also be a payload column).
+    order_keys = [F.col("__prio").alias("__ord_prio")]
     if version_col is not None:
-        order_keys = [F.col(version_col), F.col("__prio")]
+        order_keys = [
+            F.col(version_col).alias("__ord_version"),
+            F.col("__prio").alias("__ord_prio"),
+        ]
 
     payload = F.struct(*order_keys, *[F.col(c) for c in cols if c != key])
     picked = both.groupBy(key).agg(F.max(payload).alias("__p"))
