@@ -26,3 +26,11 @@ from .dedup import (  # noqa: F401
     simhash_buckets,
 )
 from .ann import srp_lsh_topk, brp_lsh_pairs, srp_signature  # noqa: F401
+from .pipeline import search_pipeline, pipeline_report  # noqa: F401
+from .multimodal import (  # noqa: F401
+    blob_metadata,
+    with_blob_metadata,
+    decode_image_stub,
+    decode_image_real,
+    sample_frames,
+)

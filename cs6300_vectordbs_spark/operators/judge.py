@@ -49,12 +49,16 @@ def parse_judge_response(resp: ColumnOrName) -> Column:
     return F.struct(score.alias("score"), expl.alias("explanation"))
 
 
-def sim_judge_score(sim: ColumnOrName) -> Column:
-    """Deterministic judge: map cosine similarity [-1,1] onto the 1-5
-    rubric linearly (sim=1 -> 5, sim<=0 -> 1), clamped. Pure expression,
-    so it is oracle-testable — the stand-in for the LLM judge in every
-    verified path."""
-    return clamp_score(F.lit(1.0) + 4.0 * _col(sim))
+def sim_judge_score(
+    sim: ColumnOrName, scale: float = 4.0, bias: float = 1.0
+) -> Column:
+    """Deterministic judge: map cosine similarity onto the 1-5 rubric
+    linearly (default: sim=1 -> 5, sim<=0 -> 1), clamped. Pure
+    expression, so it is oracle-testable — the stand-in for the LLM
+    judge in every verified path. ``scale``/``bias`` recalibrate the
+    mapping for embedding families whose working similarity range is
+    narrower than [0, 1] (e.g. hash-projection embeddings)."""
+    return clamp_score(F.lit(bias) + scale * _col(sim))
 
 
 def label_judge(query_label: ColumnOrName, hit_label: ColumnOrName) -> Column:

@@ -66,7 +66,9 @@ def recall_at_k(results: DataFrame) -> DataFrame:
         F.sum("is_relevant").alias("n_relevant"),
     )
     return per_query.filter(F.col("n_relevant") > 0).agg(
-        F.avg("recall").alias("avg_recall"),
+        # Reference returns 0.0 when no query has a relevant hit
+        # (src/queries.py:281: `if recall_scores else 0.0`).
+        F.coalesce(F.avg("recall"), F.lit(0.0)).alias("avg_recall"),
         F.count(F.lit(1)).alias("n_queries_scored"),
     )
 

@@ -1,0 +1,114 @@
+"""Ingestion sources and persistent sinks (reference S1-S6, S9).
+
+The reference loads the whole CSV into driver memory with
+``csv.DictReader`` (/root/reference/src/db.py:16-51), then pushes
+client-side batches into Chroma (5,000/batch, src/db.py:69-90) or
+Pinecone (100/batch, src/db.py:115-151). Spark-first equivalents:
+
+  - ``load_corpus_csv``: distributed header CSV scan with explicit
+    projection/rename map and a dense ``movie-%06d`` row id (S1-S3,
+    S2/F6). Never materializes on the driver; Catalyst prunes unused
+    CSV columns.
+  - ``write_table``: parquet sink (S4/S5's persistence half; the
+    embedding half is functions/embed.py). "Batching" is partitioning —
+    control file count with ``repartition``; partition columns give
+    partition pruning on read.
+  - ``create_table_if_absent`` / ``table_exists``: S9's
+    create-if-absent index/collection lifecycle.
+  - ``read_query_cache`` / ``append_query_cache``: S6 — the reference's
+    one-query-per-line text cache (/root/reference/src/queries.py:421-433).
+
+Upsert (V5) and the idempotent-load guard (S8) live in operators/upsert.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Reference column map (/root/reference/src/db.py:36-48): CSV header ->
+# engine column. `year` stays a string, matching the reference.
+MOVIE_COLUMN_MAP: dict[str, str] = {
+    "Plot": "text",
+    "Title": "title",
+    "Release Year": "year",
+    "Director": "director",
+    "Cast": "cast",
+    "Genre": "genre",
+    "Origin/Ethnicity": "origin",
+    "Wiki Page": "wiki_page",
+}
+
+
+def load_corpus_csv(
+    spark: SparkSession,
+    path: str,
+    column_map: dict[str, str] | None = None,
+    id_prefix: str = "movie",
+) -> DataFrame:
+    """S1-S3: header CSV scan + projection/rename + dense row id.
+
+    The id is ``{prefix}-%06d`` by order of appearance of the first
+    projected column (the reference enumerates file order, which has no
+    distributed meaning — a stable sort key replaces it). The global
+    row_number sort is a one-off ingest cost; steady-state reads hit the
+    parquet copy written by ``write_table``.
+    """
+    cmap = column_map or MOVIE_COLUMN_MAP
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    cols = [F.col(src).alias(dst) for src, dst in cmap.items() if src in df.columns]
+    out = df.select(*cols)
+    order_col = list(cmap.values())[0]
+    w = Window.orderBy(F.col(order_col))
+    return out.withColumn(
+        "id", F.format_string(f"{id_prefix}-%06d", F.row_number().over(w))
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S4: persistent columnar sink. At scale, pass ``partition_by`` on
+    a low-cardinality column (date, source) for partition pruning."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def table_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
+
+
+def create_table_if_absent(
+    spark: SparkSession, path: str, df: DataFrame
+) -> DataFrame:
+    """S9: write ``df`` to ``path`` only if nothing is there; return the
+    (existing or new) table. The reference's get_or_create_collection
+    (/root/reference/src/chroma.py:74-78)."""
+    if not table_exists(spark, path):
+        write_table(df, path, mode="overwrite")
+    return spark.read.parquet(path)
+
+
+def read_query_cache(spark: SparkSession, path: str) -> DataFrame:
+    """S6 read: one query per line -> (query string)."""
+    return spark.read.text(path).select(F.col("value").alias("query"))
+
+
+def append_query_cache(df: DataFrame, path: str, query_col: str = "query") -> None:
+    """S6 write: append newly generated queries to the cache file."""
+    df.select(F.col(query_col).cast("string")).write.mode("append").text(path)

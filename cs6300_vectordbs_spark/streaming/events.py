@@ -1,0 +1,85 @@
+"""Structured Streaming ingest of the ``events`` table (extension —
+the reference has no streaming surface; SURVEY.md §1.4 marks this as
+driver-testdata-motivated new capability).
+
+Design: the SAME logical transformation serves batch and streaming —
+``windowed_event_counts`` takes either a static or a streaming
+DataFrame (Spark's unified API), so the batch run IS the correctness
+oracle for the streaming run (exactly-once semantics with availableNow
+trigger reproduce the batch result).
+
+Scale notes: tumbling-window groupBy keys are (window, event_type) —
+low cardinality, heavy map-side combine; the 10-minute watermark bounds
+state; state store is RocksDB-backed on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    Works on both static and streaming inputs; the watermark is only
+    attached on streaming inputs (it is a no-op requirement otherwise).
+    """
+    ev = events
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_event_counts_batch(
+    spark: SparkSession, sf_dir: str, window: str = "1 hour"
+) -> DataFrame:
+    """Batch twin over the parquet events table — the oracle-checkable
+    entry (date_trunc semantics of a tumbling window on whole units)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, window)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source streaming read of the same events table."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str = "events_counts"
+) -> "DataFrame":
+    """Drain a (finite) stream with the availableNow trigger into an
+    in-memory table; returns nothing until awaitTermination completes.
+    Complete output mode — windowed aggregation state is small."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
