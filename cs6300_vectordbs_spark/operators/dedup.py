@@ -121,10 +121,20 @@ def _md5_hash64(c: Column, salt: int) -> Column:
 
 def minhash_signature(text: ColumnOrName, num_hashes: int = 16, n: int = 3) -> Column:
     """MinHash signature: per permutation h_i, min over shingles of
-    md5-hash64(salt_i || shingle). Array<bigint> of length num_hashes."""
+    md5-hash64(salt_i || shingle). Array<bigint> of length num_hashes.
+
+    The per-permutation lambda MUST be built by a one-arg closure
+    factory: a ``lambda s, i=i`` would have arity 2, which PySpark
+    interprets as the (element, index) form — the array index would
+    silently replace the salt.
+    """
     sh = word_shingles(text, n)
+
+    def hash_with_salt(i: int):
+        return lambda s: _md5_hash64(s, i)
+
     mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: _md5_hash64(s, i)))
+        F.array_min(F.transform(sh, hash_with_salt(i)))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -149,10 +159,13 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
+    # Docs with no shingles (shorter than shingle_n) have all-null
+    # signatures (array_min of an empty array) — drop them; they can't
+    # be near-duplicates of anything under this similarity.
     sig = docs.select(
         F.col(id_col).alias("id"),
         minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
-    ).filter(F.size("sig") > 0)
+    ).filter(F.col("sig")[0].isNotNull())
 
     band_cols = [
         F.md5(
