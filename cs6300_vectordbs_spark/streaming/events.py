@@ -52,20 +52,30 @@ def windowed_event_counts_batch(
 ) -> DataFrame:
     """Batch twin over the parquet events table — the oracle-checkable
     entry (date_trunc semantics of a tumbling window on whole units)."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return windowed_event_counts(events, window)
+    from ..io import read_events
+
+    return windowed_event_counts(read_events(spark, sf_dir), window)
 
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source streaming read of the same events table."""
+    """File-source streaming read of the events table, with the same
+    TIMESTAMP(NANOS) normalization as io.read_events (the testdata
+    stores nanos, which Spark only reads via nanosAsLong=bigint)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    # The file stream source requires a DIRECTORY; select just the
+    # events file out of the shared testdata dir with a glob filter.
+    df = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    if df.schema["ts"].dataType.simpleString() == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def run_stream_to_memory(

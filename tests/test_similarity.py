@@ -1,0 +1,110 @@
+"""Similarity search: exact top-k semantics, tie-breaks, LSH recall."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.functions.vector import cosine_sim, l2_norm
+from cs6300_vectordbs_spark.operators.ann import brp_lsh_pairs, srp_lsh_topk
+from cs6300_vectordbs_spark.operators.similarity import (
+    pairwise_similarity,
+    similarity_topk,
+)
+
+
+def test_cosine_sim_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0, -1.5]
+    b = [0.5, -1.0, 2.0, 4.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(cosine_sim("a", "b").alias("s")).first().s
+    want = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_cosine_sim_zero_vector_is_zero(spark):
+    df = spark.createDataFrame([([0.0, 0.0], [1.0, 2.0])], ["a", "b"])
+    assert df.select(cosine_sim("a", "b").alias("s")).first().s == 0.0
+
+
+def test_topk_rank_and_self_exclusion(emb):
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_topk(emb, q, 5, exclude_self=True).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id != r.query_id  # self excluded
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_topk_ties_break_by_id_ascending(spark):
+    # corpus of identical vectors → all sims equal → ids decide
+    corpus = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in (5, 3, 9, 1)], ["vec_id", "embedding"]
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0])], ["query_id", "query_vec"])
+    out = similarity_topk(corpus, q, 3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [1, 3, 5]
+
+
+def test_topk_metadata_filter(emb):
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity_topk(
+        emb, q, 5, filter_expr=F.col("label") == 3, exclude_self=True
+    )
+    labels = {r.label for r in out.join(emb, "vec_id").select("label").collect()}
+    assert labels == {3}
+
+
+def test_pairwise_upper_triangle(emb):
+    sub = emb.filter(F.col("vec_id") < 20)
+    out = pairwise_similarity(sub, sub, min_sim=-2.0).collect()
+    assert len(out) == 20 * 19 // 2
+    assert all(r.id_a < r.id_b for r in out)
+
+
+def test_srp_lsh_recall_vs_exact(emb):
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(emb.first().embedding)
+    exact = similarity_topk(emb, q, 5, exclude_self=True).collect()
+    approx = srp_lsh_topk(
+        emb, q, 5, dim=dim, n_bits=16, bands=8, exclude_self=True
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall {recall} too low"
+
+
+def test_brp_lsh_sims_match_exact_cosine(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brp_lsh_pairs(emb, q, min_sim=0.2).collect()
+    assert len(out) > 0
+    # spot-check: reported sim equals exact cosine for each pair
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in out[:20]:
+        a, b = vecs[r.query_id], vecs[r.vec_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert r.sim == pytest.approx(dot / (na * nb), abs=1e-6)
+
+
+def test_l2_norm(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    assert df.select(l2_norm("v").alias("n")).first().n == pytest.approx(5.0)

@@ -1,0 +1,134 @@
+"""Ingestion/sinks round-trips, streaming-vs-batch equivalence,
+multimodal plumbing, and pipeline integration."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.operators.multimodal import (
+    decode_image_stub,
+    sample_frames,
+    with_blob_metadata,
+)
+from cs6300_vectordbs_spark.operators.pipeline import (
+    pipeline_report,
+    search_pipeline,
+)
+from cs6300_vectordbs_spark.operators.upsert import idempotent_load_needed
+from cs6300_vectordbs_spark.sources.ingest import (
+    append_query_cache,
+    create_table_if_absent,
+    load_corpus_csv,
+    read_query_cache,
+    table_exists,
+    write_table,
+)
+from cs6300_vectordbs_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+
+def test_csv_ingest_projection_rename_ids(spark, tmp_path):
+    csv = tmp_path / "movies.csv"
+    csv.write_text(
+        "Title,Release Year,Plot,Genre,Director,Cast,Origin/Ethnicity,Wiki Page,Junk\n"
+        'B movie,1999,"plot b, with comma",drama,d1,c1,o1,w1,x\n'
+        "A movie,2001,plot a,comedy,d2,c2,o2,w2,y\n"
+    )
+    out = load_corpus_csv(spark, str(csv))
+    rows = {r.title: r for r in out.collect()}
+    assert set(out.columns) == {
+        "text", "title", "year", "director", "cast", "genre", "origin",
+        "wiki_page", "id",
+    }
+    assert rows["B movie"].text == "plot b, with comma"
+    assert rows["B movie"].year == "1999"  # year stays string
+    # id dense by order of first projected column (text)
+    ids = sorted(r.id for r in rows.values())
+    assert ids == ["movie-000001", "movie-000002"]
+
+
+def test_write_table_roundtrip_and_partitioning(spark, docs, tmp_path):
+    path = str(tmp_path / "docs_parquet")
+    write_table(docs, path, partition_by=["lang"])
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    assert sorted(back.columns) == sorted(docs.columns)
+    # partition dirs exist → partition pruning is available on read
+    assert any(d.startswith("lang=") for d in os.listdir(path))
+
+
+def test_create_table_if_absent_is_idempotent(spark, docs, tmp_path):
+    path = str(tmp_path / "t")
+    assert not table_exists(spark, path)
+    first = create_table_if_absent(spark, path, docs.limit(10))
+    assert first.count() == 10
+    # second call must NOT overwrite with different data
+    again = create_table_if_absent(spark, path, docs.limit(3))
+    assert again.count() == 10
+
+
+def test_query_cache_roundtrip_append(spark, tmp_path):
+    path = str(tmp_path / "qcache")
+    q1 = spark.createDataFrame([("first query",), ("second query",)], ["query"])
+    append_query_cache(q1, path)
+    assert read_query_cache(spark, path).count() == 2
+    append_query_cache(q1.limit(1), path)
+    assert read_query_cache(spark, path).count() == 3
+
+
+def test_idempotent_load_guard(spark, docs, tmp_path):
+    path = str(tmp_path / "guard")
+    assert idempotent_load_needed(spark, path, 10)  # missing → load
+    write_table(docs.limit(10), path)
+    assert not idempotent_load_needed(spark, path, 10)  # count matches
+    assert idempotent_load_needed(spark, path, 11)
+
+
+def test_streaming_equals_batch(spark):
+    from cs6300_vectordbs_spark.io import read_events
+
+    sf = "/root/testdata/sf0.001"
+    batch = windowed_event_counts(read_events(spark, sf), "1 hour")
+    stream = windowed_event_counts(read_events_stream(spark, sf), "1 hour")
+    run_stream_to_memory(stream, "t_events_counts")
+    got = spark.table("t_events_counts")
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in got.collect()}
+    assert b == s  # exactly-once availableNow drain == batch result
+
+
+def test_blob_metadata_and_decode_stub(spark, docs):
+    bm = docs.limit(20).select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    meta = with_blob_metadata(bm).select("doc_id", "meta.*").collect()
+    assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in meta)
+    dec = decode_image_stub(bm).collect()
+    assert all(16 <= r.width <= 256 and r.n_channels == 3 for r in dec)
+    assert all(len(r.feature) == 8 for r in dec)
+    # deterministic: same bytes → same fake features
+    dec2 = decode_image_stub(bm).collect()
+    assert {(r.doc_id, tuple(r.feature)) for r in dec} == {
+        (r.doc_id, tuple(r.feature)) for r in dec2
+    }
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(1, 95), (2, 0), (3, 30)], ["vid", "n_frames"])
+    rows = sample_frames(df, every=30).collect()
+    got = sorted((r.vid, r.frame_idx) for r in rows)
+    assert got == [(1, 0), (1, 30), (1, 60), (1, 90), (3, 0)]
+
+
+def test_pipeline_end_to_end_shape(docs):
+    rep = pipeline_report(search_pipeline(docs)).first()
+    assert rep.n_queries > 0
+    assert rep.n_results == rep.n_queries * 5
+    assert 0.0 <= rep.avg_recall <= 1.0
+    assert 0.0 <= rep.avg_ndcg <= 1.0
+    assert rep.n_ndcg_queries == rep.n_queries  # A5 includes all
+    assert rep.n_recall_queries <= rep.n_queries  # A4 excludes zero-relevant
