@@ -1,0 +1,84 @@
+"""Benchmark harness (reference U3 — timing instrumentation).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() on the final plan, which
+materializes every operator but moves at most a scalar to the driver).
+A warm-up count on each base table removes first-touch JVM/IO noise
+from per-query numbers, mirroring the reference's measure-after-load
+loop (/root/reference/src/chroma.py:95-102).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The headline set: every expensive path plus one of each family.
+BENCH_QUERIES = [
+    "topk_cosine_exact",
+    "embedding_neardup",
+    "srp_lsh_topk",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_buckets",
+    "doc_stats",
+    "embed_documents",
+    "hash_sample",
+    "latency_percentiles",
+    "events_hourly",
+    "user_sessions",
+    "pricing_summary",
+    "top_customers",
+    "pipeline_report",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from cs6300_vectordbs_spark import get_spark
+    from cs6300_vectordbs_spark.io import TABLES, read_events
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up: touch every table once (JIT, page cache, session init).
+    for t in TABLES:
+        if t == "events":
+            read_events(spark, sf_dir).count()
+        else:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
