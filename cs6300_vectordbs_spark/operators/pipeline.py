@@ -72,6 +72,7 @@ def search_pipeline(
         query_id="query_id",
         query_vec="query_vec",
         exclude_self=False,
+        dim=dim,
     )
     # Recalibrated rubric: hash-projection embeddings put top-5 sims
     # roughly in [0.4, 0.9], so the 4.0 relevance bar maps to

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine_sim, cosine_dist
+from ..functions.vector import cosine_from_parts, cosine_sim, dot, l2_norm
 
 
 def similarity_topk(
@@ -44,6 +44,7 @@ def similarity_topk(
     query_vec: str = "query_vec",
     filter_expr: Column | str | None = None,
     exclude_self: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force top-k cosine search of ``queries`` against ``corpus``.
 
@@ -56,6 +57,13 @@ def similarity_topk(
 
     ``exclude_self`` drops corpus rows whose id equals the query id
     (self-match suppression when queries are drawn from the corpus).
+
+    ``dim`` (the embedding dimension, when known — it almost always is)
+    switches the cosine to the statically-unrolled codegen form AND
+    factors each side's L2 norm below the join, so norms are computed
+    once per corpus row / once per query row instead of once per
+    (query, corpus) pair — at 100 TB that's the difference between
+    O(corpus) and O(corpus x queries) array passes.
     """
     c = corpus
     if filter_expr is not None:
@@ -65,11 +73,25 @@ def similarity_topk(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
     )
 
+    if dim is not None:
+        # Norms computed under the join (Project below Join survives
+        # Catalyst — CollapseProject does not cross a Join boundary).
+        c = c.select(
+            F.col(corpus_id), l2_norm(corpus_vec, dim).alias("__cnorm"),
+            F.col(corpus_vec),
+        )
+        q = q.select("__qid", "__qvec", l2_norm("__qvec", dim).alias("__qnorm"))
+
     joined = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         joined = joined.filter(F.col(corpus_id) != F.col("__qid"))
 
-    sim = cosine_sim("__qvec", corpus_vec)
+    if dim is not None:
+        sim = cosine_from_parts(
+            dot("__qvec", corpus_vec, dim), F.col("__qnorm"), F.col("__cnorm")
+        )
+    else:
+        sim = cosine_sim("__qvec", corpus_vec)
     scored = joined.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id),
@@ -101,6 +123,7 @@ def pairwise_similarity(
     vec_col: str = "embedding",
     min_sim: float | None = None,
     upper_triangle: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine similarity (optionally thresholded).
 
@@ -108,12 +131,24 @@ def pairwise_similarity(
     near-duplicate-pair shape. The threshold filter sits directly on the
     join output so AQE can size the shuffle; for genuinely huge inputs
     use the LSH path in operators/ann.py instead of all-pairs.
+
+    With ``dim`` set, each side's norm is computed once per row below
+    the join (not once per pair) and the dot is statically unrolled —
+    bit-identical results, ~3x less array math on the O(n^2) side.
     """
     l = left.select(F.col(left_id).alias("id_a"), F.col(vec_col).alias("vec_a"))
     r = right.select(F.col(right_id).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    if dim is not None:
+        l = l.select("id_a", "vec_a", l2_norm("vec_a", dim).alias("norm_a"))
+        r = r.select("id_b", "vec_b", l2_norm("vec_b", dim).alias("norm_b"))
+        sim = cosine_from_parts(
+            dot("vec_a", "vec_b", dim), F.col("norm_a"), F.col("norm_b")
+        )
+    else:
+        sim = cosine_sim("vec_a", "vec_b")
     cond = F.col("id_a") < F.col("id_b") if upper_triangle else F.lit(True)
     out = l.join(r, on=cond, how="inner").select(
-        "id_a", "id_b", cosine_sim("vec_a", "vec_b").alias("sim")
+        "id_a", "id_b", sim.alias("sim")
     )
     if min_sim is not None:
         out = out.filter(F.col("sim") >= min_sim)
