@@ -31,6 +31,22 @@ from ..functions.text import doc_fingerprint
 from ..functions.vector import ColumnOrName, _col
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-few-partitions input up to the cluster's default
+    parallelism before heavy per-row expression work (shingling, 16-way
+    MinHash, 64-bit SimHash voting).
+
+    Small corpora arrive as 1-2 parquet splits, which would serialize
+    all that compute on as many cores; at scale the input already has
+    >= parallelism splits and this is a no-op — so the shuffle cost is
+    only ever paid when the data is small enough for it to be free.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct (whitespace/case-normalized) content,
     choosing the smallest id (deterministic winner). min_by keeps the
@@ -80,7 +96,7 @@ def ngram_jaccard_pairs(
     hot shingles (stop-phrases) are the skew risk, handled by AQE skew
     split. Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
     )
     # Carry |shingles| through the explode so no per-doc side table (and
@@ -128,7 +144,19 @@ def minhash_signature(text: ColumnOrName, num_hashes: int = 16, n: int = 3) -> C
     interprets as the (element, index) form — the array index would
     silently replace the salt.
     """
-    sh = word_shingles(text, n)
+    return _minhash_from_shingles(word_shingles(text, n), num_hashes)
+
+
+def _minhash_from_shingles(sh: Column, num_hashes: int) -> Column:
+    """MinHash signature from an already-computed shingle array column.
+
+    Callers that reference the signature should materialize the shingle
+    array in its OWN projection first (two-step select): this expression
+    references ``sh`` ``num_hashes`` times, and if the shingle expression
+    is inlined the tokenizer/slicer work runs num_hashes times per row
+    (measured 8x slower at 16 hashes). A separate projection keeps
+    CollapseProject from inlining it.
+    """
 
     def hash_with_salt(i: int):
         return lambda s: _md5_hash64(s, i)
@@ -159,13 +187,33 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
+    # Two-step projection: materialize the shingle array once per row,
+    # THEN hash it num_hashes ways — inlining the shingle expression
+    # into the signature would re-tokenize 16x per row (measured 8x
+    # slower at sf0.1). _spread parallelizes the hash work when the
+    # input arrives as one parquet split.
+    shingled = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        word_shingles(text_col, shingle_n).alias("__sh"),
+    )
     # Docs with no shingles (shorter than shingle_n) have all-null
     # signatures (array_min of an empty array) — drop them; they can't
     # be near-duplicates of anything under this similarity.
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("sig"),
-    ).filter(F.col("sig")[0].isNotNull())
+    sig = shingled.select(
+        "id", _minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
+    )
+    # Materialize signatures before the self-join: the signature table is
+    # tiny relative to the corpus (num_hashes longs + id per doc), while
+    # the text->shingle->16-way-hash pipeline above is the expensive part
+    # — without a materialization boundary both join sides (plus the
+    # dedup/estimate stages) each recompute it (measured 5x at sf0.1;
+    # 120s -> 14s). At production scale this boundary is a checkpoint or
+    # an intermediate signature table write; locally executor storage
+    # suffices. The null filter runs AFTER the checkpoint on purpose:
+    # below it, predicate pushdown would substitute the sig expression
+    # into the filter and evaluate the hash pipeline twice per row.
+    sig = sig.localCheckpoint(eager=True)
+    sig = sig.filter(F.col("sig")[0].isNotNull())
 
     band_cols = [
         F.md5(
@@ -271,7 +319,9 @@ def simhash_buckets(
 ) -> DataFrame:
     """Group docs by SimHash fingerprint; rows with dup_count > 1 are
     near-duplicate clusters (identical fingerprints)."""
-    f = docs.select(F.col(id_col).alias("id"), simhash64(text_col, n).alias("simhash"))
+    f = _spread(docs).select(
+        F.col(id_col).alias("id"), simhash64(text_col, n).alias("simhash")
+    )
     return f.groupBy("simhash").agg(
         F.min("id").alias("min_id"), F.count(F.lit(1)).alias("dup_count")
     )
