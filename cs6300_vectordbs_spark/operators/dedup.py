@@ -187,33 +187,36 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
-    # Two-step projection: materialize the shingle array once per row,
-    # THEN hash it num_hashes ways — inlining the shingle expression
-    # into the signature would re-tokenize 16x per row (measured 8x
-    # slower at sf0.1). _spread parallelizes the hash work when the
-    # input arrives as one parquet split.
-    shingled = _spread(docs).select(
+    # Signature via explode + groupBy(min x num_hashes), NOT per-row
+    # array higher-order functions: min/md5/conv inside a hash aggregate
+    # run in whole-stage codegen with map-side partial combine, while
+    # transform/array_min lambdas evaluate interpreted (measured ~4x
+    # slower). Docs with no shingles (shorter than shingle_n) vanish at
+    # the explode — correct, since they can't be near-duplicates under
+    # this similarity.
+    ex = _spread(docs).select(
         F.col(id_col).alias("id"),
-        word_shingles(text_col, shingle_n).alias("__sh"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
     )
-    # Docs with no shingles (shorter than shingle_n) have all-null
-    # signatures (array_min of an empty array) — drop them; they can't
-    # be near-duplicates of anything under this similarity.
-    sig = shingled.select(
-        "id", _minhash_from_shingles(F.col("__sh"), num_hashes).alias("sig")
+    sig = (
+        ex.groupBy("id")
+        .agg(
+            *[
+                F.min(_md5_hash64(F.col("s"), i)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )
     # Materialize signatures before the self-join: the signature table is
     # tiny relative to the corpus (num_hashes longs + id per doc), while
-    # the text->shingle->16-way-hash pipeline above is the expensive part
-    # — without a materialization boundary both join sides (plus the
+    # the text->shingle->hash pipeline above is the expensive part —
+    # without a materialization boundary both join sides (plus the
     # dedup/estimate stages) each recompute it (measured 5x at sf0.1;
     # 120s -> 14s). At production scale this boundary is a checkpoint or
     # an intermediate signature table write; locally executor storage
-    # suffices. The null filter runs AFTER the checkpoint on purpose:
-    # below it, predicate pushdown would substitute the sig expression
-    # into the filter and evaluate the hash pipeline twice per row.
+    # suffices.
     sig = sig.localCheckpoint(eager=True)
-    sig = sig.filter(F.col("sig")[0].isNotNull())
 
     band_cols = [
         F.md5(
@@ -318,10 +321,49 @@ def simhash_buckets(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
     """Group docs by SimHash fingerprint; rows with dup_count > 1 are
-    near-duplicate clusters (identical fingerprints)."""
-    f = _spread(docs).select(
-        F.col(id_col).alias("id"), simhash64(text_col, n).alias("simhash")
+    near-duplicate clusters (identical fingerprints).
+
+    Computes the same fingerprints as :func:`simhash64` but via explode
+    + groupBy with 64 codegen'd SUM aggregates (one per bit position)
+    instead of per-row array lambdas: interpreted higher-order functions
+    were the entire cost of the column-expression form (measured 4x).
+    Per exploded shingle, md5 is computed once and its 16 hex chars are
+    decoded once; each bit is a shift+mod of one char value.
+    """
+    # explode_outer keeps empty-shingle docs as a null-shingle row so
+    # they still receive a fingerprint (0, the reference semantics).
+    ex = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(text_col, n)).alias("s"),
     )
+    hexed = ex.select(
+        "id",
+        *[
+            F.conv(F.substring(F.md5("s"), j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(16)
+        ],
+    )
+    # votes[p] = sum over shingles of (2*bit_p - 1); bit p lives in hex
+    # char p//4 at weight 2^(p%4). Null shingles sum to null votes.
+    votes = hexed.groupBy("id").agg(
+        *[
+            F.sum(2 * (F.shiftright(F.col(f"c{p // 4}"), p % 4) % 2) - 1).alias(
+                f"v{p}"
+            )
+            for p in range(64)
+        ]
+    )
+    # fingerprint = Σ_p (votes[p] > 0 ? weight_p : 0); null votes (empty
+    # docs) fall through every WHEN to 0, giving fingerprint 0.
+    fp_expr = None
+    for p in range(64):
+        term = F.when(F.col(f"v{p}") > 0, F.lit(_BIT_WEIGHTS[p]).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        fp_expr = term if fp_expr is None else fp_expr + term
+    f = votes.select("id", fp_expr.alias("simhash"))
     return f.groupBy("simhash").agg(
         F.min("id").alias("min_id"), F.count(F.lit(1)).alias("dup_count")
     )
