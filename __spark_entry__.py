@@ -38,7 +38,7 @@ from cs6300_vectordbs_spark.functions.text import (
     token_count,
 )
 from cs6300_vectordbs_spark.functions.ids import format_doc_id, sequential_id
-from cs6300_vectordbs_spark.operators.ann import brp_lsh_pairs, srp_lsh_topk
+from cs6300_vectordbs_spark.operators.ann import brp_lsh_pairs, ivf_topk, srp_lsh_topk
 from cs6300_vectordbs_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -760,6 +760,92 @@ GROUP BY 1, 2
 """
 
 
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME tumbling-window aggregation as events_hourly, executed as
+    a Structured Streaming query (file source, availableNow trigger,
+    memory sink). Spark's unified batch/stream API means the batch oracle
+    is the exact correctness bar for the streaming run — this entry gets
+    the full value-hash check, not a rows-only one.
+    """
+    from cs6300_vectordbs_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    out = windowed_event_counts(stream, window="1 hour")
+    run_stream_to_memory(out, query_name="events_hourly_stream")
+    return spark.table("events_hourly_stream").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        F.round("sum_value", 9).alias("sum_value"),
+    )
+
+
+def q_judge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference F2/F3/F4 parity: parse 'Score:'/'Explanation:' responses
+    (/root/reference/src/queries.py:193-208), clamp to [1,5]
+    (src/queries.py:202-204), default 3.0 on parse failure
+    (src/queries.py:194), threshold is_relevant at >= 4.0
+    (src/queries.py:25-29). Responses are synthesized deterministically
+    from doc_id to cover all four parser branches; the score text is
+    built from integers on both engines so no float-formatting
+    differences can leak in.
+    """
+    from cs6300_vectordbs_spark.operators.judge import (
+        is_relevant,
+        parse_judge_response,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    s = F.concat(
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    resp = (
+        F.when(m == 0, F.concat(F.lit("Score: "), s, F.lit("\nExplanation: topical match")))
+        .when(m == 1, F.concat(F.lit("Score: "), s))
+        .when(m == 2, F.lit("the model rambled and produced no score line"))
+        .otherwise(F.lit("Score: N/A\nExplanation: parser must fall back"))
+    )
+    parsed = parse_judge_response(resp)
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        parsed["score"].alias("score"),
+        parsed["explanation"].alias("explanation"),
+        is_relevant(parsed["score"]).cast("bigint").alias("is_relevant"),
+    )
+
+
+_ORACLE_JUDGE = """
+WITH resp AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0 THEN 'Score: ' || (doc_id % 9)::VARCHAR || '.'
+                || (doc_id % 10)::VARCHAR || chr(10) || 'Explanation: topical match'
+           WHEN doc_id % 4 = 1 THEN 'Score: ' || (doc_id % 9)::VARCHAR || '.'
+                || (doc_id % 10)::VARCHAR
+           WHEN doc_id % 4 = 2 THEN 'the model rambled and produced no score line'
+           ELSE 'Score: N/A' || chr(10) || 'Explanation: parser must fall back'
+         END AS r
+  FROM documents
+), parsed AS (
+  SELECT doc_id,
+         greatest(1.0, least(5.0, coalesce(
+           try_cast(regexp_extract(r, 'Score:\\s*([0-9.]+)', 1) AS DOUBLE),
+           3.0))) AS score,
+         regexp_extract(r, 'Explanation:\\s*(.*)', 1) AS explanation
+  FROM resp
+)
+SELECT doc_id::BIGINT AS doc_id, score, explanation,
+       (CASE WHEN score >= 4.0 THEN 1 ELSE 0 END)::BIGINT AS is_relevant
+FROM parsed
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -902,6 +988,72 @@ FROM totals, rec, ndcg
 # internals are not SQL-expressible; exact path above is their oracle)
 # ---------------------------------------------------------------------------
 
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        f"(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+
+
+# IVF is deterministic end-to-end (sampled centroids, id tie-breaks), so
+# unlike the LSH paths it gets a full value-hash oracle.
+_ORACLE_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, p.qvec, e.vec_id, e.embedding
+  FROM (SELECT query_id, qvec, cell FROM probes WHERE rn <= {_IVF_PROBE}) p
+  JOIN cells e ON e.cell = p.cell AND e.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, {_sql_cos('qvec', 'embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
@@ -951,8 +1103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
+        "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "pipeline_report": q_pipeline_report,
+        "ivf_topk": q_ivf_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
     }
@@ -986,6 +1141,9 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "user_sessions": _ORACLE_SESSIONS,
         "pipeline_report": _ORACLE_PIPELINE,
+        "ivf_topk": _ORACLE_IVF,
+        "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
+        "judge_scores": _ORACLE_JUDGE,
         # srp_lsh_topk / brp_lsh_pairs: rows-only (approximate paths;
         # their correctness oracle is the exact topk/pairs queries above
         # via the recall invariant tested in tests/).

@@ -14,6 +14,11 @@ Spark has no HNSW; the idiomatic stand-ins:
   brp_lsh_pairs    MLlib BucketedRandomProjectionLSH approxSimilarityJoin
                    on L2-normalized vectors (normalized L2 <-> cosine:
                    cos = 1 - d^2/2).
+  ivf_topk         IVF-Flat: a deterministic coarse quantizer (sampled
+                   centroids) partitions the corpus into cells; a query
+                   probes its n_probe nearest cells and re-ranks exactly
+                   inside them. Unlike the LSH paths this is fully
+                   deterministic, so it gets a FULL value-hash oracle.
 
 Exact brute-force (operators/similarity.py) is the correctness oracle;
 tests assert recall of the LSH path against it.
@@ -118,6 +123,97 @@ def _band_keys_from_vec(
         for b in range(bands)
     ]
     return F.array(*keys)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-Flat approximate top-k cosine search.
+
+    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors serve as
+    centroids (sampled-centroid IVF — no iterative training, so every
+    engine reproduces the exact same partitioning and the operator gets
+    a full value-hash oracle, which no LSH path can have). Each corpus
+    vector is assigned to its most-cosine-similar centroid; each query
+    probes its ``n_probe`` nearest cells and exact-cosine re-ranks only
+    the vectors inside them.
+
+    Plan shape at scale: centroids are tiny -> broadcast to both the
+    assignment cross-join and the probe cross-join; the corpus-side
+    argmax is a groupBy whose map-side partial combine collapses the
+    x n_cells blowup back to one row per vector before the shuffle.
+    Candidate generation joins corpus cells against the BROADCAST query
+    probes, so the only corpus-wide shuffle is the assignment groupBy
+    and shuffle volume downstream is O(candidates), never
+    O(|corpus| x |queries|). For very large n_cells swap the sampled
+    quantizer for a trained one (e.g. MLlib KMeans) — the surrounding
+    plan is unchanged (that variant loses the SQL oracle).
+
+    Output schema matches similarity_topk: (query_id, rank, <id>, sim, dist).
+    """
+    cent = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
+    )
+
+    # Cell assignment: argmax_c cos(v, c), ties to the lowest centroid id.
+    # max_by over struct(sim, -cid) realizes exactly that ordering.
+    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cid").alias("cell"), F.col(corpus_vec).alias("vec")),
+                F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(corpus_id, F.col("best.cell").alias("cell"), F.col("best.vec").alias(corpus_vec))
+    )
+
+    qsim = cosine_sim("__qvec", "__cvec", dim)
+    qw = Window.partitionBy("__qid").orderBy(qsim.desc(), F.col("__cid").asc())
+    probes = (
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qvec", F.col("__cid").alias("cell"))
+    )
+
+    # A vector lives in exactly one cell and a query probes distinct
+    # cells, so (query, doc) candidate pairs are already unique.
+    cand = assigned.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col("__qid"))
+
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col(corpus_id),
+        cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", corpus_id, "sim", (1.0 - F.col("sim")).alias("dist"))
+    )
 
 
 def brp_lsh_pairs(

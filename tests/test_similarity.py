@@ -89,6 +89,32 @@ def test_srp_lsh_recall_vs_exact(emb):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_ivf_topk_recall_and_determinism(emb):
+    from cs6300_vectordbs_spark.operators.ann import ivf_topk
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(emb.first().embedding)
+    exact = similarity_topk(emb, q, 5, exclude_self=True).collect()
+    approx = ivf_topk(
+        emb, q, 5, dim=dim, n_cells=16, n_probe=4, exclude_self=True
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall {recall} too low at n_probe=4/16"
+    # deterministic quantizer: a second run is IDENTICAL, not just similar
+    again = ivf_topk(
+        emb, q, 5, dim=dim, n_cells=16, n_probe=4, exclude_self=True
+    ).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+    # every reported sim is a genuine cosine and ranks are 1..k dense
+    for r in approx:
+        assert 1 <= r.rank <= 5
+        assert -1.0001 <= r.sim <= 1.0001
+
+
 def test_brp_lsh_sims_match_exact_cosine(spark, emb):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
