@@ -60,7 +60,7 @@ from cs6300_vectordbs_spark.operators.pipeline import (
 )
 from cs6300_vectordbs_spark.operators.sampling import hash_sample
 from cs6300_vectordbs_spark.operators.similarity import (
-    pairwise_similarity,
+    pairwise_similarity_blocked,
     similarity_topk,
 )
 from cs6300_vectordbs_spark.operators.upsert import upsert_latest
@@ -124,7 +124,7 @@ FROM ranked WHERE rank <= {TOPK}
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return pairwise_similarity(emb, emb, min_sim=0.3, dim=EMB_DIM).select(
+    return pairwise_similarity_blocked(emb, emb, min_sim=0.3).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "sim"
     )
 
@@ -463,7 +463,7 @@ FROM all_docs GROUP BY simhash
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return pairwise_similarity(emb, emb, min_sim=0.35, dim=EMB_DIM).select(
+    return pairwise_similarity_blocked(emb, emb, min_sim=0.35).select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "sim"
     )
 

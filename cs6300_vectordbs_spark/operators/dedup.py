@@ -29,22 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint
 from ..functions.vector import ColumnOrName, _col
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a too-few-partitions input up to the cluster's default
-    parallelism before heavy per-row expression work (shingling, 16-way
-    MinHash, 64-bit SimHash voting).
-
-    Small corpora arrive as 1-2 parquet splits, which would serialize
-    all that compute on as many cores; at scale the input already has
-    >= parallelism splits and this is a no-op — so the shuffle cost is
-    only ever paid when the data is small enough for it to be free.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from .util import spread as _spread
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

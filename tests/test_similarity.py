@@ -131,6 +131,21 @@ def test_brp_lsh_sims_match_exact_cosine(spark, emb):
         assert r.sim == pytest.approx(dot / (na * nb), abs=1e-6)
 
 
+def test_blocked_pairwise_bit_identical_to_jvm(emb):
+    from cs6300_vectordbs_spark.operators.similarity import (
+        pairwise_similarity_blocked,
+    )
+
+    dim = len(emb.first().embedding)
+    jvm = pairwise_similarity(emb, emb, min_sim=0.3, dim=dim).collect()
+    blk = pairwise_similarity_blocked(emb, emb, min_sim=0.3).collect()
+    a = sorted((r.id_a, r.id_b, r.sim) for r in jvm)
+    b = sorted((r.id_a, r.id_b, r.sim) for r in blk)
+    # not approx-equal: the kernel reproduces the JVM expression's exact
+    # IEEE addition order, so the doubles must be IDENTICAL
+    assert a == b
+
+
 def test_l2_norm(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
     assert df.select(l2_norm("v").alias("n")).first().n == pytest.approx(5.0)
