@@ -114,6 +114,115 @@ def similarity_topk(
     )
 
 
+def similarity_topk_blocked(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    filter_expr: Column | str | None = None,
+    exclude_self: bool = False,
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact top-k cosine search via an Arrow-batched vectorized kernel —
+    the measured-fast form of :func:`similarity_topk`, bit-identical
+    output (same dot/norm IEEE addition order, same (sim desc, id asc)
+    total order).
+
+    Two-phase top-k, the same shape WindowGroupLimit gives the JVM path:
+    each corpus partition emits its LOCAL top-k per query under the full
+    (sim desc, id asc) order — any global top-k row is necessarily in
+    its partition's local top-k — then one exact row_number window ranks
+    the O(partitions x queries x k) candidates. The query batch is
+    collected and broadcast (it is small by contract); corpus partitions
+    stream once, no corpus shuffle.
+    """
+    import numpy as np
+
+    from .util import spread
+
+    spark = corpus.sparkSession
+    qrows = queries.select(
+        F.col(query_id).alias("id"), F.col(query_vec).alias("v")
+    ).collect()
+    qids = np.array([r.id for r in qrows], dtype=np.int64)
+    Q = np.array([r.v for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    c = corpus
+    if filter_expr is not None:
+        c = c.filter(filter_expr)
+
+    def gen(batches):
+        import pandas as pd
+
+        qids_b, Q_b = bc.value
+        d = Q_b.shape[1]
+        QT = np.ascontiguousarray(Q_b.T)  # (d, nq)
+        qsq = QT[0] * QT[0]
+        for j in range(1, d):
+            qsq = qsq + QT[j] * QT[j]
+        qnorm = np.sqrt(qsq)
+        nq = len(qids_b)
+        for pdf in batches:
+            for s in range(0, len(pdf), block_rows):
+                blk = pdf.iloc[s : s + block_rows]
+                lids = blk["id"].to_numpy(dtype=np.int64)
+                L = np.array(list(blk["v"]), dtype=np.float64)
+                dots = L[:, [0]] * QT[[0], :]
+                for j in range(1, d):
+                    dots += L[:, [j]] * QT[[j], :]
+                lsq = L[:, 0] * L[:, 0]
+                for j in range(1, d):
+                    lsq = lsq + L[:, j] * L[:, j]
+                denom = np.sqrt(lsq)[:, None] * qnorm[None, :]
+                zeros = denom == 0.0
+                sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+                out_q, out_id, out_sim = [], [], []
+                for qi in range(nq):
+                    col = sims[:, qi]
+                    # full (sim desc, id asc) order so boundary ties keep
+                    # the id-ascending winner, exactly like the window
+                    order = np.lexsort((lids, -col))
+                    if exclude_self:
+                        order = order[lids[order] != qids_b[qi]]
+                    top = order[:k]
+                    out_q.append(np.full(len(top), qids_b[qi], dtype=np.int64))
+                    out_id.append(lids[top])
+                    out_sim.append(col[top])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "cid": np.concatenate(out_id),
+                        "sim": np.concatenate(out_sim),
+                    }
+                )
+
+    # spread BEFORE the projection: if corpus_vec is a computed column
+    # (e.g. an embedding expression), projecting first would evaluate it
+    # on the unspread input's few partitions.
+    src = spread(c).select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+    cand = src.mapInPandas(gen, schema="query_id bigint, cid bigint, sim double")
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("cid").alias(corpus_id),
+            F.col("sim"),
+            (F.lit(1.0) - F.col("sim")).alias("dist"),
+        )
+    )
+
+
 def pairwise_similarity(
     left: DataFrame,
     right: DataFrame,
@@ -234,5 +343,5 @@ def pairwise_similarity_blocked(
                     {"id_a": lids[ia], "id_b": rids_b[ib], "sim": sims[ia, ib]}
                 )
 
-    src = spread(left.select(F.col(left_id).alias("id"), F.col(vec_col).alias("v")))
+    src = spread(left).select(F.col(left_id).alias("id"), F.col(vec_col).alias("v"))
     return src.mapInPandas(gen, schema="id_a bigint, id_b bigint, sim double")
