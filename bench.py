@@ -24,8 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # The headline set: every expensive path plus one of each family.
 BENCH_QUERIES = [
     "topk_cosine_exact",
+    "cosine_pairs",
     "embedding_neardup",
     "srp_lsh_topk",
+    "ivf_topk",
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -34,7 +36,9 @@ BENCH_QUERIES = [
     "embed_documents",
     "hash_sample",
     "latency_percentiles",
+    "judge_scores",
     "events_hourly",
+    "events_hourly_stream",
     "user_sessions",
     "pricing_summary",
     "top_customers",
