@@ -1,4 +1,9 @@
-from .similarity import similarity_topk, pairwise_similarity  # noqa: F401
+from .similarity import (  # noqa: F401
+    similarity_topk,
+    similarity_topk_blocked,
+    pairwise_similarity,
+    pairwise_similarity_blocked,
+)
 from .metrics_ir import (  # noqa: F401
     latency_percentiles,
     latency_summary,
@@ -25,7 +30,7 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_buckets,
 )
-from .ann import srp_lsh_topk, brp_lsh_pairs, srp_signature  # noqa: F401
+from .ann import srp_lsh_topk, brp_lsh_pairs, ivf_topk  # noqa: F401
 from .pipeline import search_pipeline, pipeline_report  # noqa: F401
 from .multimodal import (  # noqa: F401
     blob_metadata,

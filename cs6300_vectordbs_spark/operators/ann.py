@@ -40,19 +40,6 @@ def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
-def srp_signature(
-    vec_col: str, dim: int, n_bits: int = 16, seed: int = 42
-) -> Column:
-    """Array of n_bits sign bits (0/1) from seeded random hyperplanes.
-    Pure expressions — hyperplanes are literal arrays, dot is codegen."""
-    planes = _hyperplanes(dim, n_bits, seed)
-    bits = [
-        (dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0).cast("int")
-        for p in planes
-    ]
-    return F.array(*bits)
-
-
 def srp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
