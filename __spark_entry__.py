@@ -783,6 +783,60 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState, one
+    in-flight session per user in state, event-time timeouts). With the
+    availableNow trigger, one input file and an effectively-infinite
+    watermark delay, the emitted set is deterministic: every closed
+    session, i.e. all sessions except each user's LAST — which is the
+    SQL the oracle expresses. The batch window-function twin is
+    ``user_sessions``; this entry proves the stateful streaming operator
+    against a full value-hash oracle.
+    """
+    from cs6300_vectordbs_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from cs6300_vectordbs_spark.streaming.sessions import sessionize_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    out = sessionize_stream(stream, gap_minutes=30, watermark="3650 days")
+    run_stream_to_memory(out, "user_sessions_stream", output_mode="append")
+    return spark.table("user_sessions_stream").select(
+        F.col("user_id").cast("bigint"),
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.col("n_events").cast("bigint"),
+        F.round("sum_value", 9).alias("sum_value"),
+    )
+
+
+_ORACLE_SESSIONS_STREAM = """
+WITH marked AS (
+  SELECT user_id, ts::TIMESTAMP AS t, event_id, value,
+         CASE WHEN lag(epoch_us(ts::TIMESTAMP)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts::TIMESTAMP) - lag(epoch_us(ts::TIMESTAMP)) OVER w
+                   > 1800000000 THEN 1
+              ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+), sess AS (
+  SELECT user_id, t, value,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), agg AS (
+  SELECT user_id, sid,
+         strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         count(*)::BIGINT AS n_events, round(sum(value), 9) AS sum_value
+  FROM sess GROUP BY user_id, sid
+), last AS (SELECT user_id, max(sid) AS mx FROM agg GROUP BY user_id)
+SELECT a.user_id::BIGINT AS user_id, a.session_start, a.n_events, a.sum_value
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.mx
+"""
+
+
 def q_judge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference F2/F3/F4 parity: parse 'Score:'/'Explanation:' responses
     (/root/reference/src/queries.py:193-208), clamp to [1,5]
@@ -1106,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
+        "user_sessions_stream": q_user_sessions_stream,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
@@ -1144,6 +1199,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ORACLE_IVF,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "judge_scores": _ORACLE_JUDGE,
+        "user_sessions_stream": _ORACLE_SESSIONS_STREAM,
         # srp_lsh_topk / brp_lsh_pairs: rows-only (approximate paths;
         # their correctness oracle is the exact topk/pairs queries above
         # via the recall invariant tested in tests/).

@@ -79,15 +79,18 @@ def read_events_stream(
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, query_name: str = "events_counts"
+    stream_df: DataFrame,
+    query_name: str = "events_counts",
+    output_mode: str = "complete",
 ) -> "DataFrame":
     """Drain a (finite) stream with the availableNow trigger into an
     in-memory table; returns nothing until awaitTermination completes.
-    Complete output mode — windowed aggregation state is small."""
+    Complete mode for windowed aggregations (state is small); append
+    mode for arbitrary stateful operators (applyInPandasWithState)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

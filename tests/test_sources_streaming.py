@@ -101,6 +101,50 @@ def test_streaming_equals_batch(spark):
     assert b == s  # exactly-once availableNow drain == batch result
 
 
+def test_stateful_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    """Two micro-batches: batch 1's open sessions must be flushed by
+    EVENT-TIME TIMEOUT once batch 2 advances the watermark past
+    last_event + gap — covering the state-timeout branch that the
+    single-batch oracle path never exercises."""
+    import datetime as dt
+
+    from cs6300_vectordbs_spark.streaming.sessions import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes, value):
+        return (eid, uid, t0 + dt.timedelta(minutes=minutes), float(value), "c")
+
+    schema = "event_id long, user_id long, ts timestamp, value double, event_type string"
+    # file 1: user 1 has two sessions (gap at 40 > 30), second still open
+    f1 = spark.createDataFrame(
+        [ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 50, 4.0)], schema
+    )
+    # file 2: much later event of user 2 drives the watermark forward,
+    # timing out user 1's open session
+    f2 = spark.createDataFrame([ev(4, 2, 600, 8.0)], schema)
+    d = str(tmp_path / "stream")
+    f1.coalesce(1).write.parquet(d)
+    f2.coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = sessionize_stream(stream, gap_minutes=30, watermark="1 minute")
+    run_stream_to_memory(out, "sess_timeout_test", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.sum_value)
+        for r in spark.table("sess_timeout_test").collect()
+    }
+    # session 1 closed by the in-batch gap; session 2 closed by timeout
+    assert (1, t0, 2, 3.0) in got
+    assert (1, t0 + dt.timedelta(minutes=50), 1, 4.0) in got
+    # user 2's session is still open (nothing advanced the watermark past it)
+    assert all(u != 2 for (u, *_rest) in got)
+
+
 def test_blob_metadata_and_decode_stub(spark, docs):
     bm = docs.limit(20).select(
         "doc_id", F.encode("text", "utf-8").alias("data")
