@@ -45,6 +45,8 @@ from cs6300_vectordbs_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
+from cs6300_vectordbs_spark.operators.asof import asof_join
+from cs6300_vectordbs_spark.operators.graph import dedup_clusters
 from cs6300_vectordbs_spark.operators.judge import label_judge
 from cs6300_vectordbs_spark.operators.metrics_ir import (
     latency_percentiles,
@@ -59,6 +61,7 @@ from cs6300_vectordbs_spark.operators.pipeline import (
     search_pipeline,
 )
 from cs6300_vectordbs_spark.operators.sampling import hash_sample
+from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
     similarity_topk,
@@ -391,7 +394,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_H64 = "(('0x' || substr(md5('s' || {i} || '|' || s), 1, 15))::BIGINT)"
 
-def _oracle_minhash() -> str:
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, est_jaccard)`` — shared
+    by the minhash oracle and the cluster/clean-corpus oracles built
+    on top of its pair set."""
     rows = _MH_HASHES // _MH_BANDS
     mins = ", ".join(
         f"min({_SQL_H64.format(i=i)}) AS h{i}" for i in range(_MH_HASHES)
@@ -404,8 +410,7 @@ def _oracle_minhash() -> str:
     eq_frac = " + ".join(
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_MH_HASHES)
     )
-    return f"""
-WITH {_sql_shingles(3)},
+    return f"""{_sql_shingles(3)},
 ex AS (SELECT doc_id, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
 sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
 banded AS (SELECT doc_id, {band_keys}, * FROM sig),
@@ -415,13 +420,33 @@ long AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM long a JOIN long b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT c.id_a, c.id_b, ({eq_frac})::DOUBLE / {_MH_HASHES} AS est_jaccard
-FROM cand c
-JOIN sig a ON a.doc_id = c.id_a
-JOIN sig b ON b.doc_id = c.id_b
-WHERE ({eq_frac})::DOUBLE / {_MH_HASHES} >= 0.3
-"""
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, ({eq_frac})::DOUBLE / {_MH_HASHES} AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE ({eq_frac})::DOUBLE / {_MH_HASHES} >= 0.3
+)"""
+
+
+def _oracle_minhash() -> str:
+    return f"WITH {_minhash_ctes()}\nSELECT id_a, id_b, est_jaccard FROM pairs"
+
+
+# Transitive closure of the near-dup pair graph (both directions), then
+# component id = min reachable node. UNION (not UNION ALL) dedupes the
+# frontier so the recursion terminates.
+_SQL_CLOSURE = """
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)"""
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,6 +967,211 @@ FROM marked GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Temporal / graph / sketch extensions (as-of join, dedup clustering,
+# corpus cleaning, cardinality sketch)
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time attribution: each purchase event joined to the
+    user's most recent view at-or-before it (backward-inclusive as-of
+    join; union + window merge, ONE shuffle — see operators/asof.py).
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = read_events(spark, sf_dir)
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    vw = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        pur, vw, on="user_id", right_cols=["event_id", "value"],
+        tie_cols=["event_id"],
+    )
+    return out.select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        "value",
+        F.date_format("ts_matched", _TS_FMT_SPARK).alias("ts_matched"),
+        F.col("event_id_matched").cast("bigint"),
+        "value_matched",
+    )
+
+
+_ORACLE_ASOF = f"""
+WITH pur AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS t, value
+  FROM events WHERE event_type = 'purchase'
+), vw AS (
+  SELECT user_id, ts::TIMESTAMP AS t,
+         arg_max(event_id, event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, ts::TIMESTAMP
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.t, '{_TS_FMT_DUCK}') AS ts, p.value,
+       strftime(v.t, '{_TS_FMT_DUCK}') AS ts_matched,
+       v.event_id AS event_id_matched, v.value AS value_matched
+FROM pur p ASOF LEFT JOIN vw v
+  ON p.user_id = v.user_id AND p.t >= v.t
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS (MinHash-LSH) -> duplicate CLUSTERS via
+    connected components (iterative min-label propagation,
+    operators/graph.py); cluster_id = min doc id in the component.
+    Oracle: recursive-CTE transitive closure over the same pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    )
+    return dedup_clusters(pairs).select(
+        F.col("doc_id").cast("bigint"), F.col("cluster_id").cast("bigint")
+    )
+
+
+def _oracle_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_SQL_CLOSURE}
+SELECT a::BIGINT AS doc_id, least(min(b), a)::BIGINT AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data corpus cleaning composite: quality floor + lang-id
+    gate, drop exact-dup non-canonicals (fingerprint groupBy) and
+    near-dup non-canonicals (MinHash-LSH pairs -> connected-component
+    clusters, keep the min-id representative)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    )
+    near_drop = (
+        dedup_clusters(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    from pyspark.sql.window import Window
+
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+    exact_drop = (
+        fp.withColumn(
+            "keep_id", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    drop = near_drop.unionByName(exact_drop).distinct()
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            token_count("text").alias("n_tokens"),
+            F.round(quality_score("text"), 9).alias("quality"),
+            lang_id("text").alias("lang_guess"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") == "en"))
+        .join(drop, "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").cast("bigint"),
+            F.col("n_tokens").cast("bigint"),
+            "quality",
+        )
+    )
+
+
+def _oracle_clean_corpus() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_SQL_CLOSURE},
+drop_near AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(min(b), a) != a
+),
+fp AS (
+  SELECT doc_id, substr(md5({_SQL_NORM_TEXT}), 1, 16) AS f FROM documents
+),
+drop_exact AS (
+  SELECT doc_id FROM fp
+  QUALIFY doc_id != min(doc_id) OVER (PARTITION BY f)
+),
+base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS tk,
+         len(text) AS nchar,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS npunct
+  FROM documents
+), counts AS (
+  SELECT doc_id, nchar, npunct, len(tk) AS ntok,
+    len(list_filter(tk, t -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], t))) AS nstop,
+    len(list_filter(tk, t -> list_contains(['the','and','of','to','is'], t))) AS n_en,
+    len(list_filter(tk, t -> list_contains(['el','la','de','que','los'], t))) AS n_es,
+    len(list_filter(tk, t -> list_contains(['der','die','und','das','ist'], t))) AS n_de,
+    len(list_filter(tk, t -> list_contains(['le','la','les','des','est'], t))) AS n_fr
+  FROM base
+), stats AS (
+  SELECT doc_id, ntok,
+    round(
+      0.4 * (least(ntok, 100)::DOUBLE / 100.0)
+      + 0.3 * least((CASE WHEN ntok > 0 THEN nstop::DOUBLE / ntok ELSE 0.0 END) * 5.0, 1.0)
+      + 0.3 * (1.0 - (CASE WHEN nchar > 0 THEN npunct::DOUBLE / nchar ELSE 0.0 END)),
+    9) AS quality,
+    CASE WHEN greatest(n_de, n_en, n_es, n_fr) > 0 THEN
+      CASE greatest(n_de, n_en, n_es, n_fr)
+        WHEN n_de THEN 'de' WHEN n_en THEN 'en'
+        WHEN n_es THEN 'es' ELSE 'fr' END
+    ELSE 'und' END AS lang_guess
+  FROM counts
+)
+SELECT doc_id::BIGINT AS doc_id, ntok::BIGINT AS n_tokens, quality
+FROM stats
+WHERE quality >= 0.5 AND lang_guess = 'en'
+  AND doc_id NOT IN (
+    SELECT doc_id FROM drop_near UNION SELECT doc_id FROM drop_exact
+  )
+"""
+
+
+_KMV_K = 256
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KMV (bottom-k) distinct-count sketch over
+    lineitem.l_orderkey — portable md5 hashing so DuckDB replays the
+    identical estimate (operators/sketch.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_orderkey", k=_KMV_K)
+
+
+_ORACLE_KMV = f"""
+WITH h AS (
+  SELECT DISTINCT
+    ((('0x' || substr(md5('kmv|' || l_orderkey::VARCHAR), 1, 15))::BIGINT + 1)
+     / 1152921504606846976.0) AS hv
+  FROM lineitem
+),
+top AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+est AS (
+  SELECT CASE WHEN count(*) < {_KMV_K} THEN count(*)::DOUBLE
+              ELSE {float(_KMV_K - 1)} / max(hv) END AS est_distinct
+  FROM top
+)
+SELECT est_distinct, n AS exact_distinct,
+       round(abs(est_distinct - n) / n, 9) AS rel_err
+FROM est, (SELECT count(*)::BIGINT AS n FROM h)
+"""
+
+
+# ---------------------------------------------------------------------------
 # End-to-end pipeline report (integration query)
 # ---------------------------------------------------------------------------
 
@@ -1161,6 +1391,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "user_sessions_stream": q_user_sessions_stream,
+        "asof_purchase_view": q_asof_purchase_view,
+        "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
+        "kmv_distinct": q_kmv_distinct,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
@@ -1200,6 +1434,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "judge_scores": _ORACLE_JUDGE,
         "user_sessions_stream": _ORACLE_SESSIONS_STREAM,
+        "asof_purchase_view": _ORACLE_ASOF,
+        "dedup_clusters": _oracle_clusters(),
+        "clean_corpus": _oracle_clean_corpus(),
+        "kmv_distinct": _ORACLE_KMV,
         # srp_lsh_topk / brp_lsh_pairs: rows-only (approximate paths;
         # their correctness oracle is the exact topk/pairs queries above
         # via the recall invariant tested in tests/).

@@ -1,0 +1,97 @@
+"""Connected components over a pair/edge table — the clustering step a
+dedup pipeline needs between "candidate near-dup PAIRS" (LSH output,
+``operators/dedup.py``) and "keep ONE representative per duplicate
+CLUSTER" (extension surface; the reference has no graph ops).
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with itself; each round a node adopts the minimum label among itself
+and its neighbors; converged when no label changes. Labels reach the
+component minimum in O(diameter) rounds — for near-dup graphs the
+diameter is tiny (dup clusters are dense cliques-of-cliques), so 3-5
+rounds is typical.
+
+Scale shape per round: one join (labels onto edge endpoints) + one
+groupBy-min — two shuffles over |edges|, both with map-side partial
+aggregation, nothing quadratic. ``localCheckpoint`` truncates the plan
+lineage each round so the iteration count doesn't compound the DAG
+(Spark's iterative-algorithm idiom, same as GraphX/MLlib internals).
+The driver loop iterates O(diameter) times over COUNTS only — no row
+data ever reaches the driver. For adversarial long-chain graphs at
+100 TB, swap in the alternating small-star/large-star contraction
+(Kiveris et al., "Connected Components in MapReduce"), which this
+module's API admits without caller changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Label every node with its component's minimum node id.
+
+    ``edges`` is undirected input (one row per pair, either order).
+    Returns (node, component) — bigint node id -> min id reachable.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        merged = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("new_component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(
+            F.col("new_component") < F.col("component")
+        ).count()
+        labels = merged.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Near-dup pair table -> (doc_id, cluster_id) with cluster_id =
+    the minimum doc id in the connected component. Docs not in any
+    pair are absent (they are their own singleton cluster by
+    definition); the canonical representative of a cluster is the row
+    where doc_id == cluster_id."""
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

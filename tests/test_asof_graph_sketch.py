@@ -1,0 +1,138 @@
+"""As-of join, connected components / dedup clusters, KMV sketch."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.operators.asof import asof_join
+from cs6300_vectordbs_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _m(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def _asof(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        right_rows, "k long, ts timestamp, rid long, rv double"
+    )
+    return asof_join(
+        left, right, on="k", right_cols=["rid", "rv"], tie_cols=["rid"], **kw
+    )
+
+
+# ---- as-of join -----------------------------------------------------------
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    out = _asof(
+        spark,
+        [(1, _m(10), "a"), (1, _m(30), "b")],
+        [(1, _m(0), 100, 1.0), (1, _m(20), 200, 2.0), (1, _m(40), 300, 3.0)],
+    ).collect()
+    by_lv = {r.lv: r for r in out}
+    assert by_lv["a"].rid_matched == 100
+    assert by_lv["b"].rid_matched == 200  # not 300 (it's in the future)
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    out = _asof(
+        spark, [(1, _m(5), "a")], [(1, _m(5), 7, 1.5)]
+    ).collect()
+    assert out[0].rid_matched == 7 and out[0].rv_matched == 1.5
+
+
+def test_asof_no_prior_row_yields_null(spark):
+    out = _asof(
+        spark, [(1, _m(5), "a"), (2, _m(5), "b")], [(1, _m(6), 9, 1.0)]
+    ).collect()
+    assert all(r.rid_matched is None and r.rv_matched is None for r in out)
+
+
+def test_asof_tie_on_ts_picks_max_tiebreak(spark):
+    out = _asof(
+        spark,
+        [(1, _m(10), "a")],
+        [(1, _m(3), 5, 1.0), (1, _m(3), 8, 2.0)],
+    ).collect()
+    assert out[0].rid_matched == 8  # last in (ts, rid) order wins
+
+
+def test_asof_tolerance_nulls_stale_match(spark):
+    out = _asof(
+        spark,
+        [(1, _m(10), "near"), (1, _m(120), "far")],
+        [(1, _m(0), 1, 1.0)],
+        tolerance_us=30 * 60_000_000,
+    ).collect()
+    by_lv = {r.lv: r for r in out}
+    assert by_lv["near"].rid_matched == 1
+    assert by_lv["far"].rid_matched is None
+
+
+def test_asof_matched_fields_come_from_same_row(spark):
+    # rv NULL on the latest right row must NOT fall back to an older rv
+    out = _asof(
+        spark,
+        [(1, _m(10), "a")],
+        [(1, _m(1), 1, 9.9), (1, _m(5), 2, None)],
+    ).collect()
+    assert out[0].rid_matched == 2 and out[0].rv_matched is None
+
+
+# ---- connected components -------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cc_chain_converges_to_min(spark):
+    cc = connected_components(_edges(spark, [(4, 3), (2, 3), (1, 2)]))
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_cc_multiple_components(spark):
+    cc = connected_components(
+        _edges(spark, [(1, 2), (5, 6), (6, 7), (10, 10)])
+    )
+    got = {r.node: r.component for r in cc.collect()}
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5, 10: 10}
+
+
+def test_dedup_clusters_canonical_is_min_id(spark):
+    pairs = spark.createDataFrame(
+        [(20, 30), (30, 10), (50, 60)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 50: 50, 60: 50}
+
+
+# ---- KMV sketch -----------------------------------------------------------
+
+def test_kmv_exact_below_k(spark):
+    df = spark.range(100).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.est_distinct == 100.0
+    assert row.exact_distinct == 100
+    assert row.rel_err == 0.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    # 20k distinct, k=256 -> std err ~ 1/sqrt(k-1) ~ 6.3%; allow 4 sigma
+    df = spark.range(20_000).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row.exact_distinct == 20_000
+    assert abs(row.est_distinct - 20_000) / 20_000 < 0.25
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    base = spark.range(500).select((F.col("id") % 50).alias("v"))
+    row = kmv_distinct(base, "v", k=256).collect()[0]
+    assert row.est_distinct == 50.0 and row.exact_distinct == 50
