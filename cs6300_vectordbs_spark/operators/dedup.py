@@ -65,6 +65,48 @@ def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
     return F.array_distinct(sh)
 
 
+def shingle_rows(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Exploded (id, s) shingle rows — the whole-stage-codegen path.
+
+    Same shingle set as :func:`word_shingles` + explode, but built from
+    posexplode(split) + window ``lead`` instead of per-row array
+    higher-order functions: transform/slice/concat_ws lambdas evaluate
+    INTERPRETED in Spark, and profiling showed the HOF pipeline (not
+    the downstream join) was ~80% of ngram_jaccard_pairs' wall time.
+    Generate + window + hash-aggregate all stay in codegen.
+
+    ``lead`` over the empty-token-filtered sequence preserves adjacency
+    exactly as slicing the filtered token array does. Docs with fewer
+    than ``n`` tokens yield no rows (the trailing lead is NULL).
+    """
+    from pyspark.sql.window import Window
+
+    t = F.lower(F.trim(_col(text_col)))
+    ex = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(t, r"\s+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        ex.select("id", F.concat_ws(" ", *parts).alias("s"), parts[-1].alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .select("id", "s")
+    )
+    return sh.dropDuplicates(["id", "s"]) if distinct else sh
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -75,21 +117,23 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via shingle inverted index.
 
-    Plan shape: explode(shingles) → self equi-join on shingle →
-    groupBy(pair) count intersection → Jaccard from |A|+|B|-|∩|.
-    The equi-join on shingle is a plain hash join — no all-pairs blowup;
-    hot shingles (stop-phrases) are the skew risk, handled by AQE skew
-    split. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    Plan shape: shingle rows (codegen, see :func:`shingle_rows`) →
+    self equi-join on shingle → groupBy(pair) count intersection →
+    Jaccard from |A|+|B|-|∩|. The equi-join on shingle is a plain hash
+    join — no all-pairs blowup; hot shingles (stop-phrases) are the
+    skew risk, handled by AQE skew split. Returns (id_a, id_b, jaccard)
+    with id_a < id_b.
     """
-    sh = _spread(docs).select(
-        F.col(id_col).alias("id"), word_shingles(text_col, n).alias("sh")
-    )
-    # Carry |shingles| through the explode so no per-doc side table (and
-    # therefore no join against a table with one row per document —
-    # which must never be broadcast at scale) is needed downstream.
-    ex = sh.select(
-        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
-    )
+    from pyspark.sql.window import Window
+
+    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    # Carry |shingles| on each row via a window count so no per-doc side
+    # table (which must never be broadcast at scale) is needed, then
+    # materialize: the text->shingle pipeline is the expensive part and
+    # both self-join sides would otherwise recompute it.
+    ex = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    ).localCheckpoint(eager=True)
     a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
     inter = (
@@ -172,16 +216,16 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
-    # Signature via explode + groupBy(min x num_hashes), NOT per-row
-    # array higher-order functions: min/md5/conv inside a hash aggregate
-    # run in whole-stage codegen with map-side partial combine, while
-    # transform/array_min lambdas evaluate interpreted (measured ~4x
-    # slower). Docs with no shingles (shorter than shingle_n) vanish at
-    # the explode — correct, since they can't be near-duplicates under
-    # this similarity.
-    ex = _spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    # Signature via shingle rows + groupBy(min x num_hashes), NOT
+    # per-row array higher-order functions: min/md5/conv inside a hash
+    # aggregate run in whole-stage codegen with map-side partial
+    # combine, while transform/array_min lambdas evaluate interpreted
+    # (measured ~4x slower). distinct=False: min() is idempotent under
+    # duplicate shingles, so the dedup shuffle is skipped. Docs with no
+    # shingles (shorter than shingle_n) produce no rows — correct,
+    # since they can't be near-duplicates under this similarity.
+    ex = shingle_rows(
+        docs, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
     )
     sig = (
         ex.groupBy("id")
@@ -315,12 +359,7 @@ def simhash_buckets(
     Per exploded shingle, md5 is computed once and its 16 hex chars are
     decoded once; each bit is a shift+mod of one char value.
     """
-    # explode_outer keeps empty-shingle docs as a null-shingle row so
-    # they still receive a fingerprint (0, the reference semantics).
-    ex = _spread(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(word_shingles(text_col, n)).alias("s"),
-    )
+    ex = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
     hexed = ex.select(
         "id",
         *[
@@ -340,8 +379,7 @@ def simhash_buckets(
             for p in range(64)
         ]
     )
-    # fingerprint = Σ_p (votes[p] > 0 ? weight_p : 0); null votes (empty
-    # docs) fall through every WHEN to 0, giving fingerprint 0.
+    # fingerprint = Σ_p (votes[p] > 0 ? weight_p : 0)
     fp_expr = None
     for p in range(64):
         term = F.when(F.col(f"v{p}") > 0, F.lit(_BIT_WEIGHTS[p]).cast("bigint")).otherwise(
@@ -349,6 +387,12 @@ def simhash_buckets(
         )
         fp_expr = term if fp_expr is None else fp_expr + term
     f = votes.select("id", fp_expr.alias("simhash"))
+    # Docs too short to shingle have no rows above; re-attach them with
+    # fingerprint 0 (the reference semantics for empty shingle sets).
+    all_ids = _spread(docs).select(F.col(id_col).alias("id"))
+    f = all_ids.join(f, on="id", how="left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
+    )
     return f.groupBy("simhash").agg(
         F.min("id").alias("min_id"), F.count(F.lit(1)).alias("dup_count")
     )
