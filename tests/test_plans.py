@@ -1,0 +1,106 @@
+"""Physical-plan shape assertions — the 100 TB design contract.
+
+Correctness tests prove the operators compute the right rows; these
+prove Catalyst compiles them into the plans the scale design REQUIRES:
+broadcast joins where a side is guaranteed small, partial top-k before
+the shuffle (WindowGroupLimit), filter/column pushdown into the
+parquet scan, partial aggregation, and never a cartesian product on a
+candidate-generation path. A regression here can stay invisible at
+test scale and only explode on a cluster.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.operators.asof import asof_join
+from cs6300_vectordbs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from cs6300_vectordbs_spark.operators.similarity import similarity_topk
+from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_topk_partial_topk_and_broadcast_queries(spark, emb):
+    plan = plan_of(similarity_topk(emb, _queries(emb), 5, dim=64))
+    # Partial top-k inside map tasks: only ~k rows/query/partition shuffle.
+    assert "WindowGroupLimit" in plan
+    # The small query batch is broadcast; the corpus never shuffles
+    # before scoring.
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_metadata_filter_reaches_parquet_scan(spark, emb):
+    plan = plan_of(
+        similarity_topk(emb, _queries(emb), 5, dim=64, filter_expr="label = 3")
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(label,3)" in pushed[0]
+
+
+def test_projection_prunes_parquet_columns(spark, docs):
+    plan = plan_of(docs.select("doc_id", F.length("text").alias("n")))
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and "text" in reads[0]
+    assert "n_chars" not in reads[0] and "source" not in reads[0]
+
+
+def test_exact_dedup_has_partial_aggregation(spark, docs):
+    plan = plan_of(exact_dedup(docs))
+    # partial (map-side) + final HashAggregate around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("op", ["ngram", "minhash"])
+def test_dedup_candidate_joins_are_equi_joins(spark, docs, op):
+    if op == "ngram":
+        df = ngram_jaccard_pairs(docs.limit(50), n=3, min_jaccard=0.3)
+    else:
+        df = minhash_lsh_pairs(
+            docs.limit(50), num_hashes=16, bands=4, shingle_n=3, min_jaccard=0.3
+        )
+    plan = plan_of(df)
+    # candidates come from hash/merge equi-joins on short keys — an
+    # accidental cartesian (e.g. a lost join condition) must fail here
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_topk_is_take_ordered_not_global_sort(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    plan = plan_of(kmv_distinct(df, "v", k=64))
+    # ORDER BY h LIMIT k must compile to TakeOrderedAndProject (per-
+    # partition partial top-k), never a full Sort of the distinct set
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_pass_no_range_join(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t0, "x")], "k long, ts timestamp, lv string")
+    right = spark.createDataFrame([(1, t0, 9)], "k long, ts timestamp, rid long")
+    plan = plan_of(asof_join(left, right, on="k", right_cols=["rid"]))
+    # union + window merge: no per-key cartesian/range join anywhere
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
