@@ -60,7 +60,11 @@ from cs6300_vectordbs_spark.operators.pipeline import (
     pipeline_report,
     search_pipeline,
 )
-from cs6300_vectordbs_spark.operators.sampling import hash_sample
+from cs6300_vectordbs_spark.operators.interval import range_join_bucketed
+from cs6300_vectordbs_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+)
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
@@ -1141,6 +1145,75 @@ WHERE quality >= 0.5 AND lang_guess = 'en'
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling (training-data mix rebalancing): keep
+    20% of English, 60% of the rarer languages, drop unlisted — a pure
+    scan-side CASE filter, no join/shuffle (operators/sampling.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs, "lang", "doc_id",
+        {"en": 20, "de": 60, "fr": 60, "es": 60}, default_pct=0,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint"), "lang",
+        F.col("n_chars").cast("bigint"),
+    )
+
+
+_ORACLE_STRATIFIED = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 <
+      (CASE WHEN lang = 'en' THEN 20
+            WHEN lang IN ('de', 'fr', 'es') THEN 60 ELSE 0 END)
+"""
+
+
+def q_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal window aggregation: for every error event, how many
+    clicks did the same user make in the preceding 5 minutes? Runs as a
+    bucketed range join (equi-join on (user, time-bucket) + exact
+    refine — operators/interval.py), never a per-key cartesian."""
+    ev = read_events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    matched = range_join_bucketed(
+        err, clk, on="user_id", lower_us=0, upper_us=300_000_000,
+        right_cols=["click_id"],
+    )
+    counts = matched.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks")
+    )
+    return (
+        err.join(counts, on="event_id", how="left")
+        .select(
+            F.col("event_id").cast("bigint"),
+            F.col("user_id").cast("bigint"),
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+            F.coalesce("n_clicks", F.lit(0)).cast("bigint").alias("n_clicks"),
+        )
+    )
+
+
+_ORACLE_CLICKS_BEFORE = f"""
+WITH err AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS t
+  FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT user_id, ts::TIMESTAMP AS t FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, strftime(e.t, '{_TS_FMT_DUCK}') AS ts,
+       count(c.t)::BIGINT AS n_clicks
+FROM err e LEFT JOIN clk c ON c.user_id = e.user_id
+  AND epoch_us(e.t) - epoch_us(c.t) BETWEEN 0 AND 300000000
+GROUP BY e.event_id, e.user_id, e.t
+"""
+
+
 _KMV_K = 256
 
 
@@ -1394,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase_view": q_asof_purchase_view,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
+        "stratified_sample": q_stratified_sample,
+        "clicks_before_error": q_clicks_before_error,
         "kmv_distinct": q_kmv_distinct,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
@@ -1437,6 +1512,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_purchase_view": _ORACLE_ASOF,
         "dedup_clusters": _oracle_clusters(),
         "clean_corpus": _oracle_clean_corpus(),
+        "stratified_sample": _ORACLE_STRATIFIED,
+        "clicks_before_error": _ORACLE_CLICKS_BEFORE,
         "kmv_distinct": _ORACLE_KMV,
         # srp_lsh_topk / brp_lsh_pairs: rows-only (approximate paths;
         # their correctness oracle is the exact topk/pairs queries above

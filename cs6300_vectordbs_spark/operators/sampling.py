@@ -45,3 +45,24 @@ def hash_sample(df: DataFrame, key: str, pct: int = 10) -> DataFrame:
 def seeded_topn(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """Exact-count random-ish sample, deterministic within Spark."""
     return df.orderBy(F.rand(seed)).limit(n)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    rates: dict[str, int],
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~rates[stratum]% of each
+    stratum's rows (``default_pct`` for unlisted strata) by hashed key.
+
+    The rate table becomes a CASE expression, not a join — a training-
+    data pipeline downsampling by language/source/quality-band runs this
+    as a pure scan-side filter: one pass, no shuffle, no side table, and
+    Catalyst pushes the whole predicate toward the parquet scan.
+    """
+    pct = F.lit(default_pct)
+    for value, rate in sorted(rates.items()):
+        pct = F.when(F.col(stratum) == value, F.lit(rate)).otherwise(pct)
+    return df.filter(hash_bucket(key, 100) < pct)
