@@ -55,7 +55,12 @@ from cs6300_vectordbs_spark.operators.metrics_ir import (
     recall_at_k,
     recall_at_k_per_query,
 )
-from cs6300_vectordbs_spark.operators.multimodal import with_blob_metadata
+from cs6300_vectordbs_spark.operators.multimodal import (
+    decode_image_stub,
+    sample_frames,
+    with_blob_metadata,
+)
+from cs6300_vectordbs_spark.operators.skew import salted_agg
 from cs6300_vectordbs_spark.operators.pipeline import (
     pipeline_report,
     search_pipeline,
@@ -688,6 +693,105 @@ _ORACLE_BLOB = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5
 FROM documents
+"""
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode stage end-to-end: binary blobs through the
+    mapInPandas Arrow decoder (operators/multimodal.py). The stub
+    decoder derives width/height/features from md5(bytes), which is
+    SQL-reproducible — so the whole Python/Arrow plumbing (batch
+    iteration, schema, null handling) is value-hash-checked against
+    DuckDB, not just smoke-tested. A real codec swaps into the marked
+    stub section with the identical plan shape."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("bigint"), F.encode("text", "utf-8").alias("data")
+    )
+    out = decode_image_stub(blobs, feature_dim=8)
+    return out.select("doc_id", "width", "height", "n_channels", "feature")
+
+
+_ORACLE_IMAGE = """
+WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
+SELECT doc_id,
+  (16 + (('0x' || substr(x, 1, 2))::INT % 241))::INT AS width,
+  (16 + (('0x' || substr(x, 3, 2))::INT % 241))::INT AS height,
+  3::INT AS n_channels,
+  [(('0x' || substr(x, 2 * (2 + j) + 1, 2))::INT) / 255.0
+   for j in generate_series(0, 7)] AS feature
+FROM h
+"""
+
+
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: every-30th frame index per
+    blob (map-side explode, operators/multimodal.py), then a per-frame
+    byte-slice chunk fingerprint — the shape of a sampled-frame decode
+    at scale, with the codec replaced by binary slicing (all-ASCII
+    corpus, so byte and char offsets agree across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("bigint"),
+        F.encode("text", "utf-8").alias("data"),
+        F.col("n_chars").alias("n_frames"),
+    )
+    fs = sample_frames(blobs, "n_frames", every=30)
+    return fs.select(
+        "doc_id",
+        F.col("frame_idx").cast("int"),
+        F.expr("md5(substring(data, frame_idx + 1, 32))").alias("chunk_md5"),
+        F.expr("octet_length(substring(data, frame_idx + 1, 32))")
+        .cast("int")
+        .alias("chunk_len"),
+    )
+
+
+_ORACLE_FRAMES = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, ((n_chars - 1) // 30)::INT)) AS j
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, (30 * j)::INT AS frame_idx,
+       md5(substr(text, 30 * j + 1, 32)) AS chunk_md5,
+       length(substr(text, 30 * j + 1, 32))::INT AS chunk_len
+FROM idx
+"""
+
+
+def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stats through the SALTED two-stage aggregation
+    (operators/skew.py) — the hot-key-resistant plan; values match the
+    direct groupBy (floats under the repo round(9) policy)."""
+    ev = read_events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["user_id"],
+        [
+            ("event_id", "count", "n_events"),
+            ("value", "sum", "sum_value"),
+            ("value", "min", "min_value"),
+            ("value", "max", "max_value"),
+            ("value", "avg", "avg_value"),
+        ],
+    )
+    return out.select(
+        F.col("user_id").cast("bigint"),
+        F.col("n_events").cast("bigint"),
+        F.round("sum_value", 9).alias("sum_value"),
+        "min_value",
+        "max_value",
+        F.round("avg_value", 9).alias("avg_value"),
+    )
+
+
+_ORACLE_SALTED = """
+SELECT user_id, count(event_id)::BIGINT AS n_events,
+       round(sum(value), 9) AS sum_value,
+       min(value) AS min_value, max(value) AS max_value,
+       round(sum(value) / count(value), 9) AS avg_value
+FROM events GROUP BY user_id
 """
 
 
@@ -1457,6 +1561,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_queries": q_template_queries,
         "clean_query_lines": q_clean_query_lines,
         "blob_metadata": q_blob_metadata,
+        "image_features": q_image_features,
+        "frame_samples": q_frame_samples,
+        "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -1500,6 +1607,9 @@ def oracle_sql() -> dict[str, str]:
         "template_queries": _ORACLE_TEMPLATE_Q,
         "clean_query_lines": _ORACLE_CLEAN_Q,
         "blob_metadata": _ORACLE_BLOB,
+        "image_features": _ORACLE_IMAGE,
+        "frame_samples": _ORACLE_FRAMES,
+        "salted_event_stats": _ORACLE_SALTED,
         "pricing_summary": _ORACLE_PRICING,
         "top_customers": _ORACLE_TOP_CUST,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
