@@ -45,6 +45,21 @@ BENCH_QUERIES = [
     "pipeline_report",
 ]
 
+# Round-2 extension operators — benched separately so the original
+# 20-query total stays comparable to the recorded BASELINE.md numbers.
+EXTENDED_QUERIES = [
+    "user_sessions_stream",
+    "asof_purchase_view",
+    "clicks_before_error",
+    "dedup_clusters",
+    "clean_corpus",
+    "kmv_distinct",
+    "stratified_sample",
+    "image_features",
+    "frame_samples",
+    "salted_event_stats",
+]
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -65,19 +80,25 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + EXTENDED_QUERIES:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    headline = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     print(
         json.dumps(
             {
+                # value = the original 20-query set, directly comparable
+                # to BASELINE.md's recorded self-baseline; extension
+                # operators are timed in "queries" and summed separately.
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": headline,
                 "unit": "sec",
                 "queries": timings,
+                "extended_total": round(
+                    sum(timings[n] for n in EXTENDED_QUERIES), 3
+                ),
                 "sf": sf,
             }
         )
