@@ -97,6 +97,9 @@ def similarity_topk(
         F.col(corpus_id),
         sim.alias("sim"),
     )
+    # Unscorable rows (null/zero vectors -> null sim) never enter the
+    # ranking — otherwise they'd fill trailing top-k slots.
+    scored = scored.filter(F.col("sim").isNotNull())
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc()
