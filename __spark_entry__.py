@@ -38,7 +38,12 @@ from cs6300_vectordbs_spark.functions.text import (
     token_count,
 )
 from cs6300_vectordbs_spark.functions.ids import format_doc_id, sequential_id
-from cs6300_vectordbs_spark.operators.ann import brp_lsh_pairs, ivf_topk, srp_lsh_topk
+from cs6300_vectordbs_spark.operators.ann import (
+    brp_lsh_pairs,
+    ivf_topk,
+    ivf_topk_kmeans,
+    srp_lsh_topk,
+)
 from cs6300_vectordbs_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -1515,6 +1520,24 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat with the MLlib-KMeans-trained quantizer (the production
+    coarse index; BASELINE.json north star: 'MLlib for batch indexing').
+    Seeded-deterministic within Spark, not SQL-portable -> rows-only
+    driver check; recall vs exact top-k is asserted in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_kmeans(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, exclude_self=True,
+    ).select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+        "dist",
+    )
+
+
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
@@ -1579,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
     }
@@ -1625,7 +1649,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _ORACLE_STRATIFIED,
         "clicks_before_error": _ORACLE_CLICKS_BEFORE,
         "kmv_distinct": _ORACLE_KMV,
-        # srp_lsh_topk / brp_lsh_pairs: rows-only (approximate paths;
+        # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
+        # (approximate / engine-seeded paths;
         # their correctness oracle is the exact topk/pairs queries above
         # via the recall invariant tested in tests/).
     }

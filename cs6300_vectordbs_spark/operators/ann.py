@@ -154,7 +154,77 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
     )
+    return _ivf_from_centroids(
+        corpus, queries, cent, k,
+        dim=dim, n_probe=n_probe, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec, exclude_self=exclude_self,
+    )
 
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-Flat with an MLlib-KMEANS-trained coarse quantizer.
+
+    Same candidate/probe/re-rank plan as :func:`ivf_topk`, but the
+    centroids come from ``pyspark.ml.clustering.KMeans`` over the
+    corpus — the production quantizer (balanced cells -> bounded probe
+    cost), versus the sampled quantizer's oracle-friendly determinism.
+    Training is one MLlib job on the corpus; the learned centers are a
+    tiny literal DataFrame, broadcast exactly like sampled centroids.
+    Seeded KMeans is deterministic within Spark but not portable across
+    engines, so this variant is verified by recall-vs-exact tests, not
+    a value-hash oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(
+            F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+        ).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "__cid int, __cvec array<double>",
+    )
+    return _ivf_from_centroids(
+        corpus, queries, cent, k,
+        dim=dim, n_probe=n_probe, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec, exclude_self=exclude_self,
+    )
+
+
+def _ivf_from_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    k: int,
+    *,
+    dim: int,
+    n_probe: int,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared IVF plan: broadcast centroids -> cell assignment argmax ->
+    broadcast query probes -> exact re-rank inside probed cells."""
     # Cell assignment: argmax_c cos(v, c), ties to the lowest centroid id.
     # max_by over struct(sim, -cid) realizes exactly that ordering.
     sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)

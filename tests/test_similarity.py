@@ -149,3 +149,28 @@ def test_blocked_pairwise_bit_identical_to_jvm(emb):
 def test_l2_norm(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
     assert df.select(l2_norm("v").alias("n")).first().n == pytest.approx(5.0)
+
+
+def test_ivf_kmeans_recall_and_seed_determinism(emb):
+    from cs6300_vectordbs_spark.operators.ann import ivf_topk_kmeans
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(emb.first().embedding)
+    exact = similarity_topk(emb, q, 5, exclude_self=True).collect()
+    approx = ivf_topk_kmeans(
+        emb, q, 5, dim=dim, n_cells=16, n_probe=4, exclude_self=True
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # trained cells are balanced, so recall should be at least as good
+    # as the sampled quantizer's floor
+    assert recall >= 0.4, f"KMeans-IVF recall {recall} too low"
+    again = ivf_topk_kmeans(
+        emb, q, 5, dim=dim, n_cells=16, n_probe=4, exclude_self=True
+    ).collect()
+    assert {(r.query_id, r.rank, r.vec_id) for r in again} == {
+        (r.query_id, r.rank, r.vec_id) for r in approx
+    }  # seeded training -> bitwise-repeatable results within Spark
