@@ -176,3 +176,38 @@ def test_pipeline_end_to_end_shape(docs):
     assert 0.0 <= rep.avg_ndcg <= 1.0
     assert rep.n_ndcg_queries == rep.n_queries  # A5 includes all
     assert rep.n_recall_queries <= rep.n_queries  # A4 excludes zero-relevant
+
+
+def test_stream_upsert_sink_converges_to_batch_upsert(spark, tmp_path):
+    """Two micro-batches of changes through the foreachBatch upsert
+    sink must yield exactly the table the BATCH upsert produces over
+    the same changes — the streaming sink is the S4/S5 surface, not a
+    new semantics."""
+    from cs6300_vectordbs_spark.operators.upsert import upsert_latest
+    from cs6300_vectordbs_spark.streaming.upsert_sink import run_stream_upsert
+
+    schema = "id long, val string, ver long"
+    b1 = spark.createDataFrame(
+        [(1, "a1", 1), (2, "b1", 1), (3, "c1", 1)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 2), (3, "c0-late", 0), (4, "d1", 1)], schema
+    )
+    src = str(tmp_path / "changes")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    changes = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "table")
+    got = run_stream_upsert(changes, table, id_col="id", version_col="ver")
+
+    want = upsert_latest(b1, b2, "id", version_col="ver")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # id 3: the late low-version update must NOT have clobbered c1
+    assert {t[:2] for t in got.collect()} >= {(3, "c1"), (2, "b2"), (4, "d1")}
