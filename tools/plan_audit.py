@@ -1,0 +1,128 @@
+"""Regenerate PLANS.md: the physical-plan audit for headline operators.
+
+For each audited query: the Catalyst plan tree (the `== Physical Plan ==`
+skeleton) plus the scan details that prove pushdown (PushedFilters /
+ReadSchema), with a commentary block stating which plan property the
+100-TB design DEPENDS on. tests/test_plans.py asserts the load-bearing
+properties mechanically; this file is the human-readable audit trail.
+
+Usage: python tools/plan_audit.py   (rewrites /root/repo/PLANS.md)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+AUDIT = {
+    "topk_cosine_exact": """\
+Load-bearing properties: the query batch is BROADCAST (corpus never
+shuffles before scoring — BroadcastNestedLoopJoin streams corpus
+partitions once); the rank<=k filter compiles to WindowGroupLimit, so
+each map task emits only ~k rows per query BEFORE the exchange; the
+final shuffle is O(queries x k x partitions), independent of corpus
+size. Norms are projected UNDER the join (once per row, not per pair).""",
+    "ngram_jaccard_pairs": """\
+Load-bearing properties: candidates come from an EQUI-join on the
+shingle (inverted index) — no cartesian anywhere; the shingle pipeline
+is whole-stage codegen (posexplode + window lead, no interpreted
+lambdas) and materializes ONCE (checkpoint scan below) so both self-
+join sides reuse it; both aggregates are partial+final HashAggregate
+(map-side combine). Hot-shingle skew is AQE's skew-split.""",
+    "minhash_lsh_pairs": """\
+Load-bearing properties: signatures built by explode + 16 codegen'd
+min() aggregates with map-side combine; the tiny signature table is
+materialized before the self-join (checkpoint scan) so the text
+pipeline runs once; candidate pairs come from an equi-join on short
+md5 band keys — shuffle volume O(candidates), never all-pairs.""",
+    "ivf_topk": """\
+Load-bearing properties: centroids and query probes are both BROADCAST
+(two small sides); the only corpus-wide shuffle is the assignment
+groupBy, which is partial+final HashAggregate (the x n_cells cross
+join collapses map-side back to one row per vector); re-rank touches
+only probed cells, O(candidates).""",
+    "asof_purchase_view": """\
+Load-bearing properties: ONE exchange (hashpartitioning on user_id)
+feeds the union + window merge — the as-of match is a sequential scan
+per key, the same asymptotics as a sort-merge join; no range-join /
+per-key cartesian node exists in the plan. Payload travels as one
+struct so matched fields stay row-consistent.""",
+    "clicks_before_error": """\
+Load-bearing properties: the temporal window match is an EQUI-join on
+(user_id, time-bucket) — right rows replicate to at most 2 buckets
+(constant amplification) and the exact range predicate refines after
+the hash join; the fallback plan Spark would otherwise choose for a
+time-range theta-join is a per-key nested loop.""",
+    "pricing_summary": """\
+Load-bearing properties: the shipdate filter is PUSHED to the parquet
+scan (PushedFilters) and only the 7 referenced columns are read
+(ReadSchema); money sums accumulate in exact DECIMAL inside a
+partial+final HashAggregate, so results are identical at any
+parallelism.""",
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def condense(plan: str) -> str:
+    """Tree skeleton + scan-detail lines that prove pushdown."""
+    lines = plan.splitlines()
+    out = []
+    in_tree = True
+    for ln in lines:
+        if in_tree:
+            if ln.strip() == "" and out:
+                in_tree = False
+            else:
+                out.append(ln)
+    detail = [
+        ln.strip()
+        for ln in lines
+        if re.match(r"\s*(PushedFilters|ReadSchema|Arguments: \[isnotnull)", ln)
+    ]
+    if detail:
+        out.append("")
+        out.extend(f"  {d}" for d in dict.fromkeys(detail))
+    return "\n".join(out)
+
+
+def main() -> None:
+    import __spark_entry__ as m
+    from cs6300_vectordbs_spark import get_spark
+
+    spark = get_spark(app_name="plan_audit", cpus=8, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = m.queries()
+
+    parts = [
+        "# PLANS — physical-plan audit of the headline operators\n",
+        "Regenerate with `python tools/plan_audit.py` (sf0.001 inputs; the",
+        "plan SHAPE is scale-invariant — AQE may re-pick join strategies at",
+        "runtime, which only strengthens the broadcast choices below).",
+        "Mechanical enforcement of the load-bearing properties lives in",
+        "`tests/test_plans.py`.\n",
+    ]
+    for name, commentary in AUDIT.items():
+        df = qs[name](spark, SF)
+        parts.append(f"\n## {name}\n")
+        parts.append(commentary + "\n")
+        parts.append("```\n" + condense(plan_text(df)) + "\n```")
+
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(parts) + "\n")
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
