@@ -1323,6 +1323,53 @@ GROUP BY e.event_id, e.user_id, e.t
 """
 
 
+def q_clicks_before_error_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join (streaming/joins.py):
+    error-stream rows matched to same-user click-stream rows from the
+    preceding 2 hours. One input file + availableNow -> the emitted
+    pair set is deterministic and equals the batch inner join, so this
+    stateful two-stream operator gets a full value-hash oracle."""
+    from cs6300_vectordbs_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from cs6300_vectordbs_spark.streaming.joins import interval_join_streams
+
+    err = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "error"
+    ).select("event_id", "user_id", "ts")
+    clk = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    out = interval_join_streams(
+        err, clk, "user_id", lower_us=0, upper_us=7_200_000_000,
+        watermark="3650 days",
+    )
+    run_stream_to_memory(out, "clicks_before_error_stream", output_mode="append")
+    return spark.table("clicks_before_error_stream").select(
+        F.col("event_id").cast("bigint"),
+        F.col("user_id").cast("bigint"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.col("r_event_id").cast("bigint").alias("click_id"),
+        F.date_format("r_ts", _TS_FMT_SPARK).alias("click_ts"),
+    )
+
+
+_ORACLE_CLICKS_BEFORE_STREAM = f"""
+WITH err AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS t
+  FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS t
+  FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id, strftime(e.t, '{_TS_FMT_DUCK}') AS ts,
+       c.event_id AS click_id, strftime(c.t, '{_TS_FMT_DUCK}') AS click_ts
+FROM err e JOIN clk c ON c.user_id = e.user_id
+  AND epoch_us(e.t) - epoch_us(c.t) BETWEEN 0 AND 7200000000
+"""
+
+
 _KMV_K = 256
 
 
@@ -1599,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "stratified_sample": q_stratified_sample,
         "clicks_before_error": q_clicks_before_error,
+        "clicks_before_error_stream": q_clicks_before_error_stream,
         "kmv_distinct": q_kmv_distinct,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
@@ -1648,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _oracle_clean_corpus(),
         "stratified_sample": _ORACLE_STRATIFIED,
         "clicks_before_error": _ORACLE_CLICKS_BEFORE,
+        "clicks_before_error_stream": _ORACLE_CLICKS_BEFORE_STREAM,
         "kmv_distinct": _ORACLE_KMV,
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

@@ -211,3 +211,48 @@ def test_stream_upsert_sink_converges_to_batch_upsert(spark, tmp_path):
     )
     # id 3: the late low-version update must NOT have clobbered c1
     assert {t[:2] for t in got.collect()} >= {(3, "c1"), (2, "b2"), (4, "d1")}
+
+
+def test_stream_stream_interval_join_across_batches(spark, tmp_path):
+    """A click arriving in micro-batch 1 must still match an error in
+    micro-batch 2 — the buffered-state path a single-batch drain never
+    exercises."""
+    import datetime as dt
+
+    from cs6300_vectordbs_spark.streaming.joins import interval_join_streams
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, user_id long, ts timestamp, event_type string"
+    f1 = spark.createDataFrame(
+        [(1, 7, t0, "click"), (2, 8, t0, "click")], schema
+    )
+    f2 = spark.createDataFrame(
+        [(3, 7, t0 + dt.timedelta(minutes=2), "error"),
+         (4, 8, t0 + dt.timedelta(minutes=20), "error")], schema
+    )
+    d = str(tmp_path / "ev")
+    f1.coalesce(1).write.parquet(d)
+    f2.coalesce(1).write.mode("append").parquet(d)
+
+    src = (
+        spark.readStream.schema(f1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    err = src.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = src.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join_streams(
+        err, clk, "user_id", lower_us=0, upper_us=300_000_000,
+        watermark="1 hour",
+    )
+    run_stream_to_memory(out, "ssj_test", output_mode="append")
+    got = {
+        (r.event_id, r.r_event_id)
+        for r in spark.table("ssj_test").collect()
+    }
+    # user 7: error 2 min after click -> pair; user 8: 20 min -> outside window
+    assert got == {(3, 1)}
