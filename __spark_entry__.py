@@ -1079,6 +1079,54 @@ FROM marked GROUP BY user_id
 """
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join across the full dimension chain (lineitem ->
+    supplier -> nation -> region): every dim side is BROADCAST (nation/
+    region are constant-size; supplier grows ~10k rows/SF — still
+    broadcast-range at warehouse scale, and AQE would demote it to
+    shuffle join if not). The fact table never shuffles for the joins;
+    the only exchange is the final low-cardinality groupBy. Money in
+    exact DECIMAL (repo float policy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,0)") - disc)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+_ORACLE_REVENUE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+  sum(l.l_extendedprice::DECIMAL(12,2)
+      * (1 - l.l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE l.l_shipdate <= '2001-09-02'
+GROUP BY r.r_name, n.n_name
+"""
+
+
 # ---------------------------------------------------------------------------
 # Temporal / graph / sketch extensions (as-of join, dedup clustering,
 # corpus cleaning, cardinality sketch)
@@ -1635,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": q_frame_samples,
         "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
@@ -1683,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_samples": _ORACLE_FRAMES,
         "salted_event_stats": _ORACLE_SALTED,
         "pricing_summary": _ORACLE_PRICING,
+        "revenue_by_nation": _ORACLE_REVENUE,
         "top_customers": _ORACLE_TOP_CUST,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "user_sessions": _ORACLE_SESSIONS,
