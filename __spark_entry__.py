@@ -30,6 +30,7 @@ from cs6300_vectordbs_spark.functions.embed import embed_text
 from cs6300_vectordbs_spark.functions.querygen import (
     clean_query_lines,
     generate_queries,
+    template_query,
 )
 from cs6300_vectordbs_spark.functions.text import (
     doc_fingerprint,
@@ -76,6 +77,7 @@ from cs6300_vectordbs_spark.operators.sampling import (
     stratified_hash_sample,
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
+from cs6300_vectordbs_spark.operators.text_search import bm25_topk
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
     similarity_topk,
@@ -1079,6 +1081,70 @@ FROM marked GROUP BY user_id
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval twin of the vector top-k: Okapi BM25 over an
+    inverted postings table (operators/text_search.py), queries = first
+    5 tokens of a 10% hash-sample of the corpus. Scores round(9) before
+    ranking, ties by doc id — deterministic across engines despite
+    ln()'s ulp differences."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = hash_sample(docs, "doc_id", pct=10).select(
+        F.col("doc_id").alias("query_id"),
+        template_query("text", 5, prefix="").alias("query"),
+    )
+    out = bm25_topk(docs, qs, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("doc_id").cast("bigint"),
+        "score",
+    )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_ORACLE_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKS}) AS s FROM documents
+),
+postings AS (SELECT id, s, count(*) AS tf FROM toks GROUP BY id, s),
+dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+stats AS (SELECT s, count(*) AS df FROM postings GROUP BY s),
+totals AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+qsel AS (
+  SELECT doc_id AS query_id, {_SQL_TOKS}[1:5] AS qtk
+  FROM documents
+  WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10
+),
+qt AS (SELECT query_id, unnest(list_distinct(qtk)) AS s FROM qsel),
+hit AS (
+  SELECT qt.query_id, p.id, p.tf, st.df, d.dl, t.n_docs, t.avgdl
+  FROM qt JOIN postings p USING (s) JOIN stats st USING (s)
+  JOIN dl d ON d.id = p.id, totals t
+),
+scored AS (
+  SELECT query_id, id AS doc_id,
+    round(sum(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      * tf * {_BM25_K1 + 1.0!r}
+      / (tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl))
+    ), 9) AS score
+  FROM hit GROUP BY query_id, id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, score
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join across the full dimension chain (lineitem ->
     supplier -> nation -> region): every dim side is BROADCAST (nation/
@@ -1684,6 +1750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "bm25_topk": q_bm25_topk,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
@@ -1733,6 +1800,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_stats": _ORACLE_SALTED,
         "pricing_summary": _ORACLE_PRICING,
         "revenue_by_nation": _ORACLE_REVENUE,
+        "bm25_topk": _ORACLE_BM25,
         "top_customers": _ORACLE_TOP_CUST,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "user_sessions": _ORACLE_SESSIONS,

@@ -1,0 +1,114 @@
+"""BM25 full-text retrieval — the lexical complement to the engine's
+vector search (extension surface; the reference delegates all retrieval
+to vector ANN, /root/reference/src/chroma.py:97-100).
+
+Classic inverted-index shape, expressed relationally:
+
+  postings   (term, doc, tf)   — one groupBy over exploded tokens
+  doc norms  (doc, |d|)        — same scan, second aggregate
+  term stats (term, df)        — aggregate OVER the postings (already
+                                 one row per (term, doc), so df=count)
+  query terms EQUI-JOIN the postings table — candidate (query, doc)
+  pairs are exactly the docs containing >= 1 query term, never a
+  cartesian; scoring is Okapi BM25 (k1/b), top-k per query by the
+  row_number window (WindowGroupLimit partial top-k).
+
+At 100 TB the postings build is two hash aggregates with map-side
+combine over the token explosion; N and avgdl are a 1-row broadcast;
+the hot-term skew on the postings join (stop words) is AQE skew-split
+territory — or pre-drop stop terms with a df ceiling, the IR-native
+mitigation (``max_df_ratio``).
+
+Cross-engine determinism: tf/df/N/dl are integers, avgdl = int-sum /
+int-count (one exact division). ln() may differ by 1 ulp between
+engines, so scores are rounded to 9 decimals BEFORE ranking and ties
+break by doc id — the repo's standard float policy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import shingle_rows
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id: str = "query_id",
+    query_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """Top-k BM25 retrieval of ``queries`` against ``docs``.
+
+    Returns (query_id, rank, doc_id, score) — score rounded to 9
+    decimals, rank ties by doc id ascending. Query terms are DISTINCT
+    (query term frequency weight 1, the common simplification).
+    ``max_df_ratio`` drops terms appearing in more than that fraction
+    of docs (stop-term pruning; also the skew mitigation).
+    """
+    toks = shingle_rows(
+        docs, id_col=id_col, text_col=text_col, n=1, distinct=False
+    )
+    postings = toks.groupBy("id", "s").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    qt = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(query_col))), r"\s+"),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("s"),
+    )
+
+    hit = (
+        qt.join(postings, on="s")
+        .join(stats, on="s")
+        .join(dl, on="id")
+        .crossJoin(F.broadcast(totals))
+    )
+    if max_df_ratio is not None:
+        hit = hit.filter(F.col("df") <= F.col("n_docs") * max_df_ratio)
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * tf * F.lit(k1 + 1.0) / denom
+
+    scored = (
+        hit.select(F.col("__qid").alias(query_id), F.col("id").alias(id_col),
+                   term_score.alias("ts"))
+        .groupBy(query_id, id_col)
+        .agg(F.round(F.sum("ts"), 9).alias("score"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", id_col, "score")
+    )
