@@ -77,7 +77,7 @@ from cs6300_vectordbs_spark.operators.sampling import (
     stratified_hash_sample,
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
-from cs6300_vectordbs_spark.operators.text_search import bm25_topk
+from cs6300_vectordbs_spark.operators.text_search import bm25_topk, rrf_fuse
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
     similarity_topk,
@@ -1145,6 +1145,121 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the embedding cosine ranking (pool depth 20 each,
+    fused top-5). RRF terms come from integer ranks only, so the fused
+    scores are bit-exact across engines with no rounding."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = hash_sample(docs, "doc_id", pct=10).select(
+        F.col("doc_id").alias("query_id"),
+        template_query("text", 5, prefix="").alias("query"),
+    )
+    lex = bm25_topk(docs, qs, k=20)
+    corpus = docs.select("doc_id", embed_text("text", dim=16).alias("embedding"))
+    qv = qs.withColumn("query_vec", embed_text("query", dim=16))
+    vec = similarity_topk(
+        corpus, qv, 20, corpus_id="doc_id", dim=16, exclude_self=False
+    ).select("query_id", "doc_id", "rank")
+    out = rrf_fuse([lex, vec], k=5)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("doc_id").cast("bigint"),
+        "rrf_score",
+    )
+
+
+_SQL_EMBED16_QQ = (
+    "[(('0x' || substr(md5('e' || j || '|' || query), 1, 15))::BIGINT"
+    " % 2000001) / 1000000.0 - 1.0 for j in generate_series(0, 15)]"
+)
+
+
+# Lazy: references _SQL_EMBED16_DOC, defined later in the module.
+def _oracle_hybrid() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKS}) AS s FROM documents
+),
+postings AS (SELECT id, s, count(*) AS tf FROM toks GROUP BY id, s),
+dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+stats AS (SELECT s, count(*) AS df FROM postings GROUP BY s),
+totals AS (
+  SELECT count(*) AS n_docs, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl
+),
+qsel AS (
+  SELECT doc_id AS query_id,
+         array_to_string(({_SQL_TOKS})[1:5], ' ') AS query
+  FROM documents
+  WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10
+),
+qt AS (
+  SELECT query_id,
+         unnest(list_distinct(list_filter(
+           regexp_split_to_array(lower(trim(query)), '\\s+'), t -> t != ''
+         ))) AS s
+  FROM qsel
+),
+hit AS (
+  SELECT qt.query_id, p.id, p.tf, st.df, d.dl, t.n_docs, t.avgdl
+  FROM qt JOIN postings p USING (s) JOIN stats st USING (s)
+  JOIN dl d ON d.id = p.id, totals t
+),
+bm_scored AS (
+  SELECT query_id, id AS doc_id,
+    round(sum(
+      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+      * tf * {1.2 + 1.0!r}
+      / (tf + {1.2!r} * ({1.0 - 0.75!r} + {0.75!r} * dl / avgdl))
+    ), 9) AS score
+  FROM hit GROUP BY query_id, id
+),
+bm_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM bm_scored
+),
+corpus AS (
+  SELECT doc_id, {_SQL_EMBED16_DOC} AS embedding FROM documents
+),
+qv AS (SELECT query_id, {_SQL_EMBED16_QQ} AS v FROM qsel),
+vec_scored AS (
+  SELECT q.query_id, c.doc_id,
+    list_dot_product(q.v, c.embedding) /
+    (sqrt(list_dot_product(q.v, q.v)) *
+     sqrt(list_dot_product(c.embedding, c.embedding))) AS sim
+  FROM qv q CROSS JOIN corpus c
+),
+vec_ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, doc_id ASC) AS rank
+  FROM vec_scored
+),
+pool AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS term
+  FROM bm_ranked WHERE rank <= 20
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS term
+  FROM vec_ranked WHERE rank <= 20
+),
+fused AS (
+  SELECT query_id, doc_id, sum(term) AS rrf_score
+  FROM pool GROUP BY query_id, doc_id
+),
+final AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM fused
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, rrf_score
+FROM final WHERE rank <= 5
+"""  # noqa: E501 — end _oracle_hybrid
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join across the full dimension chain (lineitem ->
     supplier -> nation -> region): every dim side is BROADCAST (nation/
@@ -1751,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "bm25_topk": q_bm25_topk,
+        "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
@@ -1801,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": _ORACLE_PRICING,
         "revenue_by_nation": _ORACLE_REVENUE,
         "bm25_topk": _ORACLE_BM25,
+        "hybrid_topk": _oracle_hybrid(),
         "top_customers": _ORACLE_TOP_CUST,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "user_sessions": _ORACLE_SESSIONS,

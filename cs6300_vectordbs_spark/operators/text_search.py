@@ -34,6 +34,52 @@ from pyspark.sql.window import Window
 from .dedup import shingle_rows
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    *,
+    query_id: str = "query_id",
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings (hybrid retrieval:
+    lexical + vector, the modern RAG default). Each input needs
+    (query_id, id_col, rank); fused score = Σ 1/(rrf_k + rank).
+
+    Determinism: scores are built from INTEGER ranks only — every term
+    is bit-identical in any engine, and with TWO rankings the per-key
+    sum is a single commutative IEEE add, so no rounding is needed
+    (fuse 3+ rankings -> round before ranking; association order of a
+    shuffled sum is not fixed). Plan: union + one groupBy (tiny:
+    queries x pool-depth rows) + WindowGroupLimit top-k.
+    """
+    parts = [
+        r.select(
+            F.col(query_id).alias("__qid"),
+            F.col(id_col).alias("__id"),
+            (F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))).alias("__term"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("__qid", "__id").agg(F.sum("__term").alias("rrf_score"))
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("rrf_score").desc(), F.col("__id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            "rank",
+            F.col("__id").alias(id_col),
+            "rrf_score",
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,

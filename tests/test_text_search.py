@@ -75,3 +75,20 @@ def test_bm25_max_df_ratio_drops_stop_terms(spark):
     qs = spark.createDataFrame([(1, "the")], "query_id long, query string")
     assert bm25_topk(docs, qs, k=5).count() > 0
     assert bm25_topk(docs, qs, k=5, max_df_ratio=0.5).count() == 0
+
+
+def test_rrf_fuse_prefers_doc_ranked_well_in_both(spark):
+    from cs6300_vectordbs_spark.operators.text_search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "query_id long, doc_id long, rank long"
+    )
+    got = rrf_fuse([lex, vec], k=4).collect()
+    order = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    # 11: 1/62+1/61 > 10: 1/61+1/63 > singles 12 (1/63) vs 13 (1/62)
+    assert order == [11, 10, 13, 12]
+    top = next(r for r in got if r.doc_id == 11)
+    assert abs(top.rrf_score - (1 / 62 + 1 / 61)) < 1e-15
