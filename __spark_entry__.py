@@ -77,6 +77,7 @@ from cs6300_vectordbs_spark.operators.sampling import (
     stratified_hash_sample,
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
+from cs6300_vectordbs_spark.operators.quality import repetition_stats
 from cs6300_vectordbs_spark.operators.text_search import bm25_topk, rrf_fuse
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
@@ -603,6 +604,65 @@ SELECT doc_id, ntok::BIGINT AS n_tokens,
   substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
     AS fingerprint
 FROM counts
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (dup-token,
+    dup-bigram, top-bigram fractions). All fractions are single IEEE
+    divisions of exact integer aggregates — bit-exact cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        F.col("doc_id").cast("bigint"),
+        "n_tokens",
+        "dup_token_frac",
+        "dup_bigram_frac",
+        "top_bigram_frac",
+    )
+
+
+_ORACLE_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+tok_tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+  GROUP BY doc_id, tok
+),
+tok_stats AS (
+  SELECT doc_id, sum(tf) AS n_tokens, count(*) AS n_distinct
+  FROM tok_tf GROUP BY doc_id
+),
+bi_tf AS (
+  SELECT doc_id, s, count(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest([array_to_string(tk[i:i+1], ' ')
+                   for i in generate_series(1, len(tk) - 1)]) AS s
+    FROM toks
+  )
+  GROUP BY doc_id, s
+),
+bi_stats AS (
+  SELECT doc_id, sum(tf) AS n_bigrams, count(*) AS n_distinct_bi,
+         max(tf) AS top_bi
+  FROM bi_tf GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+  CASE WHEN coalesce(t.n_tokens, 0) > 0
+       THEN 1.0 - t.n_distinct::DOUBLE / t.n_tokens::DOUBLE
+       ELSE 0.0 END AS dup_token_frac,
+  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+       THEN 1.0 - b.n_distinct_bi::DOUBLE / b.n_bigrams::DOUBLE
+       ELSE 0.0 END AS dup_bigram_frac,
+  CASE WHEN coalesce(b.n_bigrams, 0) > 0
+       THEN b.top_bi::DOUBLE / b.n_bigrams::DOUBLE
+       ELSE 0.0 END AS top_bigram_frac
+FROM documents d
+LEFT JOIN tok_stats t USING (doc_id)
+LEFT JOIN bi_stats b USING (doc_id)
 """
 
 
@@ -1855,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": q_upsert_latest,
         "hash_sample": q_hash_sample,
         "doc_stats": q_doc_stats,
+        "repetition_stats": q_repetition_stats,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -1906,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_latest": _ORACLE_UPSERT,
         "hash_sample": _ORACLE_SAMPLE,
         "doc_stats": _ORACLE_DOC_STATS,
+        "repetition_stats": _ORACLE_REPETITION,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

@@ -1,0 +1,104 @@
+"""Repetition-based quality signals for training-data curation.
+
+Gopher-style (Rae et al. 2021, "Scaling Language Models", §A1.1)
+repetition filters: documents dominated by a few repeated tokens or
+n-grams are low-quality (boilerplate, SEO spam, generation loops) and
+are dropped before LLM pre-training. Signals per document:
+
+- ``dup_token_frac``   = 1 - distinct_tokens / total_tokens
+- ``dup_bigram_frac``  = 1 - distinct_bigrams / total_bigrams
+- ``top_bigram_frac``  = occurrences_of_most_frequent_bigram / total_bigrams
+
+Complements :mod:`..functions.text` (quality_score / lang_id) — those
+are per-row expressions; these need per-doc frequency tables, so they
+are operators (explode → two-level hash aggregate), all codegen.
+
+Scale notes (100 TB): the explode fans each doc into ~n_tokens rows,
+then two hash aggregates — (doc, term) then (doc) — both map-side
+partial. Shuffle keys are (doc_id, term) hashes: high cardinality, no
+skew hot-spot (unlike corpus-global term aggregation). The final
+assembly joins per-doc aggregate rows (tiny relative to input) on
+doc_id; no broadcast of per-doc tables.
+
+All fractions are single IEEE divisions of exact integer aggregates,
+so results are bit-exact across engines — no rounding policy needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+from .util import spread as _spread
+
+
+def repetition_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document repetition signals (see module docstring).
+
+    Returns (id_col, n_tokens, dup_token_frac, dup_bigram_frac,
+    top_bigram_frac), one row per input row, zero-filled for docs too
+    short to have tokens/bigrams.
+    """
+    toks = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    tok_stats = (
+        toks.groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bi_stats = (
+        shingle_rows(docs, id_col=id_col, text_col=text_col, n=2, distinct=False)
+        .groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bi"),
+            F.max("tf").alias("top_bi"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("id"))
+
+    def _frac(num, den):  # exact ints -> one IEEE divide
+        return F.when(
+            F.coalesce(den, F.lit(0)) > 0,
+            num.cast("double") / den.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return (
+        base.join(tok_stats, "id", "left")
+        .join(bi_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.lit(1.0) - F.col("n_distinct").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_token_frac"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.lit(1.0) - F.col("n_distinct_bi").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+            _frac(F.col("top_bi"), F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
