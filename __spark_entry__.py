@@ -35,7 +35,9 @@ from cs6300_vectordbs_spark.functions.querygen import (
 from cs6300_vectordbs_spark.functions.text import (
     doc_fingerprint,
     lang_id,
+    pii_count,
     quality_score,
+    redact_pii,
     token_count,
 )
 from cs6300_vectordbs_spark.functions.ids import format_doc_id, sequential_id
@@ -663,6 +665,58 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN tok_stats t USING (doc_id)
 LEFT JOIN bi_stats b USING (doc_id)
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: the corpus text is clean, so inject deterministic PII
+    (an email, a URL carrying the doc_id, a 9-digit run) per document,
+    then redact. Proves the scrub actually fires — the oracle builds
+    the identical dirty text and must agree on every replacement.
+    Map-only plan: no shuffle, runs at parquet-scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("contact-"), F.col("doc_id"), F.lit("@example.com")),
+        F.concat(F.lit("http://site.example/p/"), F.col("doc_id")),
+        F.lpad(F.col("doc_id"), 9, "0"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        redact_pii(dirty).alias("clean_text"),
+        pii_count(dirty).cast("bigint").alias("n_pii"),
+    )
+
+
+_ORACLE_REDACT = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact-' || doc_id || '@example.com'
+              || ' http://site.example/p/' || doc_id
+              || ' ' || lpad(doc_id::VARCHAR, 9, '0') AS d
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, d,
+         regexp_replace(d, 'https?://[^\s]+', '<URL>', 'g') AS t1
+  FROM dirty
+),
+s2 AS (
+  SELECT doc_id, d, t1,
+         regexp_replace(t1,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+  regexp_replace(t2, '\d{7,}', '<NUM>', 'g') AS clean_text,
+  ( len(regexp_extract_all(d,  'https?://[^\s]+'))
+  + len(regexp_extract_all(t1,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+  + len(regexp_extract_all(t2, '\d{7,}'))
+  )::BIGINT AS n_pii
+FROM s2
 """
 
 
@@ -1916,6 +1970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "doc_stats": q_doc_stats,
         "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -1968,6 +2023,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _ORACLE_SAMPLE,
         "doc_stats": _ORACLE_DOC_STATS,
         "repetition_stats": _ORACLE_REPETITION,
+        "redact_pii": _ORACLE_REDACT,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

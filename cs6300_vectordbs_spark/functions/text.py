@@ -96,3 +96,41 @@ def doc_fingerprint(text: ColumnOrName) -> Column:
 def truncate(text: ColumnOrName, n: int = 500) -> Column:
     """Reference F1: text[:n] (/root/reference/src/queries.py:450)."""
     return F.substring(_col(text), 1, n)
+
+
+# PII scrub patterns, applied IN ORDER (URLs first so emails/digit runs
+# inside a URL are swallowed by <URL> and not double-redacted). Syntax is
+# restricted to the intersection of Java regex (Spark) and RE2 (DuckDB):
+# char classes, bounded repeats, alternation — no lookaround, no backrefs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{7,}", "<NUM>"),  # long digit runs: phones, SSN-ish, card-ish
+)
+
+
+def redact_pii(text: ColumnOrName) -> Column:
+    """Replace URLs, emails, and long digit runs with typed placeholders.
+
+    Pure `regexp_replace` chain — JVM codegen, no Python. At 100 TB this
+    is a map-only stage: no shuffle, runs at parquet-scan speed.
+    """
+    c = _col(text)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count(text: ColumnOrName) -> Column:
+    """Number of redactions :func:`redact_pii` performs on this text.
+
+    Counted on the *progressively redacted* text (same order as
+    redact_pii), so a digit run inside a URL counts once as <URL>,
+    never twice.
+    """
+    c = _col(text)
+    total = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, repl)
+    return total
