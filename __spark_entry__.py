@@ -79,7 +79,7 @@ from cs6300_vectordbs_spark.operators.sampling import (
     stratified_hash_sample,
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
-from cs6300_vectordbs_spark.operators.quality import repetition_stats
+from cs6300_vectordbs_spark.operators.quality import heavy_hitters, repetition_stats
 from cs6300_vectordbs_spark.operators.text_search import bm25_topk, rrf_fuse
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
@@ -717,6 +717,29 @@ SELECT doc_id,
   + len(regexp_extract_all(t2, '\d{7,}'))
   )::BIGINT AS n_pii
 FROM s2
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 tokens: map-side-combined count + heap top-n
+    (TakeOrderedAndProject, no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    return heavy_hitters(docs, n=20).select(
+        F.col("rank").cast("bigint"), "token", F.col("cnt").cast("bigint")
+    )
+
+
+_ORACLE_HITTERS = f"""
+WITH counts AS (
+  SELECT tok AS token, count(*) AS cnt
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+  GROUP BY tok
+)
+SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+       token, cnt
+FROM counts
+ORDER BY cnt DESC, token ASC
+LIMIT 20
 """
 
 
@@ -1971,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
+        "heavy_hitters": q_heavy_hitters,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -2024,6 +2048,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": _ORACLE_DOC_STATS,
         "repetition_stats": _ORACLE_REPETITION,
         "redact_pii": _ORACLE_REDACT,
+        "heavy_hitters": _ORACLE_HITTERS,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

@@ -33,6 +33,47 @@ from .dedup import shingle_rows
 from .util import spread as _spread
 
 
+def heavy_hitters(
+    docs: DataFrame,
+    n: int = 20,
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-global top-``n`` tokens by frequency (the exact answer a
+    Misra-Gries / count-min sketch approximates). Used to spot corpus
+    boilerplate and build stop-lists.
+
+    Plan: explode → groupBy(token) count → ``orderBy().limit(n)``.
+    The count aggregate is map-side partial, so hot tokens (the whole
+    point of the query) are combined per-partition BEFORE the shuffle —
+    per-key shuffle traffic is O(partitions), never O(occurrences), and
+    skew cannot hot-spot a reducer. The limit compiles to
+    TakeOrderedAndProject: per-partition heap top-n + driver merge, no
+    global sort. Rank is assigned after the limit on n rows.
+
+    Returns (rank, token, cnt); ties break token-ascending.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        _spread(docs)
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(n)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return counts.select(
+        F.row_number().over(w).alias("rank"), "token", "cnt"
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     *,

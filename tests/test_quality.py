@@ -44,3 +44,26 @@ def test_empty_and_single_token_docs_zero_filled(stats):
         )
     assert stats[3].n_tokens == 0
     assert stats[4].n_tokens == 1
+
+
+def test_heavy_hitters_golden(spark):
+    from cs6300_vectordbs_spark.operators.quality import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c"), (2, "b a a")], "doc_id long, text string"
+    )
+    got = [(r.rank, r.token, r.cnt) for r in heavy_hitters(docs, n=2).collect()]
+    # a and b tie at 3 -> token-ascending breaks the tie
+    assert sorted(got) == [(1, "a", 3), (2, "b", 3)]
+
+
+def test_heavy_hitters_plan_partial_agg_and_heap_topn(spark):
+    from cs6300_vectordbs_spark.operators.quality import heavy_hitters
+    from tests.test_plans import plan_of
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = plan_of(heavy_hitters(docs, n=5))
+    # count must partial-aggregate map-side (skew absorption) and the
+    # top-n must be a heap merge, not a global sort
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
