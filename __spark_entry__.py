@@ -80,6 +80,7 @@ from cs6300_vectordbs_spark.operators.sampling import (
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
 from cs6300_vectordbs_spark.operators.quality import heavy_hitters, repetition_stats
+from cs6300_vectordbs_spark.operators.timeseries import gap_fill_hourly
 from cs6300_vectordbs_spark.operators.text_search import bm25_topk, rrf_fuse
 from cs6300_vectordbs_spark.operators.similarity import (
     pairwise_similarity_blocked,
@@ -717,6 +718,42 @@ SELECT doc_id,
   + len(regexp_extract_all(t2, '\d{7,}'))
   )::BIGINT AS n_pii
 FROM s2
+"""
+
+
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill: dense per-type hourly grid with zero-fill
+    and LOCF. Raw events are touched once (partial-agg bucketing);
+    densify/LOCF run on the tiny aggregated grid."""
+    out = gap_fill_hourly(read_events(spark, sf_dir))
+    return out.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("n_events").cast("bigint"),
+        "sum_value",
+        "locf_sum",
+    )
+
+
+_ORACLE_GAP_FILL = """
+WITH agg AS (
+  SELECT event_type AS k, date_trunc('hour', ts::TIMESTAMP) AS hour,
+         count(*) AS n_events, round(sum(value), 9) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT k, min(hour) AS h0, max(hour) AS h1 FROM agg GROUP BY k),
+dense AS (
+  SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT d.k AS event_type,
+       strftime(d.hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       coalesce(a.n_events, 0)::BIGINT AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value,
+       last_value(a.sum_value IGNORE NULLS) OVER (
+         PARTITION BY d.k ORDER BY d.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum
+FROM dense d LEFT JOIN agg a ON a.k = d.k AND a.hour = d.hour
 """
 
 
@@ -1995,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "heavy_hitters": q_heavy_hitters,
+        "gap_fill_hourly": q_gap_fill_hourly,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -2049,6 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _ORACLE_REPETITION,
         "redact_pii": _ORACLE_REDACT,
         "heavy_hitters": _ORACLE_HITTERS,
+        "gap_fill_hourly": _ORACLE_GAP_FILL,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

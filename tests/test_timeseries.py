@@ -1,0 +1,32 @@
+"""Golden cases for hourly gap-fill + LOCF."""
+
+import datetime as dt
+
+from cs6300_vectordbs_spark.operators.timeseries import gap_fill_hourly
+
+
+def test_gap_fill_zero_fills_and_carries_forward(spark):
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            ("a", t(0, 10), 1.0),
+            ("a", t(0, 40), 2.0),   # hour 0: n=2 sum=3
+            ("a", t(3, 5), 5.0),    # hours 1,2 are gaps; hour 3: n=1 sum=5
+            ("b", t(2, 0), 7.0),    # single-hour key: no gaps
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = {
+        (r.event_type, r.hour.hour): r
+        for r in gap_fill_hourly(ev).collect()
+    }
+    assert len(rows) == 5  # a: hours 0-3, b: hour 2
+
+    assert (rows[("a", 0)].n_events, rows[("a", 0)].sum_value) == (2, 3.0)
+    for h in (1, 2):  # gap hours: zero-filled but LOCF carries 3.0
+        r = rows[("a", h)]
+        assert (r.n_events, r.sum_value, r.locf_sum) == (0, 0.0, 3.0)
+    r3 = rows[("a", 3)]
+    assert (r3.n_events, r3.sum_value, r3.locf_sum) == (1, 5.0, 5.0)
+    rb = rows[("b", 2)]
+    assert (rb.n_events, rb.sum_value, rb.locf_sum) == (1, 7.0, 7.0)
