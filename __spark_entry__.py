@@ -1434,6 +1434,122 @@ FROM final WHERE rank <= 5
 """  # noqa: E501 — end _oracle_hybrid
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: unshipped-order revenue for one market segment.
+
+    Plan: customer is filtered to one segment then joined to orders on
+    c_custkey — both big tables at scale, so this is a shuffle hash
+    join on the key (NO broadcast hint; AQE may still pick one at small
+    SF). lineitem joins on l_orderkey (its natural shuffle key), the
+    revenue aggregate is decimal-exact with map-side partials, and the
+    top-10 compiles to TakeOrderedAndProject (heap merge, no global
+    sort). Date filters push down to the parquet scans.
+    """
+    cutoff = "1998-07-01"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+            .cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            F.col("l_orderkey").cast("bigint"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+_ORACLE_SHIPPING = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority,
+       sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2)))::DOUBLE AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's yearly share of PROMO-part revenue.
+
+    Plan: part is filtered then joined on l_partkey, supplier on
+    l_suppkey, orders on l_orderkey — the lineitem side never
+    re-partitions more than once per key. nation (25 rows) is
+    broadcast. The share is a single IEEE divide of two decimal-exact
+    sums, so no rounding policy is needed.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,0)") - disc)
+    zero = F.lit(0).cast("decimal(16,4)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("n_name") == "NATION_3", rev).otherwise(zero))
+            .alias("nation_rev"),
+            F.sum(rev).alias("total_rev"),
+        )
+        .select(
+            F.col("o_year").cast("bigint"),
+            (F.col("nation_rev").cast("double")
+             / F.col("total_rev").cast("double")).alias("mkt_share"),
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_ORACLE_MARKET_SHARE = """
+WITH rev AS (
+  SELECT year(o_orderdate) AS o_year, n_name,
+         l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2)) AS r
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE p_type = 'PROMO'
+)
+SELECT o_year,
+  (sum(CASE WHEN n_name = 'NATION_3' THEN r
+            ELSE 0::DECIMAL(16,4) END)::DOUBLE
+   / sum(r)::DOUBLE) AS mkt_share,
+  sum(r)::DOUBLE AS total_revenue
+FROM rev
+GROUP BY o_year
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join across the full dimension chain (lineitem ->
     supplier -> nation -> region): every dim side is BROADCAST (nation/
@@ -2043,6 +2159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
+        "shipping_priority": q_shipping_priority,
+        "market_share": q_market_share,
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
@@ -2098,6 +2216,8 @@ def oracle_sql() -> dict[str, str]:
         "salted_event_stats": _ORACLE_SALTED,
         "pricing_summary": _ORACLE_PRICING,
         "revenue_by_nation": _ORACLE_REVENUE,
+        "shipping_priority": _ORACLE_SHIPPING,
+        "market_share": _ORACLE_MARKET_SHARE,
         "bm25_topk": _ORACLE_BM25,
         "hybrid_topk": _oracle_hybrid(),
         "top_customers": _ORACLE_TOP_CUST,

@@ -104,3 +104,27 @@ def test_asof_join_is_single_pass_no_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
     assert "Union" in plan
+
+
+def test_shipping_priority_plan(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_shipping_priority(spark, SF_DIR))
+    # heap top-10, never a global sort of the aggregate
+    assert "TakeOrderedAndProject" in plan
+    # date filters must reach the parquet scans
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_share_broadcasts_nation_only(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_market_share(spark, SF_DIR))
+    # the 25-row nation dim is broadcast; p_type filter is pushed down
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "CartesianProduct" not in plan
