@@ -45,6 +45,7 @@ from cs6300_vectordbs_spark.operators.ann import (
     brp_lsh_pairs,
     ivf_topk,
     ivf_topk_kmeans,
+    sq8_topk,
     srp_lsh_topk,
 )
 from cs6300_vectordbs_spark.operators.dedup import (
@@ -142,6 +143,65 @@ WITH scored AS (
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
 FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized ANN (FAISS-SQ8 shape): integer-dot
+    candidate ranking + exact re-rank. Deterministic end-to-end, so
+    full value-hash oracle — the integer dots must match EXACTLY."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sq8_topk(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM,
+        candidates_per_query=4 * TOPK, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+        "q8_dot",
+    )
+
+
+_ORACLE_SQ8 = f"""
+WITH scale AS (
+  SELECT max(abs(x)) AS s
+  FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+),
+qz AS (
+  SELECT vec_id, embedding,
+         [least(greatest(round(x * 127.0 / s), -127.0), 127.0)::INTEGER
+          for x in embedding::DOUBLE[]] AS q8
+  FROM embeddings, scale
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         list_dot_product(q.q8::DOUBLE[], c.q8::DOUBLE[])::BIGINT AS q8_dot,
+         q.embedding AS qe, c.embedding AS ce
+  FROM qz q JOIN qz c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+topc AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY q8_dot DESC, vec_id ASC) AS crank
+  FROM cand
+),
+rer AS (
+  SELECT query_id, vec_id, q8_dot,
+         list_dot_product(qe::DOUBLE[], ce::DOUBLE[]) /
+         (sqrt(list_dot_product(qe::DOUBLE[], qe::DOUBLE[]))
+          * sqrt(list_dot_product(ce::DOUBLE[], ce::DOUBLE[]))) AS sim
+  FROM topc WHERE crank <= {4 * TOPK}
+),
+final AS (
+  SELECT query_id, vec_id, sim, q8_dot,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM rer
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, q8_dot
+FROM final WHERE rank <= {TOPK}
 """
 
 
@@ -2149,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "heavy_hitters": q_heavy_hitters,
         "gap_fill_hourly": q_gap_fill_hourly,
+        "sq8_topk": q_sq8_topk,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -2206,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _ORACLE_REDACT,
         "heavy_hitters": _ORACLE_HITTERS,
         "gap_fill_hourly": _ORACLE_GAP_FILL,
+        "sq8_topk": _ORACLE_SQ8,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

@@ -58,6 +58,19 @@ EXTENDED_QUERIES = [
     "image_features",
     "frame_samples",
     "salted_event_stats",
+    "recall_at_k",
+    "ndcg_at_k",
+    "upsert_latest",
+    "bm25_topk",
+    "hybrid_topk",
+    "repetition_stats",
+    "redact_pii",
+    "heavy_hitters",
+    "gap_fill_hourly",
+    "revenue_by_nation",
+    "shipping_priority",
+    "market_share",
+    "sq8_topk",
 ]
 
 
