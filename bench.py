@@ -71,6 +71,8 @@ EXTENDED_QUERIES = [
     "shipping_priority",
     "market_share",
     "sq8_topk",
+    "token_counts",
+    "rolling_events",
 ]
 
 

@@ -98,6 +98,29 @@ def truncate(text: ColumnOrName, n: int = 500) -> Column:
     return F.substring(_col(text), 1, n)
 
 
+# GPT-2-style pre-tokenizer pattern (BPE-ish), restricted to the
+# Java-regex ∩ RE2 intersection (no lookahead — GPT-2's real pattern
+# uses `(?!\S)` which RE2 lacks; the corpus is ASCII so ASCII classes
+# suffice). Order matters: contractions before letter runs.
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+)
+
+
+def bpe_token_count(text: ColumnOrName) -> Column:
+    """Token count under a BPE-ish pre-tokenizer split (the number a
+    GPT-2-family tokenizer would see BEFORE merges — an upper bound on
+    billed tokens, the standard budgeting proxy). Whitespace runs count
+    as part of the following token, matching GPT-2's ' word' units;
+    a lone trailing/leading whitespace run counts once.
+
+    Pure ``regexp_extract_all`` — JVM codegen, map-only at scale.
+    """
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    )
+
+
 # PII scrub patterns, applied IN ORDER (URLs first so emails/digit runs
 # inside a URL are swallowed by <URL> and not double-redacted). Syntax is
 # restricted to the intersection of Java regex (Spark) and RE2 (DuckDB):

@@ -24,6 +24,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def rolling_hourly(
+    dense: DataFrame,
+    window_hours: int = 24,
+    *,
+    key_col: str = "event_type",
+    hour_col: str = "hour",
+    count_col: str = "n_events",
+) -> DataFrame:
+    """Trailing moving aggregate over an (already gap-filled) grid.
+
+    Requires a DENSE grid (one row per key per hour — the output of
+    :func:`gap_fill_hourly`): on a dense grid "last N rows" IS "last N
+    hours", so a plain ROWS frame works and no range-join is needed.
+
+    Deliberately aggregates the INTEGER count, not the float sum:
+    engines disagree on sliding-window float summation order (Spark
+    re-accumulates per frame, DuckDB uses a segment tree), but integer
+    sums are associative — so `rolling_events` is exact in any engine
+    and `rolling_rate` (one IEEE divide by the window size) is too.
+
+    Scale: one window per key timeline, partitioned by key — the grid
+    is |keys| x |hours|, thousands of times smaller than raw events.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(hour_col)
+        .rowsBetween(-(window_hours - 1), Window.currentRow)
+    )
+    return dense.select(
+        key_col,
+        hour_col,
+        F.col(count_col),
+        F.sum(count_col).over(w).cast("bigint").alias("rolling_events"),
+        (
+            F.sum(count_col).over(w).cast("double") / float(window_hours)
+        ).alias("rolling_rate"),
+    )
+
+
 def gap_fill_hourly(
     events: DataFrame,
     *,

@@ -37,3 +37,14 @@ def test_clean_text_is_identity(spark):
     c, n = _run(spark, "plain words only here")
     assert c == "plain words only here"
     assert n == 0
+
+
+def test_bpe_token_count_golden(spark):
+    from cs6300_vectordbs_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [("it's a big2 test!",), ("",)], "t string"
+    )
+    got = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    # it | 's | " a" | " big" | 2 | " test" | ! -> 7
+    assert got == [7, 0]

@@ -30,3 +30,18 @@ def test_gap_fill_zero_fills_and_carries_forward(spark):
     assert (r3.n_events, r3.sum_value, r3.locf_sum) == (1, 5.0, 5.0)
     rb = rows[("b", 2)]
     assert (rb.n_events, rb.sum_value, rb.locf_sum) == (1, 7.0, 7.0)
+
+
+def test_rolling_hourly_trailing_counts(spark):
+    import datetime as dt
+
+    from cs6300_vectordbs_spark.operators.timeseries import rolling_hourly
+
+    rows = [("a", dt.datetime(2024, 1, 1, h), n) for h, n in
+            [(0, 2), (1, 0), (2, 5), (3, 1)]]
+    dense = spark.createDataFrame(
+        rows, "event_type string, hour timestamp, n_events long"
+    )
+    got = {r.hour.hour: r for r in rolling_hourly(dense, window_hours=3).collect()}
+    assert [got[h].rolling_events for h in range(4)] == [2, 2, 7, 6]
+    assert got[3].rolling_rate == 6 / 3.0

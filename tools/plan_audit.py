@@ -59,6 +59,28 @@ Load-bearing properties: the temporal window match is an EQUI-join on
 (constant amplification) and the exact range predicate refines after
 the hash join; the fallback plan Spark would otherwise choose for a
 time-range theta-join is a per-key nested loop.""",
+    "sq8_topk": """\
+Load-bearing properties: the scale factor is a 1-row aggregate
+broadcast; quantized int8 arrays and L2 norms are projected UNDER the
+join (once per row, not per pair); integer-dot candidate ranking
+compiles to WindowGroupLimit (per-task partial top-n before any
+exchange); the exact float re-rank touches only queries x candidates
+rows. Corpus partitions stream once — no corpus shuffle anywhere.""",
+    "shipping_priority": """\
+Load-bearing properties: both date filters are PUSHED into the parquet
+scans (PushedFilters on l_shipdate / o_orderdate) and the segment
+filter into customer's scan; joins are plain shuffle hash joins on
+their natural keys (no forced broadcast of a table that grows with
+SF); the revenue aggregate partial-aggregates map-side in exact
+DECIMAL; the top-10 is TakeOrderedAndProject (heap merge, no global
+sort).""",
+    "gap_fill_hourly": """\
+Load-bearing properties: raw events are touched exactly once, by the
+bucketing aggregate (map-side partial, shuffle on (key, hour) — the
+aggregate's own key); the dense hour spine comes from exploding
+sequence(min,max) per key, never a calendar cross join; the LOCF
+window runs on the aggregated grid, thousands of times smaller than
+the input.""",
     "pricing_summary": """\
 Load-bearing properties: the shipdate filter is PUSHED to the parquet
 scan (PushedFilters) and only the 7 referenced columns are read
