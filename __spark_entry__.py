@@ -88,6 +88,7 @@ from cs6300_vectordbs_spark.operators.timeseries import (
 )
 from cs6300_vectordbs_spark.operators.text_search import bm25_topk, rrf_fuse
 from cs6300_vectordbs_spark.operators.similarity import (
+    label_centroids,
     pairwise_similarity_blocked,
     similarity_topk_blocked,
     similarity_topk,
@@ -207,6 +208,27 @@ final AS (
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim, q8_dot
 FROM final WHERE rank <= {TOPK}
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class prototypes, exploded to (label, dim, centroid)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb).select(
+        F.col("label").cast("bigint"),
+        F.col("dim").cast("bigint"),
+        "centroid",
+        F.col("n_vectors").cast("bigint"),
+    )
+
+
+_ORACLE_CENTROIDS = f"""
+SELECT label::BIGINT AS label, j::BIGINT AS dim,
+       round(avg(embedding[j + 1]::DOUBLE), 9) AS centroid,
+       count(*)::BIGINT AS n_vectors
+FROM embeddings
+CROSS JOIN generate_series(0, {EMB_DIM - 1}) AS t(j)
+GROUP BY label, j
 """
 
 
@@ -1221,6 +1243,37 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint"),
         F.round("sum_value", 9).alias("sum_value"),
     )
+
+
+def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restoration under simulated double delivery: union
+    of two reads of the stream, deduped by event_id within the
+    watermark. The untouched batch table is the full value-hash oracle
+    — every event must come out exactly once, bit-identical."""
+    from cs6300_vectordbs_spark.streaming.events import (
+        dedup_events_stream,
+        run_stream_to_memory,
+    )
+
+    out = dedup_events_stream(spark, sf_dir)
+    run_stream_to_memory(
+        out, query_name="events_dedup_stream", output_mode="append"
+    )
+    return spark.table("events_dedup_stream").select(
+        F.col("event_id").cast("bigint"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("user_id").cast("bigint"),
+        "event_type",
+        "value",
+    )
+
+
+_ORACLE_DEDUP_STREAM = """
+SELECT event_id,
+       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       user_id, event_type, value
+FROM events
+"""
 
 
 def q_user_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2280,6 +2333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": q_sq8_topk,
         "token_counts": q_token_counts,
         "rolling_events": q_rolling_events,
+        "label_centroids": q_label_centroids,
+        "events_dedup_stream": q_events_dedup_stream,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -2340,6 +2395,8 @@ def oracle_sql() -> dict[str, str]:
         "sq8_topk": _ORACLE_SQ8,
         "token_counts": _ORACLE_TOKEN_COUNTS,
         "rolling_events": _ORACLE_ROLLING,
+        "label_centroids": _ORACLE_CENTROIDS,
+        "events_dedup_stream": _ORACLE_DEDUP_STREAM,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

@@ -33,6 +33,42 @@ from pyspark.sql.window import Window
 from ..functions.vector import cosine_from_parts, cosine_sim, dot, l2_norm
 
 
+def label_centroids(
+    vectors: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean vector (class prototypes) in exploded form.
+
+    The standard training-data diagnostic: class prototypes feed
+    nearest-centroid baselines, outlier scoring (distance-to-own-
+    centroid), and drift monitoring between corpus snapshots.
+
+    Returns (label, dim, centroid, n_vectors) — one row per label per
+    dimension. Exploded output is deliberate: a per-dimension DOUBLE
+    column is hashable/portable across engines, whereas array columns
+    make oracle comparison engine-specific.
+
+    Plan: posexplode → groupBy(label, dim) avg — map-side partial, one
+    shuffle keyed (label, dim) whose cardinality is |labels| x dim, so
+    reducers never see skew even when one label dominates the corpus
+    (the partial aggregate absorbs it). The avg is a shuffled float
+    aggregate → rounded to 9 dp per the cross-engine policy.
+    """
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("dim", "__x"),
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("__x").cast("double")), 9).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
 def similarity_topk(
     corpus: DataFrame,
     queries: DataFrame,

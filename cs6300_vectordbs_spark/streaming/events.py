@@ -96,3 +96,27 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def dedup_events_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "36500 days"
+) -> DataFrame:
+    """At-least-once delivery dedup: two file-stream reads of the same
+    events source are unioned (every event delivered exactly twice —
+    the worst case a redelivering broker produces), then
+    ``dropDuplicatesWithinWatermark`` restores exactly-once on
+    event_id.
+
+    Unlike plain ``dropDuplicates``, the *WithinWatermark* form EVICTS
+    per-key state once the watermark passes a key's event time — on an
+    unbounded 100 TB/day stream that is the difference between bounded
+    RocksDB state and OOM. The huge default watermark here makes the
+    drained result deterministic (nothing evicted mid-drain), which is
+    what lets the batch table be the value-hash oracle.
+    """
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    doubled = a.unionByName(b)
+    return doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

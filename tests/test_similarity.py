@@ -174,3 +174,26 @@ def test_ivf_kmeans_recall_and_seed_determinism(emb):
     assert {(r.query_id, r.rank, r.vec_id) for r in again} == {
         (r.query_id, r.rank, r.vec_id) for r in approx
     }  # seeded training -> bitwise-repeatable results within Spark
+
+
+def test_label_centroids_golden(spark):
+    from cs6300_vectordbs_spark.operators.similarity import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 3.0]),
+            (0, [3.0, 5.0]),
+            (1, [10.0, -2.0]),
+        ],
+        "label int, embedding array<double>",
+    )
+    got = {
+        (r.label, r.dim): (r.centroid, r.n_vectors)
+        for r in label_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): (2.0, 2),
+        (0, 1): (4.0, 2),
+        (1, 0): (10.0, 1),
+        (1, 1): (-2.0, 1),
+    }

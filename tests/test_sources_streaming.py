@@ -256,3 +256,20 @@ def test_stream_stream_interval_join_across_batches(spark, tmp_path):
     }
     # user 7: error 2 min after click -> pair; user 8: 20 min -> outside window
     assert got == {(3, 1)}
+
+
+def test_stream_dedup_restores_exactly_once(spark):
+    from cs6300_vectordbs_spark.streaming.events import (
+        dedup_events_stream,
+        run_stream_to_memory,
+    )
+    from tests.conftest import SF_DIR
+
+    out = dedup_events_stream(spark, SF_DIR)
+    run_stream_to_memory(
+        out, query_name="t_dedup_stream", output_mode="append"
+    )
+    got = spark.table("t_dedup_stream")
+    n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert got.count() == n_batch  # doubled delivery collapsed
+    assert got.select("event_id").distinct().count() == n_batch
