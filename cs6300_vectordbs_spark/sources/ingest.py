@@ -112,3 +112,34 @@ def read_query_cache(spark: SparkSession, path: str) -> DataFrame:
 def append_query_cache(df: DataFrame, path: str, query_col: str = "query") -> None:
     """S6 write: append newly generated queries to the cache file."""
     df.select(F.col(query_col).cast("string")).write.mode("append").text(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    by: str,
+    n_buckets: int = 8,
+    *,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed persistent sink (Hive-style bucketing).
+
+    THE shuffle-elimination tool for repeated big-to-big joins: two
+    tables bucketed by the same key into the same bucket count are
+    co-partitioned ON DISK, so every future equi-join on that key reads
+    matching buckets side by side with NO Exchange — at 100 TB the
+    shuffle being skipped is the dominant cost of the join. Pay the
+    partitioning once at write time, reuse it on every read.
+
+    ``sort_by`` additionally orders rows within each bucket file so the
+    join can sort-merge without an in-memory sort.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable`` —
+    plain ``.parquet(path)`` cannot record bucket info), so readers use
+    ``spark.table(table)``.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, by)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)

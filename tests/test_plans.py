@@ -128,3 +128,25 @@ def test_market_share_broadcasts_nation_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "EqualTo(p_type,PROMO)" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    from cs6300_vectordbs_spark.sources.ingest import write_bucketed
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    write_bucketed(docs.select("doc_id", "text"), "tb_left", "doc_id", 4)
+    write_bucketed(docs.select("doc_id", "lang"), "tb_right", "doc_id", 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the join MUST co-locate via buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("tb_left").join(spark.table("tb_right"), "doc_id")
+        plan = plan_of(joined)
+        # co-partitioned on disk: a same-key bucketed join has NO shuffle
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS tb_left")
+        spark.sql("DROP TABLE IF EXISTS tb_right")
