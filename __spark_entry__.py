@@ -82,8 +82,10 @@ from cs6300_vectordbs_spark.operators.sampling import (
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
 from cs6300_vectordbs_spark.operators.quality import heavy_hitters, repetition_stats
+from cs6300_vectordbs_spark.operators.funnel import funnel_conversions
 from cs6300_vectordbs_spark.operators.timeseries import (
     gap_fill_hourly,
+    hourly_anomalies,
     rolling_hourly,
 )
 from cs6300_vectordbs_spark.operators.text_search import bm25_topk, rrf_fuse
@@ -902,6 +904,112 @@ SELECT k AS event_type,
 FROM grid
 WINDOW w AS (PARTITION BY k ORDER BY hour
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""
+
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view->click->purchase: strict event-time chaining,
+    one min(ts) aggregate per step, all shuffles on user_id."""
+    return funnel_conversions(read_events(spark, sf_dir), _FUNNEL_STEPS)
+
+
+_ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts::TIMESTAMP) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT 1::BIGINT AS step, 'view' AS event_type, n1::BIGINT AS n_users,
+       CASE WHEN n1 > 0 THEN n1::DOUBLE / n1::DOUBLE ELSE 0.0 END
+         AS rate_from_prev,
+       CASE WHEN n1 > 0 THEN n1::DOUBLE / n1::DOUBLE ELSE 0.0 END
+         AS rate_from_first
+FROM c
+UNION ALL
+SELECT 2, 'click', n2,
+       CASE WHEN n1 > 0 THEN n2::DOUBLE / n1::DOUBLE ELSE 0.0 END,
+       CASE WHEN n1 > 0 THEN n2::DOUBLE / n1::DOUBLE ELSE 0.0 END
+FROM c
+UNION ALL
+SELECT 3, 'purchase', n3,
+       CASE WHEN n2 > 0 THEN n3::DOUBLE / n2::DOUBLE ELSE 0.0 END,
+       CASE WHEN n1 > 0 THEN n3::DOUBLE / n1::DOUBLE ELSE 0.0 END
+FROM c
+"""
+
+
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h z-score anomaly flags on the dense hourly grid.
+    Integer window sums -> mean/var/z are exact scalar expressions,
+    bit-identical across engines with no rounding."""
+    dense = gap_fill_hourly(read_events(spark, sf_dir))
+    out = hourly_anomalies(dense, baseline_hours=24, z_thresh=3.0)
+    return out.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        F.col("n_events").cast("bigint"),
+        "z",
+        "is_anomaly",
+    )
+
+
+_SQL_Z_MEAN = "(s::DOUBLE / n::DOUBLE)"
+_SQL_Z_VAR = (
+    f"((sq::DOUBLE - n::DOUBLE * {_SQL_Z_MEAN} * {_SQL_Z_MEAN})"
+    " / (n::DOUBLE - 1.0))"
+)
+_SQL_Z = f"""CASE WHEN n >= 12 AND {_SQL_Z_VAR} > 0.0
+  THEN (n_events::DOUBLE - {_SQL_Z_MEAN}) / sqrt({_SQL_Z_VAR}) END"""
+
+_ORACLE_ANOMALIES = f"""
+WITH agg AS (
+  SELECT event_type AS k, date_trunc('hour', ts::TIMESTAMP) AS hour,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT k, min(hour) AS h0, max(hour) AS h1 FROM agg GROUP BY k),
+dense AS (
+  SELECT k, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+),
+grid AS (
+  SELECT d.k, d.hour, coalesce(a.n_events, 0) AS n_events
+  FROM dense d LEFT JOIN agg a ON a.k = d.k AND a.hour = d.hour
+),
+sc AS (
+  SELECT k, hour, n_events,
+         count(n_events) OVER w AS n,
+         sum(n_events) OVER w AS s,
+         sum(n_events * n_events) OVER w AS sq
+  FROM grid
+  WINDOW w AS (PARTITION BY k ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT k AS event_type,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       n_events::BIGINT AS n_events,
+       {_SQL_Z} AS z,
+       coalesce(abs({_SQL_Z}) >= 3.0, FALSE) AS is_anomaly
+FROM sc
 """
 
 
@@ -2335,6 +2443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": q_rolling_events,
         "label_centroids": q_label_centroids,
         "events_dedup_stream": q_events_dedup_stream,
+        "funnel": q_funnel,
+        "hourly_anomalies": q_hourly_anomalies,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -2397,6 +2507,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_events": _ORACLE_ROLLING,
         "label_centroids": _ORACLE_CENTROIDS,
         "events_dedup_stream": _ORACLE_DEDUP_STREAM,
+        "funnel": _ORACLE_FUNNEL,
+        "hourly_anomalies": _ORACLE_ANOMALIES,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

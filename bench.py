@@ -73,6 +73,10 @@ EXTENDED_QUERIES = [
     "sq8_topk",
     "token_counts",
     "rolling_events",
+    "label_centroids",
+    "events_dedup_stream",
+    "funnel",
+    "hourly_anomalies",
 ]
 
 

@@ -63,6 +63,58 @@ def rolling_hourly(
     )
 
 
+def hourly_anomalies(
+    dense: DataFrame,
+    baseline_hours: int = 24,
+    z_thresh: float = 3.0,
+    *,
+    key_col: str = "event_type",
+    hour_col: str = "hour",
+    count_col: str = "n_events",
+    min_baseline: int = 12,
+) -> DataFrame:
+    """Trailing z-score anomaly flags on a dense hourly grid.
+
+    Each hour's count is scored against the trailing ``baseline_hours``
+    window EXCLUDING itself (a spike must not inflate its own
+    baseline). Requires the dense output of :func:`gap_fill_hourly` —
+    on a gapped grid "previous N rows" silently skips the quiet hours,
+    which are exactly the signal.
+
+    Engine-exactness: the window aggregates are INTEGER sums
+    (sum, sum-of-squares, count), which are associative — immune to
+    the float-summation-order differences between engines' sliding
+    windows. mean/variance/z are then plain scalar expressions of
+    those exact integers, identical everywhere:
+    ``var = (sumsq - n*mean^2) / (n-1)``, ``z = (x-mean)/sqrt(var)``.
+
+    z is NULL (not flagged) when the baseline has fewer than
+    ``min_baseline`` rows or zero variance.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(hour_col)
+        .rowsBetween(-baseline_hours, -1)
+    )
+    x = F.col(count_col).cast("double")
+    n = F.count(count_col).over(w).cast("double")
+    s = F.sum(count_col).over(w).cast("double")
+    sq = F.sum(F.col(count_col) * F.col(count_col)).over(w).cast("double")
+    mean = s / n
+    var = (sq - n * mean * mean) / (n - F.lit(1.0))
+    z = F.when(
+        (n >= float(min_baseline)) & (var > 0.0),
+        (x - mean) / F.sqrt(var),
+    )
+    return dense.select(
+        key_col,
+        hour_col,
+        F.col(count_col),
+        z.alias("z"),
+        F.coalesce(F.abs(z) >= z_thresh, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def gap_fill_hourly(
     events: DataFrame,
     *,

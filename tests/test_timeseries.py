@@ -45,3 +45,28 @@ def test_rolling_hourly_trailing_counts(spark):
     got = {r.hour.hour: r for r in rolling_hourly(dense, window_hours=3).collect()}
     assert [got[h].rolling_events for h in range(4)] == [2, 2, 7, 6]
     assert got[3].rolling_rate == 6 / 3.0
+
+
+def test_hourly_anomalies_flags_spike(spark):
+    import datetime as dt
+
+    from cs6300_vectordbs_spark.operators.timeseries import hourly_anomalies
+
+    # 25h of alternating 4/6 (mean 5, nonzero var), then a 50-count spike
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h),
+         4 if h % 2 else 6)
+        for h in range(25)
+    ] + [("a", dt.datetime(2024, 1, 2, 1), 50)]
+    dense = spark.createDataFrame(
+        rows, "event_type string, hour timestamp, n_events long"
+    )
+    got = sorted(
+        hourly_anomalies(dense).collect(), key=lambda r: r.hour
+    )
+    assert got[-1].is_anomaly and got[-1].z > 3
+    # warm-up hours (< 12 baseline rows) are unscored, not flagged
+    for r in got[:12]:
+        assert r.z is None and not r.is_anomaly
+    # ordinary alternating hours are never flagged
+    assert not any(r.is_anomaly for r in got[:-1])
