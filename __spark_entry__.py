@@ -77,11 +77,18 @@ from cs6300_vectordbs_spark.operators.pipeline import (
 )
 from cs6300_vectordbs_spark.operators.interval import range_join_bucketed
 from cs6300_vectordbs_spark.operators.sampling import (
+    balanced_sample,
+    hash_bucket,
     hash_sample,
     stratified_hash_sample,
 )
 from cs6300_vectordbs_spark.operators.sketch import kmv_distinct
-from cs6300_vectordbs_spark.operators.quality import heavy_hitters, repetition_stats
+from cs6300_vectordbs_spark.operators.quality import (
+    contamination_check,
+    heavy_hitters,
+    repetition_stats,
+)
+from cs6300_vectordbs_spark.operators.chunking import chunk_documents
 from cs6300_vectordbs_spark.operators.funnel import funnel_conversions
 from cs6300_vectordbs_spark.operators.timeseries import (
     gap_fill_hourly,
@@ -1010,6 +1017,107 @@ SELECT k AS event_type,
        {_SQL_Z} AS z,
        coalesce(abs({_SQL_Z}) >= 3.0, FALSE) AS is_anomaly
 FROM sc
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-token chunks with 8-token overlap (stride 24): the RAG /
+    pre-training windowing stage. Map-only, codegen slice/concat."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.col("doc_id").cast("bigint"),
+        "chunk_idx",
+        "chunk_text",
+        "n_chunk_tokens",
+    )
+
+
+_ORACLE_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+st AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(0, greatest(len(tk) - 1, 0), 24)) AS start
+  FROM toks
+)
+SELECT doc_id,
+       (start // 24)::BIGINT AS chunk_idx,
+       array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text,
+       len(tk[start + 1 : start + 32])::BIGINT AS n_chunk_tokens
+FROM st WHERE start < n
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination gate: the 10% hash-sample plays the eval set,
+    the complement plays the training corpus; per eval doc, the
+    fraction of its 5-gram shingles found anywhere in training."""
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter(hash_bucket("doc_id", 100) < 10)
+    train = docs.filter(hash_bucket("doc_id", 100) >= 10)
+    return contamination_check(train, test, n=5).select(
+        F.col("doc_id").cast("bigint"),
+        "n_shingles",
+        "n_hits",
+        "contamination_frac",
+        "is_contaminated",
+    )
+
+
+_SQL_SAMPLE10 = "((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10"
+
+_ORACLE_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(tk[i:i+4], ' ')
+                               for i in generate_series(1, len(tk) - 4)])) AS s
+  FROM toks
+),
+tr AS (SELECT DISTINCT s FROM ex WHERE NOT ({_SQL_SAMPLE10})),
+te AS (SELECT doc_id, s FROM ex WHERE {_SQL_SAMPLE10}),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY doc_id),
+hits AS (
+  SELECT te.doc_id, count(*) AS n_hits
+  FROM te JOIN tr USING (s) GROUP BY te.doc_id
+)
+SELECT t.doc_id,
+       t.n_shingles::BIGINT AS n_shingles,
+       coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(h.n_hits, 0)::DOUBLE / t.n_shingles::DOUBLE
+         AS contamination_frac,
+       (coalesce(h.n_hits, 0)::DOUBLE / t.n_shingles::DOUBLE) >= 0.5
+         AS is_contaminated
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+"""
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cap of 20 vectors chosen by deterministic hash order
+    (class rebalancing); WindowGroupLimit pre-truncates map-side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return balanced_sample(emb, cap=20).select(
+        F.col("label").cast("bigint"),
+        F.col("sample_rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+    )
+
+
+_ORACLE_BALANCED = """
+WITH ranked AS (
+  SELECT label, vec_id,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY ('0x' || substr(md5('bs|' || vec_id), 1, 15))::BIGINT ASC,
+                    vec_id ASC
+         ) AS sample_rank
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, sample_rank::BIGINT AS sample_rank, vec_id
+FROM ranked WHERE sample_rank <= 20
 """
 
 
@@ -2445,6 +2553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_stream": q_events_dedup_stream,
         "funnel": q_funnel,
         "hourly_anomalies": q_hourly_anomalies,
+        "chunk_documents": q_chunk_documents,
+        "contamination": q_contamination,
+        "balanced_sample": q_balanced_sample,
         "sequential_ids": q_sequential_ids,
         "embed_documents": q_embed_documents,
         "template_queries": q_template_queries,
@@ -2509,6 +2620,9 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_stream": _ORACLE_DEDUP_STREAM,
         "funnel": _ORACLE_FUNNEL,
         "hourly_anomalies": _ORACLE_ANOMALIES,
+        "chunk_documents": _ORACLE_CHUNKS,
+        "contamination": _ORACLE_CONTAMINATION,
+        "balanced_sample": _ORACLE_BALANCED,
         "sequential_ids": _ORACLE_SEQ_ID,
         "embed_documents": _ORACLE_EMBED,
         "template_queries": _ORACLE_TEMPLATE_Q,

@@ -33,6 +33,53 @@ from .dedup import shingle_rows
 from .util import spread as _spread
 
 
+def contamination_check(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Train/test n-gram overlap — the decontamination gate every LLM
+    eval pipeline runs (GPT-3 appendix C style: an eval document whose
+    n-grams appear in the training set is contaminated).
+
+    Per test document: the fraction of its distinct ``n``-gram shingles
+    that occur ANYWHERE in the training corpus, and a flag at
+    ``threshold``. Test docs with fewer than ``n`` tokens yield no
+    shingles and are omitted (unassessable).
+
+    Scale shape: the training side is reduced to a DISTINCT shingle set
+    (one hash aggregate); the probe is an equi-join on the shingle
+    string — never doc x doc. The fraction is an exact-integer divide.
+    """
+    tr = (
+        shingle_rows(train, id_col=id_col, text_col=text_col, n=n)
+        .select("s")
+        .distinct()
+    )
+    te = shingle_rows(test, id_col=id_col, text_col=text_col, n=n)
+    totals = te.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = te.join(tr, "s").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    frac = F.coalesce("n_hits", F.lit(0)).cast("double") / F.col(
+        "n_shingles"
+    ).cast("double")
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("bigint"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            frac.alias("contamination_frac"),
+            (frac >= threshold).alias("is_contaminated"),
+        )
+    )
+
+
 def heavy_hitters(
     docs: DataFrame,
     n: int = 20,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.vector import ColumnOrName, _col
 
@@ -40,6 +41,40 @@ def hash_bucket(key: ColumnOrName, buckets: int = 100) -> Column:
 def hash_sample(df: DataFrame, key: str, pct: int = 10) -> DataFrame:
     """Keep ~pct% of rows, deterministically, by integer key."""
     return df.filter(hash_bucket(key, 100) < pct)
+
+
+def balanced_sample(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    key_col: str = "vec_id",
+    cap: int = 100,
+) -> DataFrame:
+    """Class rebalancing: keep at most ``cap`` rows per label, selected
+    by a deterministic portable hash order (md5 of the key) — the
+    pseudo-random-but-reproducible draw a training pipeline needs when
+    downsampling majority classes.
+
+    Plan: one window per label with ``row_number() <= cap``, which
+    compiles to WindowGroupLimit — every map task pre-truncates to cap
+    rows per label BEFORE the exchange, so even a label holding 99% of
+    a 100 TB corpus ships only O(partitions x cap) rows to its reducer.
+    Adds ``sample_rank`` (1-based position in the hash order).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bs|"), F.col(key_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("bigint")
+    w = Window.partitionBy(label_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )
 
 
 def seeded_topn(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
