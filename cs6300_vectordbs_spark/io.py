@@ -39,20 +39,28 @@ def read_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: read_table(spark, sf_dir, t) for t in TABLES}
 
 
-def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with ``ts`` normalized to a microsecond TIMESTAMP.
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (with local tz).
 
-    Some scale factors store ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark rejects outright; ``nanosAsLong`` reads those as bigint
-    nanoseconds, which we floor-divide to micros — the same truncation
-    DuckDB applies casting TIMESTAMP_NS to TIMESTAMP, so oracles that
-    ``ts::TIMESTAMP`` agree exactly. Files already in micros are
-    unaffected by the conf.
+    Testdata variants in the wild: parquet TIMESTAMP(NANOS) read as
+    bigint via ``nanosAsLong`` (floor-divide to micros — the same
+    truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP), and
+    TIMESTAMP_NTZ micros (isAdjustedToUTC=false), which Structured
+    Streaming watermarks reject — cast to TIMESTAMP. The session runs
+    in UTC (session.py), so the NTZ→LTZ cast preserves wall-clock and
+    DuckDB oracles that read the same file agree exactly.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if df.schema["ts"].dataType.simpleString() == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    kind = df.schema[col].dataType.simpleString()
+    if kind == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif kind == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with ``ts`` normalized to a microsecond TIMESTAMP."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic event-time semantics: the NTZ→LTZ cast in
+        # io.normalize_ts and all date_trunc/window math run in UTC, so
+        # wall-clock values round-trip and match the DuckDB oracles.
+        .config("spark.sql.session.timeZone", "UTC")
         # Arrow transfer for the (rare) pandas-UDF paths (embedding stage,
         # multimodal decode) — batch columnar, not row pickling.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

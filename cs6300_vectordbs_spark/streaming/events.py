@@ -61,8 +61,8 @@ def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """File-source streaming read of the events table, with the same
-    TIMESTAMP(NANOS) normalization as io.read_events (the testdata
-    stores nanos, which Spark only reads via nanosAsLong=bigint)."""
+    ``ts`` normalization as io.read_events (nanos-as-bigint or NTZ
+    micros, depending on how the testdata was written)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a DIRECTORY; select just the
@@ -73,9 +73,9 @@ def read_events_stream(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if df.schema["ts"].dataType.simpleString() == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from ..io import normalize_ts
+
+    return normalize_ts(df)
 
 
 def run_stream_to_memory(
