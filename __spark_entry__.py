@@ -1947,6 +1947,137 @@ GROUP BY o_year
 """
 
 
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts via an EXISTS SEMI-join.
+
+    Plan: ``left_semi`` join orders->lineitem on the equi key
+    l_orderkey = o_orderkey with the non-equi residual
+    l_shipdate > o_orderdate evaluated inside the join — Spark keeps
+    the equi key as the shuffle/broadcast key and applies the residual
+    as a join filter, so there is NO cartesian blowup and the semi
+    form never duplicates orders (an order with 7 qualifying lineitems
+    still counts once — no post-join distinct needed). The date-range
+    filter pushes to the orders parquet scan. At 100 TB both sides
+    shuffle on the natural orderkey; AQE handles skew.
+    """
+    lo, hi = "1997-01-01", "1997-04-01"
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with NO recent orders, via ANTI-join.
+
+    Plan: ``left_anti`` join customer->orders on c_custkey with the
+    orders side pre-filtered to the recent window (filter pushes below
+    the join to the parquet scan, shrinking the build side by ~10x).
+    The anti join is a plain equi hash join — null-safe, no distinct
+    needed on the right side. The per-segment average is a shuffled
+    float aggregate -> round(9) on both engines per the float policy.
+    """
+    cutoff = "2001-01-01"
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    recent = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= cutoff)
+    return (
+        cust.join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_dormant"),
+            F.round(F.avg("c_acctbal"), 9).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ORACLE_DORMANT = """
+SELECT c_mktsegment,
+       count(*) AS n_dormant,
+       round(avg(c_acctbal), 9) AS avg_acctbal
+FROM customer c
+WHERE c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP revenue: (region, nation) -> region -> total.
+
+    Plan: supplier->nation->region dims all broadcast; the fact scans
+    once and the ROLLUP compiles to a single Expand + hash aggregate
+    (each input row emits 3 grouping-set rows BEFORE the shuffle, so
+    partial aggregation still applies and the shuffle moves at most
+    3x|groups| rows, not 3x|fact|). ``grouping_id()`` uses the standard
+    bit encoding (first column = MSB) — identical to DuckDB's
+    GROUPING(a, b), so the level marker hash-matches. Money in exact
+    DECIMAL, cast to DOUBLE at the end.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT r_name, n_name,
+       sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+       count(*) AS n_items,
+       GROUPING(r_name, n_name) AS lvl
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join across the full dimension chain (lineitem ->
     supplier -> nation -> region): every dim side is BROADCAST (nation/
@@ -2568,6 +2699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "shipping_priority": q_shipping_priority,
         "market_share": q_market_share,
+        "order_priority": q_order_priority,
+        "dormant_customers": q_dormant_customers,
+        "sales_rollup": q_sales_rollup,
         "bm25_topk": q_bm25_topk,
         "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
@@ -2635,6 +2769,9 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _ORACLE_REVENUE,
         "shipping_priority": _ORACLE_SHIPPING,
         "market_share": _ORACLE_MARKET_SHARE,
+        "order_priority": _ORACLE_ORDER_PRIORITY,
+        "dormant_customers": _ORACLE_DORMANT,
+        "sales_rollup": _ORACLE_ROLLUP,
         "bm25_topk": _ORACLE_BM25,
         "hybrid_topk": _oracle_hybrid(),
         "top_customers": _ORACLE_TOP_CUST,

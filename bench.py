@@ -77,6 +77,9 @@ EXTENDED_QUERIES = [
     "events_dedup_stream",
     "funnel",
     "hourly_anomalies",
+    "order_priority",
+    "dormant_customers",
+    "sales_rollup",
 ]
 
 

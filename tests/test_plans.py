@@ -150,3 +150,42 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS tb_left")
         spark.sql("DROP TABLE IF EXISTS tb_right")
+
+
+def test_order_priority_is_semi_join_no_duplication(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_order_priority(spark, SF_DIR))
+    # EXISTS compiles to a semi join on the equi key (residual date
+    # predicate rides inside the join) — one output row per order, no
+    # post-join distinct and no cartesian candidate generation.
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the order-date window reaches the orders parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_dormant_customers_is_anti_join_with_pushdown(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_dormant_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # the recent-window filter shrinks the orders side BELOW the join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sales_rollup_expands_before_single_aggregate(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_sales_rollup(spark, SF_DIR))
+    # ROLLUP = one Expand + one hash aggregate pair, with map-side
+    # partial aggregation (the shuffle moves groups, not fact rows);
+    # every dimension join stays broadcast.
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
