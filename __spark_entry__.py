@@ -1461,6 +1461,55 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sliding_shape(out: DataFrame) -> DataFrame:
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        F.round("sum_value", 9).alias("sum_value"),
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hour windows sliding every hour — each event lands in 3
+    overlapping windows. Spark's window generator replicates rows
+    BEFORE the hash aggregate (map-side partials apply), so the
+    shuffle carries 3x|groups|, not 3x|events|. The oracle expresses
+    the same replication as a cross join with range(3): window starts
+    are date_trunc('hour', ts) - k hours, k in 0..2."""
+    from cs6300_vectordbs_spark.streaming.events import sliding_event_counts
+
+    return _sliding_shape(sliding_event_counts(read_events(spark, sf_dir)))
+
+
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding aggregation as a Structured Streaming query
+    (file source, availableNow, memory sink). Watermark bounds state:
+    windows older than watermark+window are finalized and evicted.
+    Full value-hash check against the batch oracle."""
+    from cs6300_vectordbs_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from cs6300_vectordbs_spark.streaming.events import sliding_event_counts
+
+    out = sliding_event_counts(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(out, query_name="events_sliding_stream")
+    return _sliding_shape(spark.table("events_sliding_stream"))
+
+
+_ORACLE_EVENTS_SLIDING = """
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP) - (k * INTERVAL 1 HOUR),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 9) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+GROUP BY 1, 2
+"""
+
+
 def q_events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once restoration under simulated double delivery: union
     of two reads of the stream, deduped by event_id within the
@@ -2707,6 +2756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
+        "events_sliding": q_events_sliding,
+        "events_sliding_stream": q_events_sliding_stream,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "user_sessions_stream": q_user_sessions_stream,
@@ -2780,6 +2831,8 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_report": _ORACLE_PIPELINE,
         "ivf_topk": _ORACLE_IVF,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
+        "events_sliding": _ORACLE_EVENTS_SLIDING,
+        "events_sliding_stream": _ORACLE_EVENTS_SLIDING,
         "judge_scores": _ORACLE_JUDGE,
         "user_sessions_stream": _ORACLE_SESSIONS_STREAM,
         "asof_purchase_view": _ORACLE_ASOF,

@@ -80,6 +80,8 @@ EXTENDED_QUERIES = [
     "order_priority",
     "dormant_customers",
     "sales_rollup",
+    "events_sliding",
+    "events_sliding_stream",
 ]
 
 

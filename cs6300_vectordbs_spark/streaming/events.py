@@ -120,3 +120,38 @@ def dedup_events_stream(
     return doubled.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "3 hours",
+    slide: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """SLIDING-window counts + value sums per event_type.
+
+    ``F.window(ts, window, slide)`` replicates each row into
+    window/slide overlapping windows via a generator BEFORE the
+    aggregate, so partial (map-side) aggregation still applies and the
+    shuffle moves at most replication x |groups| rows. State in the
+    streaming case is bounded by the watermark: windows older than
+    (watermark + window) are finalized and evicted. Works on both
+    static and streaming inputs — the unified-API twin pattern used by
+    windowed_event_counts.
+    """
+    ev = events
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -273,3 +273,16 @@ def test_stream_dedup_restores_exactly_once(spark):
     n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert got.count() == n_batch  # doubled delivery collapsed
     assert got.select("event_id").distinct().count() == n_batch
+
+
+def test_sliding_window_triples_tumbling_mass(spark):
+    """Every event lands in exactly window/slide = 3 sliding windows,
+    so total event mass is exactly 3x the table count."""
+    from cs6300_vectordbs_spark.io import read_events
+    from cs6300_vectordbs_spark.streaming.events import sliding_event_counts
+    from tests.conftest import SF_DIR
+
+    ev = read_events(spark, SF_DIR)
+    out = sliding_event_counts(ev)
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 3 * ev.count()
