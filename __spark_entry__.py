@@ -573,7 +573,22 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_SIMHASH = f"""
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within hamming<=3 of the 64-bit SimHash. The
+    4x16-bit band equi-join is recall-EXACT for <=3 differing bits
+    (pigeonhole), so the brute-force all-pairs DuckDB twin is a full
+    value-hash oracle, not a rows-only check."""
+    from cs6300_vectordbs_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, n=2, max_hamming=3).select(
+        F.col("id_a").cast("bigint"),
+        F.col("id_b").cast("bigint"),
+        "hamming",
+    )
+
+
+_SQL_SIMHASH_CTES = f"""
 WITH {_sql_shingles(2)},
 ex AS (SELECT doc_id, unnest(sh) AS s FROM shing),
 bits AS (
@@ -597,9 +612,27 @@ all_docs AS (
   SELECT d.doc_id, coalesce(fp.simhash, 0) AS simhash
   FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
 )
+"""
+
+_ORACLE_SIMHASH = (
+    _SQL_SIMHASH_CTES
+    + """
 SELECT simhash, min(doc_id)::BIGINT AS min_id, count(*)::BIGINT AS dup_count
 FROM all_docs GROUP BY simhash
 """
+)
+
+# Brute-force all-pairs hamming twin: valid as a FULL oracle because
+# the banded candidate generation is recall-exact for hamming <= 3.
+_ORACLE_SIMHASH_PAIRS = (
+    _SQL_SIMHASH_CTES
+    + """
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM all_docs a JOIN all_docs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2718,6 +2751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
+        "simhash_pairs": q_simhash_pairs,
         "embedding_neardup": q_embedding_neardup,
         "upsert_latest": q_upsert_latest,
         "hash_sample": q_hash_sample,
@@ -2790,6 +2824,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _ORACLE_JACCARD,
         "minhash_lsh_pairs": _oracle_minhash(),
         "simhash_buckets": _ORACLE_SIMHASH,
+        "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "embedding_neardup": _ORACLE_NEARDUP,
         "upsert_latest": _ORACLE_UPSERT,
         "hash_sample": _ORACLE_SAMPLE,

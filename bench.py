@@ -82,6 +82,7 @@ EXTENDED_QUERIES = [
     "sales_rollup",
     "events_sliding",
     "events_sliding_stream",
+    "simhash_pairs",
 ]
 
 

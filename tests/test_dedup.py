@@ -112,3 +112,36 @@ def test_jaccard_plan_has_no_forced_broadcast(docs):
         ._jdf.queryExecution().analyzed().toString()
     )
     assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan
+
+
+def test_simhash_pairs_equal_brute_force(spark, docs):
+    """Banded candidate generation must be recall-EXACT for hamming<=3
+    (pigeonhole over 4x16-bit bands) — compare against the all-pairs
+    XOR popcount on the same fingerprints, including sign-bit cases."""
+    from cs6300_vectordbs_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_pairs(docs, n=2, max_hamming=3).collect()
+    }
+    fp = simhash_fingerprints(docs, n=2)
+    a = fp.select(F.col("id").alias("id_a"), F.col("simhash").alias("fa"))
+    b = fp.select(F.col("id").alias("id_b"), F.col("simhash").alias("fb"))
+    want = {
+        (r.id_a, r.id_b, r.h)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("bigint")
+            .alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == want and len(want) > 0
