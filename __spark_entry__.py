@@ -2696,6 +2696,103 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_SUB = EMB_DIM // _PQ_M
+_PQ_CAND = 4 * TOPK
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (FAISS-PQ shape): m=8 subspaces, 16-entry
+    sampled codebooks, ADC table-lookup candidates, exact re-rank.
+    Deterministic end-to-end -> full value-hash oracle."""
+    from cs6300_vectordbs_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_topk(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM, m=_PQ_M, ksub=_PQ_KSUB,
+        candidates_per_query=_PQ_CAND, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("adc"),
+    )
+
+
+def _sql_pq_d2(mi: int) -> str:
+    """Unrolled squared-L2 over subspace mi — same left-to-right adds
+    and per-element (x-y)*(x-y) as the Spark side, so argmin ties are
+    bit-identical."""
+    return " + ".join(
+        f"((e.embedding[{mi * _PQ_SUB + i}]::DOUBLE - "
+        f"c.cvec[{mi * _PQ_SUB + i}]::DOUBLE) * "
+        f"(e.embedding[{mi * _PQ_SUB + i}]::DOUBLE - "
+        f"c.cvec[{mi * _PQ_SUB + i}]::DOUBLE))"
+        for i in range(1, _PQ_SUB + 1)
+    )
+
+
+def _sql_pq_pd(mi: int) -> str:
+    return " + ".join(
+        f"(q.embedding[{mi * _PQ_SUB + i}]::DOUBLE * "
+        f"c.cvec[{mi * _PQ_SUB + i}]::DOUBLE)"
+        for i in range(1, _PQ_SUB + 1)
+    )
+
+
+# PQ is deterministic (sampled codebooks, id tie-breaks, fixed-order ADC
+# sums — each partial dot is a sequential fold on both engines), so it
+# gets a full value-hash oracle. The 8 qt joins pin the ADC sum order.
+_ORACLE_PQ = f"""
+WITH cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+         embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT {_PQ_KSUB})
+),
+dists AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         {", ".join(f"{_sql_pq_d2(mi)} AS d{mi}" for mi in range(_PQ_M))}
+  FROM embeddings e CROSS JOIN cb c
+),
+codes AS (
+  SELECT vec_id, any_value(embedding) AS embedding,
+         {", ".join(f"(min({{'d': d{mi}, 'c': cid}}))['c'] AS code{mi}" for mi in range(_PQ_M))}
+  FROM dists GROUP BY vec_id
+),
+qt AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid,
+         {", ".join(f"{_sql_pq_pd(mi)} AS pd{mi}" for mi in range(_PQ_M))}
+  FROM embeddings q CROSS JOIN cb c
+  WHERE q.vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT t0.query_id, v.vec_id, t0.qvec, v.embedding,
+         {" + ".join(f"t{mi}.pd{mi}" for mi in range(_PQ_M))} AS adc
+  FROM codes v
+  JOIN qt t0 ON t0.cid = v.code0
+  {" ".join(f"JOIN qt t{mi} ON t{mi}.query_id = t0.query_id AND t{mi}.cid = v.code{mi}" for mi in range(1, _PQ_M))}
+  WHERE v.vec_id != t0.query_id
+),
+shortlist AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS crn
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, vec_id, {_sql_cos('qvec', 'embedding')} AS sim, adc,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC) AS rank
+  FROM shortlist WHERE crn <= {_PQ_CAND}
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, adc
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with the MLlib-KMeans-trained quantizer (the production
     coarse index; BASELINE.json north star: 'MLlib for batch indexing').
@@ -2752,6 +2849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
+        "pq_topk": q_pq_topk,
         "embedding_neardup": q_embedding_neardup,
         "upsert_latest": q_upsert_latest,
         "hash_sample": q_hash_sample,
@@ -2825,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _oracle_minhash(),
         "simhash_buckets": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
+        "pq_topk": _ORACLE_PQ,
         "embedding_neardup": _ORACLE_NEARDUP,
         "upsert_latest": _ORACLE_UPSERT,
         "hash_sample": _ORACLE_SAMPLE,

@@ -83,6 +83,7 @@ EXTENDED_QUERIES = [
     "events_sliding",
     "events_sliding_stream",
     "simhash_pairs",
+    "pq_topk",
 ]
 
 

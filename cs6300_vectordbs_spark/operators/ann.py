@@ -440,3 +440,174 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", corpus_id, "sim", "q8_dot")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    candidates_per_query: int | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Product-quantized top-k: FAISS-PQ-shaped two-phase search.
+
+    The vector splits into ``m`` subspaces of dim/m components; each
+    subspace gets a ``ksub``-entry codebook (the subvectors of the
+    ksub lowest-id corpus vectors — sampled codebooks, no iterative
+    training, so the whole operator is deterministic and gets a FULL
+    value-hash oracle, like ivf_topk/sq8_topk and unlike LSH). A
+    corpus vector is stored as m one-byte codes — dim*4/m x smaller
+    than float32 (32x at dim=64, m=8): at 100 TB of vectors the code
+    table fits where the raw vectors cannot.
+
+    Search is asymmetric-distance (ADC): per query, an m x ksub table
+    of partial dot products against every codebook entry; a corpus
+    vector's approximate score is m table lookups summed in fixed
+    subspace order (bit-exact across engines — each partial dot is a
+    sequential fold and the final sum is a left-to-right chain).
+    Candidates keep ``candidates_per_query`` per query via the
+    WindowGroupLimit partial top-n, then exact double cosine re-ranks
+    survivors only.
+
+    Plan shape at scale: codebooks are tiny -> broadcast to encoding
+    and table builds; encoding is one groupBy(vec_id) with map-side
+    combine; scoring joins the code table against BROADCAST per-query
+    tables, so the corpus never shuffles and downstream volume is
+    O(candidates). Returns (query_id, rank, <id>, sim, adc).
+    """
+    sub = dim // m
+    cand_n = candidates_per_query or 4 * k
+
+    # Codebook: ksub lowest-id vectors, re-keyed to dense cid 0..ksub-1
+    # (16 rows — the global window is on a broadcast-sized table).
+    cb = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(ksub)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(F.col(corpus_id).asc())) - 1
+            ).alias("__cid"),
+            F.col(corpus_vec).alias("__cvec"),
+        )
+    )
+
+    def d2_slice(a: str, b: str, mi: int) -> Column:
+        o = mi * sub
+        terms = [
+            (F.col(a)[o + i].cast("double") - F.col(b)[o + i].cast("double"))
+            * (F.col(a)[o + i].cast("double") - F.col(b)[o + i].cast("double"))
+            for i in range(sub)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    def dot_slice(a: str, b: str, mi: int) -> Column:
+        o = mi * sub
+        terms = [
+            F.col(a)[o + i].cast("double") * F.col(b)[o + i].cast("double")
+            for i in range(sub)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    # Encode: per (vector, subspace) argmin of squared L2 to the
+    # codebook, ties to the lowest cid — m min_by aggregates in ONE
+    # groupBy pass over the ksub-way crossJoin.
+    enc = (
+        corpus.crossJoin(F.broadcast(cb))
+        .groupBy(corpus_id)
+        .agg(
+            F.first(F.col(corpus_vec)).alias(corpus_vec),
+            *[
+                F.min_by(
+                    F.col("__cid"),
+                    F.struct(
+                        d2_slice(corpus_vec, "__cvec", mi).alias("d"),
+                        F.col("__cid").alias("c"),
+                    ),
+                ).alias(f"code{mi}")
+                for mi in range(m)
+            ],
+        )
+    )
+
+    # Per-query ADC tables: tab{mi}[cid+1] = dot(q_sub, codebook_mi[cid]).
+    qt = (
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "__qid",
+            "__qvec",
+            "__cid",
+            *[
+                dot_slice("__qvec", "__cvec", mi).alias(f"pd{mi}")
+                for mi in range(m)
+            ],
+        )
+    )
+    qtab = qt.groupBy("__qid").agg(
+        F.first("__qvec").alias("__qvec"),
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__cid").alias("c"),
+                            F.col(f"pd{mi}").alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ).alias(f"tab{mi}")
+            for mi in range(m)
+        ],
+    )
+
+    adc_terms = [
+        F.element_at(F.col(f"tab{mi}"), F.col(f"code{mi}") + 1)
+        for mi in range(m)
+    ]
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+
+    cand = enc.crossJoin(F.broadcast(qtab))
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col("__qid"))
+    cw = Window.partitionBy("__qid").orderBy(
+        F.col("__adc").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = (
+        cand.withColumn("__adc", adc)
+        .withColumn("__crn", F.row_number().over(cw))
+        .filter(F.col("__crn") <= cand_n)
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        shortlist.select(
+            F.col("__qid").alias("query_id"),
+            F.col(corpus_id),
+            cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+            F.col("__adc").alias("adc"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", corpus_id, "sim", "adc")
+    )
