@@ -704,6 +704,31 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) quality stratification of the corpus — the "keep the
+    top decile" curation primitive. Orders by the (already
+    oracle-verified) rounded quality score with doc_id tie-break, so
+    the decile assignment is a total order and both engines agree
+    exactly. The single global window is the known serial point; at
+    100 TB swap ntile for approx-quantile cutpoints + a scan-side
+    bucketizer (same output contract, no global sort)."""
+    from pyspark.sql.window import Window
+
+    stats = q_doc_stats(spark, sf_dir)
+    w = Window.orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (
+        stats.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 9).alias("avg_quality"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t != '')"
 
 _ORACLE_DOC_STATS = f"""
@@ -736,6 +761,22 @@ SELECT doc_id, ntok::BIGINT AS n_tokens,
   substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
     AS fingerprint
 FROM counts
+"""
+
+
+_ORACLE_QUALITY_DECILES = f"""
+WITH stats AS ({_ORACLE_DOC_STATS})
+SELECT decile, count(*)::BIGINT AS n_docs,
+       round(avg(quality), 9) AS avg_quality,
+       min(quality) AS min_quality,
+       max(quality) AS max_quality
+FROM (
+  SELECT doc_id, quality,
+         ntile(10) OVER (ORDER BY quality ASC, doc_id ASC)::BIGINT AS decile
+  FROM stats
+)
+GROUP BY decile
+ORDER BY decile
 """
 
 
@@ -1539,6 +1580,53 @@ SELECT strftime(date_trunc('hour', ts::TIMESTAMP) - (k * INTERVAL 1 HOUR),
        event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 9) AS sum_value
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+GROUP BY 1, 2
+"""
+
+
+def _enriched_shape(out: DataFrame) -> DataFrame:
+    return out.select(
+        "c_mktsegment",
+        "event_type",
+        F.col("n_events").cast("bigint"),
+        F.round("sum_value", 9).alias("sum_value"),
+    )
+
+
+def q_events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (events joined
+    to the broadcast customer dimension, aggregated per segment/type)."""
+    from cs6300_vectordbs_spark.streaming.events import enriched_event_stats
+
+    out = enriched_event_stats(
+        read_events(spark, sf_dir), _t(spark, sf_dir, "customer")
+    )
+    return _enriched_shape(out)
+
+
+def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch probes the broadcast static
+    dimension — STATELESS (no watermark, no state store), the canonical
+    enrichment shape for a 100 TB/day event feed. Full value-hash check
+    against the batch oracle."""
+    from cs6300_vectordbs_spark.streaming.events import (
+        enriched_event_stats,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    out = enriched_event_stats(
+        read_events_stream(spark, sf_dir), _t(spark, sf_dir, "customer")
+    )
+    run_stream_to_memory(out, query_name="events_enriched_stream")
+    return _enriched_shape(spark.table("events_enriched_stream"))
+
+
+_ORACLE_EVENTS_ENRICHED = """
+SELECT c_mktsegment, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 9) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """
 
@@ -2854,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_latest": q_upsert_latest,
         "hash_sample": q_hash_sample,
         "doc_stats": q_doc_stats,
+        "quality_deciles": q_quality_deciles,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "heavy_hitters": q_heavy_hitters,
@@ -2890,6 +2979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "events_sliding": q_events_sliding,
         "events_sliding_stream": q_events_sliding_stream,
+        "events_enriched": q_events_enriched,
+        "events_enriched_stream": q_events_enriched_stream,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "user_sessions_stream": q_user_sessions_stream,
@@ -2928,6 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "upsert_latest": _ORACLE_UPSERT,
         "hash_sample": _ORACLE_SAMPLE,
         "doc_stats": _ORACLE_DOC_STATS,
+        "quality_deciles": _ORACLE_QUALITY_DECILES,
         "repetition_stats": _ORACLE_REPETITION,
         "redact_pii": _ORACLE_REDACT,
         "heavy_hitters": _ORACLE_HITTERS,
@@ -2967,6 +3059,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_sliding_stream": _ORACLE_EVENTS_SLIDING,
+        "events_enriched": _ORACLE_EVENTS_ENRICHED,
+        "events_enriched_stream": _ORACLE_EVENTS_ENRICHED,
         "judge_scores": _ORACLE_JUDGE,
         "user_sessions_stream": _ORACLE_SESSIONS_STREAM,
         "asof_purchase_view": _ORACLE_ASOF,

@@ -84,6 +84,9 @@ EXTENDED_QUERIES = [
     "events_sliding_stream",
     "simhash_pairs",
     "pq_topk",
+    "quality_deciles",
+    "events_enriched",
+    "events_enriched_stream",
 ]
 
 

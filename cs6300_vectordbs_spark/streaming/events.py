@@ -155,3 +155,24 @@ def sliding_event_counts(
             "sum_value",
         )
     )
+
+
+def enriched_event_stats(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + per-(segment, type) aggregate.
+
+    The static dimension is BROADCAST to every task, so the stream
+    never shuffles for the join and the join itself is STATELESS (each
+    micro-batch probes the same built hash table — no watermark, no
+    state store growth; contrast with the stream-stream interval join
+    in streaming/joins.py). The aggregate keys are low-cardinality ->
+    map-side combine collapses each micro-batch before the shuffle.
+    Unified batch/stream: the batch run is the value-hash oracle.
+    """
+    dim = customers.select("c_custkey", "c_mktsegment")
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    return joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("double")).alias("sum_value"),
+    )
