@@ -1584,6 +1584,77 @@ GROUP BY 1, 2
 """
 
 
+def q_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (F-family extension): parse the
+    events.props JSON string JVM-side with get_json_object (codegen,
+    no Python in the path) and aggregate the extracted key per
+    event_type. At 100 TB the parse is a map-side expression fused
+    into the scan stage; only the 6-group aggregate shuffles."""
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 9).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_PROPS = """
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 9) AS avg_k,
+       min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers above their segment's mean
+    balance) done scale-first: aggregate the 5-row per-segment means,
+    broadcast them BACK onto the scan, filter. A window-function
+    formulation would shuffle the whole table on 5 skewed segment keys;
+    the join-back touches the fact table once with no wide shuffle.
+    The comparison uses the round(9) mean on BOTH engines so the
+    boundary is the same bit pattern (repo float policy)."""
+    cust = _t(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 9).alias("seg_avg")
+    )
+    return (
+        cust.join(F.broadcast(seg), on="c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select(
+            F.col("c_custkey").cast("bigint"),
+            "c_name",
+            "c_mktsegment",
+            "c_acctbal",
+            "seg_avg",
+        )
+    )
+
+
+_ORACLE_ABOVE_AVG = """
+WITH seg AS (
+  SELECT c_mktsegment, round(avg(c_acctbal), 9) AS seg_avg
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal, seg_avg
+FROM customer JOIN seg USING (c_mktsegment)
+WHERE c_acctbal > seg_avg
+"""
+
+
 def _enriched_shape(out: DataFrame) -> DataFrame:
     return out.select(
         "c_mktsegment",
@@ -2981,6 +3052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_stream": q_events_sliding_stream,
         "events_enriched": q_events_enriched,
         "events_enriched_stream": q_events_enriched_stream,
+        "props_stats": q_props_stats,
+        "above_average_customers": q_above_average_customers,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "user_sessions_stream": q_user_sessions_stream,
@@ -3061,6 +3134,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_stream": _ORACLE_EVENTS_SLIDING,
         "events_enriched": _ORACLE_EVENTS_ENRICHED,
         "events_enriched_stream": _ORACLE_EVENTS_ENRICHED,
+        "props_stats": _ORACLE_PROPS,
+        "above_average_customers": _ORACLE_ABOVE_AVG,
         "judge_scores": _ORACLE_JUDGE,
         "user_sessions_stream": _ORACLE_SESSIONS_STREAM,
         "asof_purchase_view": _ORACLE_ASOF,

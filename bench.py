@@ -87,6 +87,8 @@ EXTENDED_QUERIES = [
     "quality_deciles",
     "events_enriched",
     "events_enriched_stream",
+    "props_stats",
+    "above_average_customers",
 ]
 
 
