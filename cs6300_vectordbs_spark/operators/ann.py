@@ -99,9 +99,30 @@ def srp_lsh_topk(
 def _band_keys_from_vec(
     vec_col: str, dim: int, n_bits: int, bands: int, seed: int
 ) -> Column:
+    """Sign bits vs seeded hyperplanes, banded into bucket keys.
+
+    Each bit is ONE parsed F.expr with the hyperplane weights embedded
+    as full-precision double literals (repr + D suffix): the previous
+    py4j-composed form (16 bits x 64 F.lit array elements) cost
+    thousands of driver round-trips to BUILD and evaluated through the
+    interpreted zip_with path at runtime; the unrolled string codegens.
+    Only corpus/query self-consistency matters for bucketing (the
+    operator is rows-only + recall-tested), and both sides share this
+    expression."""
     planes = _hyperplanes(dim, n_bits, seed)
+    # One parsed expression per bit: aggregate/zip_with over a literal
+    # weight array. The weight arrays are embedded in the SQL string
+    # (full-precision repr + D suffix) so building all 16 bits is a
+    # handful of driver calls, and the HOF form keeps the per-row
+    # evaluation shallow (a 64-term unrolled tree here triggered
+    # codegen bailout and ran 2x slower interpreted).
     bits = [
-        (dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0).cast("string")
+        F.expr(
+            "CAST(aggregate(zip_with(`%s`, array(%s), (x, y) ->"
+            " CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+            " > 0.0D AS STRING)"
+            % (vec_col, ", ".join(f"{w!r}D" for w in p))
+        )
         for p in planes
     ]
     rows = n_bits // bands
@@ -361,19 +382,17 @@ def sq8_topk(
         .agg(F.max(F.abs(dc)).alias("__scale"))
     )
 
+    # Single F.expr strings (not py4j-composed trees) — see dot() in
+    # functions/vector.py: construction round-trips dominated wall time.
     def q8(vec: str) -> Column:
-        v = F.col(vec)
-        return F.array(
-            *[
-                F.least(
-                    F.greatest(
-                        F.round(v[i].cast("double") * 127.0 / F.col("__scale")),
-                        F.lit(-127.0),
-                    ),
-                    F.lit(127.0),
-                ).cast("int")
+        return F.expr(
+            "array("
+            + ", ".join(
+                "CAST(LEAST(GREATEST(ROUND(CAST(`%s`[%d] AS DOUBLE) * 127.0"
+                " / `__scale`), -127.0D), 127.0D) AS INT)" % (vec, i)
                 for i in range(dim)
-            ]
+            )
+            + ")"
         )
 
     from ..functions.vector import cosine_from_parts, l2_norm
@@ -401,12 +420,11 @@ def sq8_topk(
     if exclude_self:
         joined = joined.filter(F.col(corpus_id) != F.col("__qid"))
 
-    from functools import reduce
-
-    int_dot = reduce(
-        Column.__add__,
-        [F.col("__c8")[i] * F.col("__q8")[i] for i in range(dim)],
-    ).cast("bigint")
+    int_dot = F.expr(
+        "CAST("
+        + " + ".join(f"(`__c8`[{i}] * `__q8`[{i}])" for i in range(dim))
+        + " AS BIGINT)"
+    )
 
     wc = Window.partitionBy("__qid").orderBy(
         F.col("q8_dot").desc(), F.col(corpus_id).asc()
@@ -499,28 +517,27 @@ def pq_topk(
         )
     )
 
+    # One F.expr string per unrolled slice expression: py4j-composed
+    # Column trees cost a driver round-trip per node (see functions/
+    # vector.py dot); a parsed string is one call for the whole slice.
     def d2_slice(a: str, b: str, mi: int) -> Column:
         o = mi * sub
-        terms = [
-            (F.col(a)[o + i].cast("double") - F.col(b)[o + i].cast("double"))
-            * (F.col(a)[o + i].cast("double") - F.col(b)[o + i].cast("double"))
-            for i in range(sub)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        return F.expr(
+            " + ".join(
+                f"((CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE))"
+                f" * (CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE)))"
+                for i in range(sub)
+            )
+        )
 
     def dot_slice(a: str, b: str, mi: int) -> Column:
         o = mi * sub
-        terms = [
-            F.col(a)[o + i].cast("double") * F.col(b)[o + i].cast("double")
-            for i in range(sub)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
+        return F.expr(
+            " + ".join(
+                f"(CAST(`{a}`[{o + i}] AS DOUBLE) * CAST(`{b}`[{o + i}] AS DOUBLE))"
+                for i in range(sub)
+            )
+        )
 
     # Encode: per (vector, subspace) argmin of squared L2 to the
     # codebook, ties to the lowest cid — m min_by aggregates in ONE

@@ -87,6 +87,50 @@ scan (PushedFilters) and only the 7 referenced columns are read
 (ReadSchema); money sums accumulate in exact DECIMAL inside a
 partial+final HashAggregate, so results are identical at any
 parallelism.""",
+    "simhash_pairs": """\
+Load-bearing properties: candidates come from an EQUI-join on
+(band, 16-bit chunk) over the materialized 8-byte-per-doc fingerprint
+table (checkpoint scan — the text pipeline runs once, not per join
+side); recall is EXACT for hamming<=3 by pigeonhole, so no re-probe
+pass exists; the XOR-popcount refine runs on candidates only. Nothing
+all-pairs anywhere; identical-fingerprint hot buckets are AQE's
+skew-split.""",
+    "pq_topk": """\
+Load-bearing properties: codebooks (16 rows) broadcast to both the
+encoding groupBy (map-side combine collapses the x16 cross join back
+to one row per vector) and the per-query ADC table build; scoring
+joins the m-byte code table against the BROADCAST query tables, so
+the corpus never shuffles; candidate selection is WindowGroupLimit
+(partial top-n per task); exact re-rank touches candidates only.""",
+    "order_priority": """\
+Load-bearing properties: EXISTS compiles to LeftSemi on the equi
+orderkey with the non-equi date residual INSIDE the join (no
+cartesian, no post-join distinct — an order with many qualifying
+lineitems emits once); the order-date window is PUSHED to the orders
+parquet scan. Both sides shuffle on the natural orderkey at scale.""",
+    "dormant_customers": """\
+Load-bearing properties: LeftAnti on c_custkey with the recent-window
+filter PUSHED below the join into the orders scan — the build side
+shrinks ~10x before any exchange; anti-join needs no distinct on the
+right side.""",
+    "sales_rollup": """\
+Load-bearing properties: all three dimension joins are BROADCAST (the
+fact table never shuffles for them); ROLLUP is ONE Expand + ONE
+partial+final HashAggregate pair — each input row emits its 3
+grouping-set rows map-side, so the exchange moves 3x|groups|, not
+3x|fact|; money in exact DECIMAL.""",
+    "events_sliding": """\
+Load-bearing properties: the 3h/1h window generator replicates rows
+map-side BEFORE the partial HashAggregate, so the exchange carries
+3x|groups| — the same partial-agg shape as the tumbling twin; in the
+streaming variant the watermark finalizes and EVICTS windows older
+than watermark+window, bounding state.""",
+    "events_enriched": """\
+Load-bearing properties: the customer dimension is BROADCAST — the
+event stream/scan never shuffles for the join and the streaming form
+is STATELESS (each micro-batch probes the same built hash table, no
+state store); the (segment, type) aggregate partial-combines
+map-side onto ~25 groups.""",
 }
 
 
