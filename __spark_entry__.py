@@ -1655,6 +1655,93 @@ WHERE c_acctbal > seg_avg
 """
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: hourly event counts in wide format, one column per type.
+
+    The pivot value list is EXPLICIT — with an inferred list Spark runs
+    an extra distinct-collect job over the full input before planning
+    (a hidden scan at 100 TB) and the output schema becomes
+    data-dependent. With explicit values the pivot compiles to one
+    partial+final hash aggregate of CASE-WHEN counts — exactly the
+    conditional-aggregation SQL the oracle spells out."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "hour_start", F.date_format(F.date_trunc("hour", "ts"),
+                                        "yyyy-MM-dd HH:mm:ss")
+        )
+        .groupBy("hour_start")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .select(
+            "hour_start",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+                for t in _EVENT_TYPES
+            ],
+        )
+    )
+
+
+_ORACLE_PIVOT = f"""
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+         AS hour_start,
+       {", ".join(f"count(*) FILTER (event_type = '{t}')::BIGINT AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+def q_fresh_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT): content fingerprints present in
+    the 10%-sample slice but in NO document of the complement — "what is
+    genuinely new in this batch vs the corpus". Spark compiles except()
+    to a left-anti hash join on all columns after per-side distinct —
+    the same shuffle shape as the anti-join family, no sort."""
+    from cs6300_vectordbs_spark.functions.text import doc_fingerprint
+    from cs6300_vectordbs_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        hash_bucket("doc_id", 100).alias("bucket"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+    sample = fp.filter(F.col("bucket") < 10).select("fingerprint")
+    rest = fp.filter(F.col("bucket") >= 10).select("fingerprint")
+    return sample.exceptAll(rest.distinct()).distinct()
+
+
+_ORACLE_FRESH = f"""
+WITH fp AS (
+  SELECT {_SQL_SAMPLE10} AS in_sample,
+         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+           AS fingerprint
+  FROM documents
+)
+SELECT fingerprint FROM fp WHERE in_sample
+EXCEPT
+SELECT fingerprint FROM fp WHERE NOT in_sample
+"""
+
+
+def q_latency_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx twin of latency_percentiles — the sketch the
+    exact percentile swaps to at 100 TB (bounded-memory mergeable
+    summary, no global sort). Sketch internals are engine-specific, so
+    this entry is rows-only checked by the driver; the accuracy bound
+    vs the exact percentiles is pinned by a pytest tolerance test."""
+    ev = read_events(spark, sf_dir)
+    acc = 10000
+    return ev.agg(
+        F.percentile_approx("value", 0.5, acc).alias("p50"),
+        F.percentile_approx("value", 0.95, acc).alias("p95"),
+        F.percentile_approx("value", 0.99, acc).alias("p99"),
+    )
+
+
 def _enriched_shape(out: DataFrame) -> DataFrame:
     return out.select(
         "c_mktsegment",
@@ -3054,6 +3141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched_stream": q_events_enriched_stream,
         "props_stats": q_props_stats,
         "above_average_customers": q_above_average_customers,
+        "events_pivot": q_events_pivot,
+        "fresh_fingerprints": q_fresh_fingerprints,
+        "latency_percentiles_approx": q_latency_percentiles_approx,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "user_sessions_stream": q_user_sessions_stream,
@@ -3136,6 +3226,8 @@ def oracle_sql() -> dict[str, str]:
         "events_enriched_stream": _ORACLE_EVENTS_ENRICHED,
         "props_stats": _ORACLE_PROPS,
         "above_average_customers": _ORACLE_ABOVE_AVG,
+        "events_pivot": _ORACLE_PIVOT,
+        "fresh_fingerprints": _ORACLE_FRESH,
         "judge_scores": _ORACLE_JUDGE,
         "user_sessions_stream": _ORACLE_SESSIONS_STREAM,
         "asof_purchase_view": _ORACLE_ASOF,

@@ -89,6 +89,9 @@ EXTENDED_QUERIES = [
     "events_enriched_stream",
     "props_stats",
     "above_average_customers",
+    "events_pivot",
+    "fresh_fingerprints",
+    "latency_percentiles_approx",
 ]
 
 

@@ -181,3 +181,15 @@ def test_template_query_and_cleanup(spark):
     )
     got = {r.query for r in clean_query_lines(lines).collect()}
     assert got == {"keep me", "also kept"}
+
+
+def test_percentile_approx_within_tolerance_of_exact(spark):
+    """The sketch path must track the exact percentiles within the
+    accuracy bound at the test scale (value range ~[0, 100])."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    exact = m.q_latency_percentiles(spark, SF_DIR).collect()[0]
+    approx = m.q_latency_percentiles_approx(spark, SF_DIR).collect()[0]
+    for p in ("p50", "p95", "p99"):
+        assert abs(exact[p] - approx[p]) < 1.0, (p, exact[p], approx[p])
