@@ -1978,6 +1978,65 @@ FROM marked GROUP BY user_id
 """
 
 
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via the BUILT-IN session_window operator (the
+    streaming-native twin of the lag-based q_user_sessions): dynamic
+    gap-merge windows, one hash aggregate keyed by (merged window,
+    user). Merge rule: windows overlap iff next_ts < prev_ts + gap, so
+    a gap of EXACTLY 30 min starts a new session — the oracle's island
+    marker uses >= to mirror that closed/open boundary. Works unchanged
+    on a stream (with watermark-based state eviction); here the batch
+    run gets the full value-hash oracle."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id").cast("bigint"),
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.col("n_events").cast("bigint"),
+        )
+    )
+
+
+_ORACLE_SESSION_WINDOWS = """
+WITH marked AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+    CASE WHEN epoch_us(ts::TIMESTAMP)
+              - lag(epoch_us(ts::TIMESTAMP))
+                  OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+           IS NULL THEN 1
+         WHEN epoch_us(ts::TIMESTAMP)
+              - lag(epoch_us(ts::TIMESTAMP))
+                  OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+           >= 1800000000 THEN 1
+         ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*)::BIGINT AS n_events
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval twin of the vector top-k: Okapi BM25 over an
     inverted postings table (operators/text_search.py), queries = first
@@ -2403,6 +2462,79 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single-row aggregate — the
+    pushdown showcase. All three predicates reach the parquet scan
+    (PushedFilters on l_shipdate/l_discount/l_quantity), so row groups
+    outside the date/discount range never leave disk; the aggregate is
+    one map-side-combined DECIMAL sum, shuffle volume = one row per
+    task."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_FORECAST = """
+SELECT sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2))::DOUBLE
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation. lineitem's date
+    filter pushes to its scan; the join shuffles both sides on the
+    natural orderkey; the CASE-WHEN split into high/low priority counts
+    is a partial+final hash aggregate on one 2-value key."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-07-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_PRIORITY_SHIP = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
 """
 
 
@@ -3146,6 +3278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
+        "session_windows": q_session_windows,
+        "forecast_revenue": q_forecast_revenue,
+        "priority_shipping": q_priority_shipping,
         "user_sessions_stream": q_user_sessions_stream,
         "asof_purchase_view": q_asof_purchase_view,
         "dedup_clusters": q_dedup_clusters,
@@ -3217,6 +3352,9 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": _ORACLE_TOP_CUST,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "user_sessions": _ORACLE_SESSIONS,
+        "session_windows": _ORACLE_SESSION_WINDOWS,
+        "forecast_revenue": _ORACLE_FORECAST,
+        "priority_shipping": _ORACLE_PRIORITY_SHIP,
         "pipeline_report": _ORACLE_PIPELINE,
         "ivf_topk": _ORACLE_IVF,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,

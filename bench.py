@@ -92,6 +92,9 @@ EXTENDED_QUERIES = [
     "events_pivot",
     "fresh_fingerprints",
     "latency_percentiles_approx",
+    "session_windows",
+    "forecast_revenue",
+    "priority_shipping",
 ]
 
 
