@@ -3171,6 +3171,35 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index serving path: ensure the on-disk IVF index
+    exists (create-if-absent, S9 — the reference's PersistentClient /
+    count-guard lifecycle), then serve top-k from it with directory-
+    level partition pruning on the probed cells. Same centroids,
+    assignment, and tie rules as ivf_topk -> shares its full
+    value-hash oracle."""
+    from cs6300_vectordbs_spark.sources.vector_index import (
+        ensure_ivf_index,
+        search_ivf_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/ivf_index_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_ivf_index(spark, emb, path, dim=EMB_DIM, n_cells=_IVF_CELLS)
+    out = search_ivf_index(
+        spark, path, _query_batch(emb), TOPK,
+        dim=EMB_DIM, n_probe=_IVF_PROBE, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with the MLlib-KMeans-trained quantizer (the production
     coarse index; BASELINE.json north star: 'MLlib for batch indexing').
@@ -3291,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
+        "ivf_persisted_topk": q_ivf_persisted_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
@@ -3357,6 +3387,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_shipping": _ORACLE_PRIORITY_SHIP,
         "pipeline_report": _ORACLE_PIPELINE,
         "ivf_topk": _ORACLE_IVF,
+        "ivf_persisted_topk": _ORACLE_IVF,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_sliding_stream": _ORACLE_EVENTS_SLIDING,

@@ -95,6 +95,7 @@ EXTENDED_QUERIES = [
     "session_windows",
     "forecast_revenue",
     "priority_shipping",
+    "ivf_persisted_topk",
 ]
 
 

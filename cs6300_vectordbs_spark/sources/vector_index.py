@@ -1,0 +1,162 @@
+"""Persistent IVF vector index: build -> store -> serve.
+
+The reference's index is a PERSISTENT store (Chroma PersistentClient
+at ./db/chroma, /root/reference/src/chroma.py:69-70; Pinecone serverless
+index, /root/reference/src/pineconeDB.py:84-95) that survives the
+process and is reused on re-run (the S8 idempotent-load guard counts
+it). This module is the Spark-native equivalent of that lifecycle:
+
+  build_ivf_index    assign every corpus vector to its nearest sampled
+                     centroid and WRITE the assignment as parquet
+                     partitioned BY CELL, plus the tiny centroid table.
+  ensure_ivf_index   create-if-absent (S9): reuse a complete index on
+                     disk, (re)build otherwise.
+  search_ivf_index   serve top-k from the STORED index: probe cells per
+                     query, scan ONLY the probed cell partitions
+                     (directory-level partition pruning — the probed
+                     cell ids are literal filters, so at 100 TB a
+                     16-of-4096-cell probe reads 0.4% of the index),
+                     exact cosine re-rank inside.
+
+Algorithmic parity with operators/ann.ivf_topk (same sampled centroids,
+same argmax assignment, same tie rules) — so the stored-index serving
+path shares ivf's full value-hash oracle. The round-trip through
+parquet float32 is lossless: vectors are stored exactly as read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim
+
+
+def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str,
+               n_cells: int) -> DataFrame:
+    return (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("cvec"))
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Write the IVF index: ``{path}/centroids`` (n_cells rows) and
+    ``{path}/cells`` partitioned by cell id. The assignment argmax
+    (max cosine, ties to lowest centroid id) matches ann.ivf_topk."""
+    cent = _centroids(corpus, corpus_id, corpus_vec, n_cells)
+    sim = cosine_sim(corpus_vec, "cvec", dim)
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid").alias("cell"),
+                         F.col(corpus_vec).alias("vec")),
+                F.struct(sim.alias("s"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            F.col(corpus_id).alias("id"),
+            F.col("best.cell").alias("cell"),
+            F.col("best.vec").alias("vec"),
+        )
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
+    )
+
+
+def ivf_index_exists(path: str) -> bool:
+    return os.path.exists(f"{path}/cells/_SUCCESS") and os.path.exists(
+        f"{path}/centroids/_SUCCESS"
+    )
+
+
+def ensure_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """S9 create-if-absent: a complete on-disk index is reused as-is
+    (the reference's count-guard analog, src/chroma.py:81-87); anything
+    partial or missing is rebuilt atomically via overwrite."""
+    if not ivf_index_exists(path):
+        build_ivf_index(
+            corpus, path, dim=dim, n_cells=n_cells,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        )
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k cosine from the stored index. The probed cell set is
+    collected driver-side (n_queries x n_probe SMALL ints — the same
+    contract as broadcasting the query batch) and applied as a literal
+    IN filter, which prunes cell directories at the file listing level:
+    the scan never touches unprobed partitions."""
+    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    qsim = cosine_sim("__qvec", "cvec", dim)
+    qw = Window.partitionBy("__qid").orderBy(qsim.desc(), F.col("cid").asc())
+    probes = (
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        .crossJoin(cent)
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", "__qvec", F.col("cid").alias("cell"))
+    )
+    probed_cells = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    cand = cells.join(F.broadcast(probes), on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col("id") != F.col("__qid"))
+    scored = cand.select(
+        F.col("__qid").alias("query_id"),
+        F.col("id"),
+        cosine_sim("__qvec", "vec", dim).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "id", "sim",
+            (1.0 - F.col("sim")).alias("dist"),
+        )
+    )
