@@ -72,6 +72,7 @@ def build_ivf_index(
             F.col(corpus_id).alias("id"),
             F.col("best.cell").alias("cell"),
             F.col("best.vec").alias("vec"),
+            F.lit(0).alias("gen"),
         )
     )
     cent.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -141,6 +142,16 @@ def search_ivf_index(
     cells = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed_cells)
     )
+    # Latest-wins dedup for upserted ids (gen from upsert_ivf_index).
+    # Within a cell this resolves re-upserts exactly; a vector whose
+    # NEW version moved to a different cell is only shadowed once
+    # compact_ivf_index runs — the standard LSM-style contract.
+    dw = Window.partitionBy("id").orderBy(F.col("gen").desc())
+    cells = (
+        cells.withColumn("__rn", F.row_number().over(dw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     cand = cells.join(F.broadcast(probes), on="cell")
     if exclude_self:
         cand = cand.filter(F.col("id") != F.col("__qid"))
@@ -159,4 +170,67 @@ def search_ivf_index(
             "query_id", "rank", "id", "sim",
             (1.0 - F.col("sim")).alias("dist"),
         )
+    )
+
+
+def upsert_ivf_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    gen: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental index maintenance (V5 against the stored index):
+    assign ONLY the new/changed vectors against the EXISTING centroids
+    and append them into their cell partitions — no index rebuild, no
+    touch of unaffected cells. Re-upserted ids are resolved at read
+    time by ``search_ivf_index``'s latest-wins dedup (the plain-parquet
+    MERGE pattern of operators/upsert.py; on Delta/Iceberg this maps to
+    MERGE INTO + dynamic partition overwrite). At 100 TB this is the
+    difference between a nightly full rebuild and a streaming-rate
+    index feed."""
+    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    sim = cosine_sim(corpus_vec, "cvec", dim)
+    assigned = (
+        new_vectors.crossJoin(cent)
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("cid").alias("cell"),
+                         F.col(corpus_vec).alias("vec")),
+                F.struct(sim.alias("s"), (-F.col("cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            F.col(corpus_id).alias("id"),
+            F.col("best.cell").alias("cell"),
+            F.col("best.vec").alias("vec"),
+            F.lit(gen).alias("gen"),
+        )
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def compact_ivf_index(spark: SparkSession, path: str) -> None:
+    """Resolve all upsert generations: keep each id's latest row (ties
+    impossible — generations are caller-ordered), rewrite the cell
+    partitions, reset gen to 0. Restores the one-row-per-id invariant
+    that makes probed serving exact even for vectors whose newest
+    version changed cells. At scale: a periodic partition-parallel
+    rewrite, the LSM compaction of the index."""
+    cells = spark.read.parquet(f"{path}/cells")
+    dw = Window.partitionBy("id").orderBy(F.col("gen").desc())
+    latest = (
+        cells.withColumn("__rn", F.row_number().over(dw))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.lit(0).alias("gen"), "vec", "cell")
+    )
+    # Rewrite through a checkpoint: the new files must not be derived
+    # lazily from the files being overwritten.
+    latest = latest.localCheckpoint(eager=True)
+    latest.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/cells"
     )
