@@ -125,6 +125,12 @@ map-side BEFORE the partial HashAggregate, so the exchange carries
 3x|groups| — the same partial-agg shape as the tumbling twin; in the
 streaming variant the watermark finalizes and EVICTS windows older
 than watermark+window, bounding state.""",
+    "ivf_persisted_topk": """\
+Load-bearing properties: the stored-cells scan carries the probed cell
+ids as PartitionFilters — unprobed cell directories are never listed,
+so serving cost scales with n_probe/n_cells of the index, not its
+size; centroids and per-query probes are broadcast; latest-wins upsert
+dedup is a per-id window over the probed slice only.""",
     "events_enriched": """\
 Load-bearing properties: the customer dimension is BROADCAST — the
 event stream/scan never shuffles for the join and the streaming form
