@@ -2101,6 +2101,39 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_bm25_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bm25_topk with the stop-term df ceiling (max_df_ratio=0.8): terms
+    in >80% of docs are dropped from the TERM TABLE before the postings
+    join — they contribute near-zero IDF but dominate the candidate
+    volume (the skewed hot keys). The pruning is part of the scoring
+    contract, so the oracle applies the identical ceiling. (The
+    synthetic corpus draws from a tiny shared vocabulary — median query
+    term df is ~78%% of docs — so the ceiling sits at 0.8; on a natural
+    corpus 0.1-0.3 is typical.)"""
+    docs = _t(spark, sf_dir, "documents")
+    qs = hash_sample(docs, "doc_id", pct=10).select(
+        F.col("doc_id").alias("query_id"),
+        template_query("text", 5, prefix="").alias("query"),
+    )
+    out = bm25_topk(docs, qs, k=5, max_df_ratio=0.8)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("doc_id").cast("bigint"),
+        "score",
+    )
+
+
+_ORACLE_BM25_PRUNED = _ORACLE_BM25.replace(
+    "qsel AS (",
+    "pruned AS (\n"
+    "  SELECT st.s, st.df FROM stats st, totals t\n"
+    "  WHERE st.df <= 0.8 * t.n_docs\n"
+    "),\n"
+    "qsel AS (",
+).replace("JOIN stats st USING (s)", "JOIN pruned st USING (s)")
+
+
 def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     ranking and the embedding cosine ranking (pool depth 20 each,
@@ -3292,6 +3325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dormant_customers": q_dormant_customers,
         "sales_rollup": q_sales_rollup,
         "bm25_topk": q_bm25_topk,
+        "bm25_pruned_topk": q_bm25_pruned_topk,
         "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
         "events_hourly": q_events_hourly,
@@ -3378,6 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         "dormant_customers": _ORACLE_DORMANT,
         "sales_rollup": _ORACLE_ROLLUP,
         "bm25_topk": _ORACLE_BM25,
+        "bm25_pruned_topk": _ORACLE_BM25_PRUNED,
         "hybrid_topk": _oracle_hybrid(),
         "top_customers": _ORACLE_TOP_CUST,
         "events_hourly": _ORACLE_EVENTS_HOURLY,

@@ -96,6 +96,7 @@ EXTENDED_QUERIES = [
     "forecast_revenue",
     "priority_shipping",
     "ivf_persisted_topk",
+    "bm25_pruned_topk",
 ]
 
 

@@ -133,14 +133,24 @@ def bm25_topk(
         ).alias("s"),
     )
 
+    if max_df_ratio is not None:
+        # Apply the stop-term ceiling to the TERM TABLE, before any
+        # postings row is touched: a term in >ratio of docs contributes
+        # ~zero IDF but df x |queries| candidate rows (measured: the
+        # top stop terms alone are most of a 9M-row candidate set at
+        # sf0.1). Explicit pre-join pruning — not a post-join filter
+        # the optimizer may or may not sink.
+        stats = (
+            stats.crossJoin(F.broadcast(totals))
+            .filter(F.col("df") <= F.col("n_docs") * max_df_ratio)
+            .select("s", "df")
+        )
     hit = (
-        qt.join(postings, on="s")
-        .join(stats, on="s")
+        qt.join(stats, on="s")
+        .join(postings, on="s")
         .join(dl, on="id")
         .crossJoin(F.broadcast(totals))
     )
-    if max_df_ratio is not None:
-        hit = hit.filter(F.col("df") <= F.col("n_docs") * max_df_ratio)
 
     idf = F.log(
         F.lit(1.0)
