@@ -1343,6 +1343,53 @@ FROM h
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing end-to-end: byte blobs through the
+    mapInPandas frame extractor (256-byte frames, 128 hop) — windowing,
+    striding, per-frame explode, Arrow schema all value-hash-checked;
+    frame features are integer sums over a power-of-two length, so
+    every double is exact and DuckDB reproduces them bit-for-bit. A
+    real codec+DSP swaps into the marked stub section."""
+    from cs6300_vectordbs_spark.operators.multimodal import (
+        extract_audio_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blobs = docs.select(
+        F.col("doc_id").cast("bigint"), F.encode("text", "utf-8").alias("data")
+    )
+    out = extract_audio_frames(blobs, frame_len=256, hop=128)
+    return out.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint"),
+        "n_bytes",
+        "f_mean",
+        "f_energy",
+    )
+
+
+_ORACLE_AUDIO = """
+WITH base AS (
+  SELECT doc_id, text, strlen(text) AS n FROM documents WHERE strlen(text) >= 256
+),
+frames AS (
+  SELECT doc_id, text, n,
+         unnest(generate_series(0, (n - 256) // 128)) AS f
+  FROM base
+),
+bl AS (
+  SELECT doc_id, f, n,
+         [ascii(substr(text, f * 128 + i, 1))
+          for i in generate_series(1, 256)] AS b
+  FROM frames
+)
+SELECT doc_id, f::BIGINT AS frame_idx, n::BIGINT AS n_bytes,
+       list_sum(b) / 256.0 AS f_mean,
+       list_sum(list_transform(b, x -> x * x)) / 256.0 AS f_energy
+FROM bl
+"""
+
+
 def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: every-30th frame index per
     blob (map-side explode, operators/multimodal.py), then a per-frame
@@ -3315,6 +3362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_query_lines": q_clean_query_lines,
         "blob_metadata": q_blob_metadata,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "frame_samples": q_frame_samples,
         "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
@@ -3402,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_query_lines": _ORACLE_CLEAN_Q,
         "blob_metadata": _ORACLE_BLOB,
         "image_features": _ORACLE_IMAGE,
+        "audio_features": _ORACLE_AUDIO,
         "frame_samples": _ORACLE_FRAMES,
         "salted_event_stats": _ORACLE_SALTED,
         "pricing_summary": _ORACLE_PRICING,

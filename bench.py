@@ -97,6 +97,7 @@ EXTENDED_QUERIES = [
     "priority_shipping",
     "ivf_persisted_topk",
     "bm25_pruned_topk",
+    "audio_features",
 ]
 
 

@@ -116,3 +116,68 @@ def sample_frames(
         F.transform(F.sequence(F.lit(0), last), lambda i: i * every),
     ).otherwise(F.array().cast("array<int>"))
     return df.withColumn(out_col, F.explode(idxs))
+
+
+def extract_audio_frames(
+    df: DataFrame,
+    data_col: str = "data",
+    frame_len: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Audio feature-extraction plumbing: overlapping fixed-length
+    frames over a raw byte stream (PCM-u8 shape), one output row per
+    frame with mean amplitude and energy.
+
+    The windowing/striding, Arrow batch iteration, per-frame explode,
+    and output schema are the production shape; a real pipeline swaps
+    the marked section for a codec + DSP (librosa/torchaudio — not in
+    this container). Features are INTEGER sums divided by a power of
+    two, so every value is an exact double and the whole mapInPandas
+    stage is value-hash-checkable against SQL. Blobs shorter than one
+    frame emit no rows (same contract as an empty audio file).
+    """
+    import pandas as pd
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != data_col
+    )
+    schema = (
+        f"{fields}, frame_idx int, n_bytes bigint,"
+        " f_mean double, f_energy double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                c: [] for c in pdf.columns if c != data_col
+            }
+            out.update(
+                {"frame_idx": [], "n_bytes": [], "f_mean": [], "f_energy": []}
+            )
+            for _, row in pdf.iterrows():
+                b = row[data_col]
+                if b is None:
+                    continue
+                bb = bytes(b)
+                n = len(bb)
+                # --- STUB: replace with codec + DSP from here -------
+                n_frames = 0 if n < frame_len else (n - frame_len) // hop + 1
+                for f in range(n_frames):
+                    w = bb[f * hop : f * hop + frame_len]
+                    s = sum(w)
+                    s2 = sum(x * x for x in w)
+                    for c in out:
+                        if c not in (
+                            "frame_idx", "n_bytes", "f_mean", "f_energy"
+                        ):
+                            out[c].append(row[c])
+                    out["frame_idx"].append(f)
+                    out["n_bytes"].append(n)
+                    out["f_mean"].append(s / frame_len)
+                    out["f_energy"].append(s2 / frame_len)
+                # --- to here ----------------------------------------
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=schema)

@@ -193,3 +193,28 @@ def test_percentile_approx_within_tolerance_of_exact(spark):
     approx = m.q_latency_percentiles_approx(spark, SF_DIR).collect()[0]
     for p in ("p50", "p95", "p99"):
         assert abs(exact[p] - approx[p]) < 1.0, (p, exact[p], approx[p])
+
+
+def test_audio_frames_windowing_contract(spark):
+    """Frame count = (n - L)//H + 1 for n >= L; short blobs emit no
+    rows; features are exact integer-sum/2^k doubles."""
+    from cs6300_vectordbs_spark.operators.multimodal import (
+        extract_audio_frames,
+    )
+
+    rows = [
+        (1, bytes(range(256)) * 2),      # 512 bytes -> 3 frames
+        (2, b"x" * 255),                 # short -> 0 frames
+        (3, None),                       # null -> 0 frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    out = extract_audio_frames(df, frame_len=256, hop=128).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1}
+    frames = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in frames] == [0, 1, 2]
+    # frame 0 = bytes 0..255: mean = 255/2
+    assert frames[0].f_mean == 127.5
+    assert frames[0].f_energy == sum(i * i for i in range(256)) / 256
