@@ -2545,6 +2545,65 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family: monthly revenue per nation with LAG
+    month-over-month delta and PERCENT_RANK of each month within its
+    nation. The windows run on the AGGREGATED grid (25 nations x ~80
+    months), thousands of times smaller than the fact table — the
+    orders scan feeds one partial+final aggregate and never shuffles
+    for the windows. Money stays DECIMAL through the lag subtraction
+    (exact), doubles only at the end; percent_rank orders by
+    (revenue, month) — a total order, so the rank fractions are
+    engine-independent exact rationals."""
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    monthly = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(F.sum(price).alias("rev_dec"))
+    )
+    wlag = Window.partitionBy("n_name").orderBy("month")
+    wpr = Window.partitionBy("n_name").orderBy(
+        F.col("rev_dec").asc(), F.col("month").asc()
+    )
+    return monthly.select(
+        "n_name",
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (F.col("rev_dec") - F.lag("rev_dec").over(wlag))
+        .cast("double")
+        .alias("mom_delta"),
+        F.percent_rank().over(wpr).alias("rev_pctrank"),
+    )
+
+
+_ORACLE_MOMENTUM = """
+WITH monthly AS (
+  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+         sum(o_totalprice::DECIMAL(14,2)) AS rev_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, month,
+       rev_dec::DOUBLE AS revenue,
+       (rev_dec - lag(rev_dec) OVER (
+          PARTITION BY n_name ORDER BY month))::DOUBLE AS mom_delta,
+       percent_rank() OVER (
+          PARTITION BY n_name ORDER BY rev_dec ASC, month ASC)
+         AS rev_pctrank
+FROM monthly
+"""
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + single-row aggregate — the
     pushdown showcase. All three predicates reach the parquet scan
@@ -3391,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "session_windows": q_session_windows,
         "forecast_revenue": q_forecast_revenue,
+        "revenue_momentum": q_revenue_momentum,
         "priority_shipping": q_priority_shipping,
         "user_sessions_stream": q_user_sessions_stream,
         "asof_purchase_view": q_asof_purchase_view,
@@ -3468,6 +3528,7 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": _ORACLE_SESSIONS,
         "session_windows": _ORACLE_SESSION_WINDOWS,
         "forecast_revenue": _ORACLE_FORECAST,
+        "revenue_momentum": _ORACLE_MOMENTUM,
         "priority_shipping": _ORACLE_PRIORITY_SHIP,
         "pipeline_report": _ORACLE_PIPELINE,
         "ivf_topk": _ORACLE_IVF,

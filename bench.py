@@ -98,6 +98,7 @@ EXTENDED_QUERIES = [
     "ivf_persisted_topk",
     "bm25_pruned_topk",
     "audio_features",
+    "revenue_momentum",
 ]
 
 
