@@ -1666,6 +1666,39 @@ ORDER BY event_type
 """
 
 
+def q_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type family: parse props into map<string,bigint> with
+    from_json, explode to (key, value) pairs, aggregate per key. The
+    parse + explode are map-side generators fused after the scan; only
+    the tiny per-key aggregate shuffles. (The testdata's props carries
+    one key per row — the plan is the general N-key shape.)"""
+    ev = read_events(spark, sf_dir)
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("val").alias("sum_val"),
+            F.round(F.avg("val"), 9).alias("avg_val"),
+        )
+        .orderBy("key")
+    )
+
+
+_ORACLE_PROPS_MAP = """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS key,
+         json_extract_string(props, '$.' || unnest(json_keys(props)))::BIGINT
+           AS val
+  FROM events
+)
+SELECT key, count(*)::BIGINT AS n, sum(val)::BIGINT AS sum_val,
+       round(avg(val), 9) AS avg_val
+FROM kv GROUP BY key ORDER BY key
+"""
+
+
 def q_above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (customers above their segment's mean
     balance) done scale-first: aggregate the 5-row per-segment means,
@@ -3442,6 +3475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched": q_events_enriched,
         "events_enriched_stream": q_events_enriched_stream,
         "props_stats": q_props_stats,
+        "props_map_stats": q_props_map_stats,
         "above_average_customers": q_above_average_customers,
         "events_pivot": q_events_pivot,
         "fresh_fingerprints": q_fresh_fingerprints,
@@ -3539,6 +3573,7 @@ def oracle_sql() -> dict[str, str]:
         "events_enriched": _ORACLE_EVENTS_ENRICHED,
         "events_enriched_stream": _ORACLE_EVENTS_ENRICHED,
         "props_stats": _ORACLE_PROPS,
+        "props_map_stats": _ORACLE_PROPS_MAP,
         "above_average_customers": _ORACLE_ABOVE_AVG,
         "events_pivot": _ORACLE_PIVOT,
         "fresh_fingerprints": _ORACLE_FRESH,

@@ -99,6 +99,7 @@ EXTENDED_QUERIES = [
     "bm25_pruned_topk",
     "audio_features",
     "revenue_momentum",
+    "props_map_stats",
 ]
 
 
