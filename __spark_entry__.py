@@ -704,6 +704,69 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics — the n-gram LM table a data pipeline
+    derives for quality filtering and generation-contamination checks:
+    top-3 next tokens per token with conditional probability. Bigrams
+    come from the same codegen posexplode+lead pipeline as dedup
+    shingles; counts aggregate with map-side combine on (w1, w2); the
+    per-w1 top-3 is WindowGroupLimit (partial top-n before the
+    shuffle). P(w2|w1) = exact integer ratio -> identical doubles in
+    any engine."""
+    from pyspark.sql.window import Window
+
+    from cs6300_vectordbs_spark.operators.dedup import shingle_rows
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, n=2, distinct=False).select(
+        F.split("s", " ").alias("p")
+    )
+    pairs = grams.select(
+        F.col("p")[0].alias("w1"), F.col("p")[1].alias("w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("w1").agg(F.sum("n").alias("n_w1"))
+    w = Window.partitionBy("w1").orderBy(F.col("n").desc(), F.col("w2").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .join(tot, on="w1")
+        .select(
+            "w1",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("n_w1")).alias("p_next"),
+        )
+    )
+
+
+_ORACLE_BIGRAM_LM = f"""
+WITH {_sql_shingles(2)},
+pairs AS (
+  SELECT string_split(unnest(sh_all), ' ') AS p
+  FROM (SELECT doc_id,
+               [array_to_string(tk[i:i+1], ' ')
+                for i in generate_series(1, len(tk) - 1)] AS sh_all
+        FROM toks)
+),
+counts AS (
+  SELECT p[1] AS w1, p[2] AS w2, count(*) AS n
+  FROM pairs GROUP BY 1, 2
+),
+tot AS (SELECT w1, sum(n) AS n_w1 FROM counts GROUP BY w1),
+ranked AS (
+  SELECT w1, w2, n,
+         row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS rnk
+  FROM counts
+)
+SELECT r.w1, r.rnk::BIGINT AS rnk, r.w2, r.n::BIGINT AS n,
+       r.n::DOUBLE / t.n_w1 AS p_next
+FROM ranked r JOIN tot t ON r.w1 = t.w1
+WHERE r.rnk <= 3
+"""
+
+
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) quality stratification of the corpus — the "keep the
     top decile" curation primitive. Orders by the (already
@@ -3434,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "doc_stats": q_doc_stats,
         "quality_deciles": q_quality_deciles,
+        "bigram_lm": q_bigram_lm,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "heavy_hitters": q_heavy_hitters,
@@ -3524,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": _ORACLE_SAMPLE,
         "doc_stats": _ORACLE_DOC_STATS,
         "quality_deciles": _ORACLE_QUALITY_DECILES,
+        "bigram_lm": _ORACLE_BIGRAM_LM,
         "repetition_stats": _ORACLE_REPETITION,
         "redact_pii": _ORACLE_REDACT,
         "heavy_hitters": _ORACLE_HITTERS,

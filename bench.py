@@ -100,6 +100,7 @@ EXTENDED_QUERIES = [
     "audio_features",
     "revenue_momentum",
     "props_map_stats",
+    "bigram_lm",
 ]
 
 
