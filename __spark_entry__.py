@@ -704,6 +704,65 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction + integer-exact graph analytics — the
+    backbone structure of graph-ANN indexes (HNSW/NN-descent) and of
+    graph-based dedup. Every vector's exact top-3 neighbors form
+    directed edges; the union-symmetrized undirected graph gets
+    per-node degree and triangle membership counts (a<b<c join —
+    each triangle counted once per corner). All outputs are INTEGERS,
+    so the oracle needs no float policy at all. Scale shape: the graph
+    build is the similarity_topk plan (corpus broadcast-streamed, no
+    all-pairs materialization beyond the per-query top-k); the triangle
+    join is three equi-joins on a table of O(N*k) edges."""
+    from cs6300_vectordbs_spark.operators.similarity import similarity_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = similarity_topk(emb, allq, 3, dim=EMB_DIM, exclude_self=True)
+    edges = (
+        knn.select(
+            F.least("query_id", "vec_id").alias("a"),
+            F.greatest("query_id", "vec_id").alias("b"),
+        )
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1 = edges.select(F.col("a"), F.col("b"))
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("c2"))
+    tri = (
+        e1.join(e2, on="b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    tri_counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(tri_counts, on="v", how="left")
+        .select(
+            F.col("v").cast("bigint").alias("vec_id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+    )
+
+
+
+
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram statistics — the n-gram LM table a data pipeline
     derives for quality filtering and generation-contamination checks:
@@ -3406,6 +3465,44 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_ORACLE_KNN_GRAPH = f"""
+WITH knn AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+),
+edges AS (
+  SELECT DISTINCT least(query_id, vec_id) AS a,
+                  greatest(query_id, vec_id) AS b
+  FROM knn WHERE rank <= 3
+),
+deg AS (
+  SELECT v, count(*) AS degree FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.c
+  FROM edges e1
+  JOIN (SELECT a AS b, b AS c FROM edges) e2 USING (b)
+  JOIN (SELECT a AS ta, b AS c2 FROM edges) e3
+    ON e1.a = e3.ta AND e2.c = e3.c2
+),
+tric AS (
+  SELECT v, count(*) AS n_triangles FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+  ) GROUP BY v
+)
+SELECT d.v AS vec_id, d.degree,
+       coalesce(t.n_triangles, 0)::BIGINT AS n_triangles
+FROM deg d LEFT JOIN tric t ON d.v = t.v
+"""
+
+
 def q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stored-index serving path: ensure the on-disk IVF index
     exists (create-if-absent, S9 — the reference's PersistentClient /
@@ -3498,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "quality_deciles": q_quality_deciles,
         "bigram_lm": q_bigram_lm,
+        "knn_graph_stats": q_knn_graph_stats,
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "heavy_hitters": q_heavy_hitters,
@@ -3589,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": _ORACLE_DOC_STATS,
         "quality_deciles": _ORACLE_QUALITY_DECILES,
         "bigram_lm": _ORACLE_BIGRAM_LM,
+        "knn_graph_stats": _ORACLE_KNN_GRAPH,
         "repetition_stats": _ORACLE_REPETITION,
         "redact_pii": _ORACLE_REDACT,
         "heavy_hitters": _ORACLE_HITTERS,

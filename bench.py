@@ -101,6 +101,7 @@ EXTENDED_QUERIES = [
     "revenue_momentum",
     "props_map_stats",
     "bigram_lm",
+    "knn_graph_stats",
 ]
 
 

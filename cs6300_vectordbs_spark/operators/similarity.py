@@ -101,9 +101,16 @@ def similarity_topk(
     (query, corpus) pair — at 100 TB that's the difference between
     O(corpus) and O(corpus x queries) array passes.
     """
+    from .util import spread
+
     c = corpus
     if filter_expr is not None:
         c = c.filter(filter_expr)
+    # The scoring loop parallelizes over CORPUS partitions (the query
+    # side is broadcast): a small corpus arriving as 1-2 parquet splits
+    # would serialize O(|corpus| x |queries|) flops on as many cores.
+    # No-op at scale, where the corpus already has >= parallelism splits.
+    c = spread(c)
 
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
