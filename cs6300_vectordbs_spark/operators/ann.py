@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_sim, dot
+from .util import spread
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
@@ -62,7 +63,7 @@ def srp_lsh_topk(
     More bands / fewer rows-per-band => higher recall, more candidates.
     Output schema matches similarity_topk: (query_id, rank, <id>, sim, dist).
     """
-    csig = corpus.select(
+    csig = spread(corpus).select(
         F.col(corpus_id),
         F.col(corpus_vec),
         _band_keys_from_vec(corpus_vec, dim, n_bits, bands, seed).alias("__bands"),
@@ -250,7 +251,7 @@ def _ivf_from_centroids(
     # max_by over struct(sim, -cid) realizes exactly that ordering.
     sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
     assigned = (
-        corpus.crossJoin(F.broadcast(cent))
+        spread(corpus).crossJoin(F.broadcast(cent))
         .groupBy(corpus_id)
         .agg(
             F.max_by(
@@ -398,7 +399,7 @@ def sq8_topk(
     from ..functions.vector import cosine_from_parts, l2_norm
 
     c = (
-        corpus.crossJoin(scale)
+        spread(corpus).crossJoin(scale)
         .select(
             F.col(corpus_id),
             F.col(corpus_vec),
@@ -543,7 +544,7 @@ def pq_topk(
     # codebook, ties to the lowest cid — m min_by aggregates in ONE
     # groupBy pass over the ksub-way crossJoin.
     enc = (
-        corpus.crossJoin(F.broadcast(cb))
+        spread(corpus).crossJoin(F.broadcast(cb))
         .groupBy(corpus_id)
         .agg(
             F.first(F.col(corpus_vec)).alias(corpus_vec),

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_sim
+from ..operators.util import spread
 
 
 def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str,
@@ -59,7 +60,7 @@ def build_ivf_index(
     cent = _centroids(corpus, corpus_id, corpus_vec, n_cells)
     sim = cosine_sim(corpus_vec, "cvec", dim)
     assigned = (
-        corpus.crossJoin(F.broadcast(cent))
+        spread(corpus).crossJoin(F.broadcast(cent))
         .groupBy(corpus_id)
         .agg(
             F.max_by(
