@@ -715,13 +715,17 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is the similarity_topk plan (corpus broadcast-streamed, no
     all-pairs materialization beyond the per-query top-k); the triangle
     join is three equi-joins on a table of O(N*k) edges."""
-    from cs6300_vectordbs_spark.operators.similarity import similarity_topk
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_blocked,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     allq = emb.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    knn = similarity_topk(emb, allq, 3, dim=EMB_DIM, exclude_self=True)
+    # All-vectors-as-queries is the blocked Arrow kernel's sweet spot
+    # (numpy matmul per corpus block, bit-identical to the JVM path).
+    knn = similarity_topk_blocked(emb, allq, 3, exclude_self=True)
     edges = (
         knn.select(
             F.least("query_id", "vec_id").alias("a"),

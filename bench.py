@@ -102,6 +102,19 @@ EXTENDED_QUERIES = [
     "props_map_stats",
     "bigram_lm",
     "knn_graph_stats",
+    "balanced_sample",
+    "blob_metadata",
+    "brp_lsh_pairs",
+    "chunk_documents",
+    "clean_query_lines",
+    "clicks_before_error_stream",
+    "contamination",
+    "ivf_kmeans_topk",
+    "latency_percentiles_by_type",
+    "latency_summary",
+    "recall_per_query",
+    "sequential_ids",
+    "template_queries",
 ]
 
 
