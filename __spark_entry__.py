@@ -508,6 +508,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus contamination surface: near-duplicate pairs whose
+    two documents come from DIFFERENT sources (the train-set vs
+    web-crawl overlap question). Rides the MinHash LSH pair generation
+    unchanged; the per-doc source attaches via two broadcast-joinable
+    projections of the tiny (id, source) table, and the inequality
+    filter runs after the equi-joins."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    )
+    src_a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("source_a")
+    )
+    src_b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("source_b")
+    )
+    return (
+        pairs.join(src_a, on="id_a")
+        .join(src_b, on="id_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            "est_jaccard",
+            "source_a",
+            "source_b",
+        )
+    )
+
+
 _SQL_H64 = "(('0x' || substr(md5('s' || {i} || '|' || s), 1, 15))::BIGINT)"
 
 def _minhash_ctes() -> str:
@@ -548,6 +580,17 @@ pairs AS (
 
 def _oracle_minhash() -> str:
     return f"WITH {_minhash_ctes()}\nSELECT id_a, id_b, est_jaccard FROM pairs"
+
+
+def _oracle_cross_source() -> str:
+    return f"""WITH {_minhash_ctes()}
+SELECT p.id_a, p.id_b, p.est_jaccard,
+       da.source AS source_a, db.source AS source_b
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE da.source != db.source
+"""
 
 
 # Transitive closure of the near-dup pair graph (both directions), then
@@ -3590,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "cross_source_dups": q_cross_source_dups,
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
         "pq_topk": q_pq_topk,
@@ -3682,6 +3726,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _ORACLE_DEDUP,
         "ngram_jaccard_pairs": _ORACLE_JACCARD,
         "minhash_lsh_pairs": _oracle_minhash(),
+        "cross_source_dups": _oracle_cross_source(),
         "simhash_buckets": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
         "pq_topk": _ORACLE_PQ,

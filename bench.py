@@ -102,6 +102,7 @@ EXTENDED_QUERIES = [
     "props_map_stats",
     "bigram_lm",
     "knn_graph_stats",
+    "cross_source_dups",
     "balanced_sample",
     "blob_metadata",
     "brp_lsh_pairs",
