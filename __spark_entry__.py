@@ -3221,6 +3221,61 @@ FROM err e JOIN clk c ON c.user_id = e.user_id
 _KMV_K = 256
 
 
+def q_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: build a 4x1024 portable
+    md5 sketch over event user_ids, then point-query the 20 truest
+    heavy users and report estimate next to truth (estimate >= truth
+    always — collisions only inflate). The sketch is 4096 rows
+    regardless of input size and mergeable by counter addition. All
+    integer counters + portable hashing -> full value-hash oracle."""
+    from cs6300_vectordbs_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    cms = cms_build(ev, "user_id", depth=4, width=1024)
+    tru = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    est = cms_estimate(cms, tru.select("user_id"), "user_id",
+                       depth=4, width=1024)
+    return tru.join(est, on="user_id").select(
+        F.col("user_id").cast("bigint"),
+        F.col("true_count").cast("bigint"),
+        F.col("cms_estimate").cast("bigint"),
+    )
+
+
+_ORACLE_CMS = """
+WITH js AS (SELECT unnest(generate_series(0, 3)) AS j),
+ex AS (
+  SELECT j, (('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR),
+              1, 15))::BIGINT % 1024) AS bucket
+  FROM events CROSS JOIN js
+),
+cms AS (SELECT j, bucket, count(*) AS cnt FROM ex GROUP BY 1, 2),
+tru AS (
+  SELECT user_id, count(*) AS true_count FROM events GROUP BY 1
+  ORDER BY true_count DESC, user_id ASC LIMIT 20
+),
+probes AS (
+  SELECT t.user_id, t.true_count, js.j,
+         (('0x' || substr(md5(js.j::VARCHAR || '|' || t.user_id::VARCHAR),
+           1, 15))::BIGINT % 1024) AS bucket
+  FROM tru t CROSS JOIN js
+)
+SELECT p.user_id, max(p.true_count)::BIGINT AS true_count,
+       min(coalesce(c.cnt, 0))::BIGINT AS cms_estimate
+FROM probes p LEFT JOIN cms c USING (j, bucket)
+GROUP BY p.user_id
+"""
+
+
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KMV (bottom-k) distinct-count sketch over
     lineitem.l_orderkey — portable md5 hashing so DuckDB replays the
@@ -3704,6 +3759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_before_error": q_clicks_before_error,
         "clicks_before_error_stream": q_clicks_before_error_stream,
         "kmv_distinct": q_kmv_distinct,
+        "cms_user_counts": q_cms_user_counts,
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
@@ -3799,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
         "clicks_before_error": _ORACLE_CLICKS_BEFORE,
         "clicks_before_error_stream": _ORACLE_CLICKS_BEFORE_STREAM,
         "kmv_distinct": _ORACLE_KMV,
+        "cms_user_counts": _ORACLE_CMS,
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;
         # their correctness oracle is the exact topk/pairs queries above

@@ -103,6 +103,7 @@ EXTENDED_QUERIES = [
     "bigram_lm",
     "knn_graph_stats",
     "cross_source_dups",
+    "cms_user_counts",
     "balanced_sample",
     "blob_metadata",
     "brp_lsh_pairs",

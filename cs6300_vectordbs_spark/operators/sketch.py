@@ -72,3 +72,65 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+def cms_build(
+    df: DataFrame, key: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of a key's frequency distribution: ``depth``
+    independent md5 hash rows x ``width`` counters, as (j, bucket, cnt)
+    rows — the frequency-estimation complement of the KMV distinct
+    sketch, with the same portability rationale (every engine with md5
+    replays it bit-for-bit, unlike engine-internal sketch registers).
+
+    Scale shape: one explode(depth) + one hash aggregate with map-side
+    combine; the sketch is depth x width rows TOTAL regardless of input
+    size — mergeable across partitions, shards, or days by summing
+    counters (the linearity CMS is built for).
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    ex = df.select(F.col(key).cast("string").alias("__k"), j)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("j"), F.col("__k"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+    return (
+        ex.select("j", bucket.alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, keys: DataFrame, key: str, *, depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch: estimate(key) = min over rows of the
+    key's counter. Guaranteed >= the true count (collisions only ever
+    inflate), within eN of it with high probability for e = e/width.
+    The probe joins the BROADCAST sketch (depth x width rows) on
+    (j, bucket) — no scan of the original data."""
+    j = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("j")
+    probes = keys.select(F.col(key), F.col(key).cast("string").alias("__k"), j)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("j"), F.col("__k"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
+    )
+    probes = probes.select(F.col(key), "j", bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), on=["j", "bucket"], how="left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
+    )

@@ -136,3 +136,27 @@ def test_kmv_duplicates_do_not_inflate(spark):
     base = spark.range(500).select((F.col("id") % 50).alias("v"))
     row = kmv_distinct(base, "v", k=256).collect()[0]
     assert row.est_distinct == 50.0 and row.exact_distinct == 50
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    """CMS overestimate-only property on every key, and with width >>
+    distinct keys the estimate is exact (no collisions possible to
+    force, but the 150-key space in 4096 buckets collides rarely —
+    assert exactness for at least 90% of keys)."""
+    from cs6300_vectordbs_spark.io import read_events
+    from cs6300_vectordbs_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+    from tests.conftest import SF_DIR
+
+    ev = read_events(spark, SF_DIR)
+    cms = cms_build(ev, "user_id", depth=4, width=4096)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    est = cms_estimate(cms, tru.select("user_id"), "user_id",
+                       depth=4, width=4096)
+    rows = tru.join(est, on="user_id").collect()
+    assert len(rows) > 0
+    assert all(r.cms_estimate >= r.n for r in rows)
+    exact = sum(1 for r in rows if r.cms_estimate == r.n)
+    assert exact / len(rows) >= 0.9
