@@ -1835,6 +1835,52 @@ ORDER BY event_type
 """
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per subsequent activity-week offset — the standard growth
+    matrix. Two aggregates: per-user first week (groupBy user, map-side
+    combine), then distinct (cohort, offset, user) counts. The
+    first-week table joins back BROADCAST (users << events); week
+    arithmetic is pure integer epoch-day math, identical in any
+    engine."""
+    ev = read_events(spark, sf_dir)
+    week = (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) / 7
+            ).cast("bigint")
+    acts = ev.select("user_id", week.alias("week"))
+    first = acts.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        acts.join(F.broadcast(first), on="user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_ORACLE_RETENTION = """
+WITH acts AS (
+  SELECT user_id,
+         (datediff('day', DATE '2024-01-01', ts::TIMESTAMP::DATE) // 7)::BIGINT
+           AS week
+  FROM events
+),
+first AS (SELECT user_id, min(week) AS cohort_week FROM acts GROUP BY 1)
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+FROM (
+  SELECT DISTINCT f.cohort_week, a.week - f.cohort_week AS week_offset,
+         a.user_id
+  FROM acts a JOIN first f USING (user_id)
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-type family: parse props into map<string,bigint> with
     from_json, explode to (key, value) pairs, aggregate per key. The
@@ -3741,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_enriched_stream": q_events_enriched_stream,
         "props_stats": q_props_stats,
         "props_map_stats": q_props_map_stats,
+        "retention_cohorts": q_retention_cohorts,
         "above_average_customers": q_above_average_customers,
         "events_pivot": q_events_pivot,
         "fresh_fingerprints": q_fresh_fingerprints,
@@ -3843,6 +3890,7 @@ def oracle_sql() -> dict[str, str]:
         "events_enriched_stream": _ORACLE_EVENTS_ENRICHED,
         "props_stats": _ORACLE_PROPS,
         "props_map_stats": _ORACLE_PROPS_MAP,
+        "retention_cohorts": _ORACLE_RETENTION,
         "above_average_customers": _ORACLE_ABOVE_AVG,
         "events_pivot": _ORACLE_PIVOT,
         "fresh_fingerprints": _ORACLE_FRESH,

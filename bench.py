@@ -104,6 +104,7 @@ EXTENDED_QUERIES = [
     "knn_graph_stats",
     "cross_source_dups",
     "cms_user_counts",
+    "retention_cohorts",
     "balanced_sample",
     "blob_metadata",
     "brp_lsh_pairs",

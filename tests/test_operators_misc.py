@@ -218,3 +218,21 @@ def test_audio_frames_windowing_contract(spark):
     # frame 0 = bytes 0..255: mean = 255/2
     assert frames[0].f_mean == 127.5
     assert frames[0].f_energy == sum(i * i for i in range(256)) / 256
+
+
+def test_driver_contract_registration_invariants():
+    """Every oracle key must have a queries() entry; rows-only entries
+    are the known approximate/sketch paths and nothing else."""
+    import __spark_entry__ as m
+
+    q, o = m.queries(), m.oracle_sql()
+    assert set(o) <= set(q)
+    rows_only = set(q) - set(o)
+    assert rows_only == {
+        "srp_lsh_topk",
+        "brp_lsh_pairs",
+        "ivf_kmeans_topk",
+        "latency_percentiles_approx",
+    }
+    assert all(callable(f) for f in q.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
