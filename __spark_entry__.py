@@ -1835,6 +1835,93 @@ ORDER BY event_type
 """
 
 
+def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality dashboard metric: per-source exact-duplicate ratio
+    (docs whose normalized fingerprint appears more than once corpus-
+    wide count as duplicated). One fingerprint aggregate + a broadcast
+    join-back of the per-fingerprint counts; the ratio is an exact
+    integer quotient."""
+    from cs6300_vectordbs_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", "source", doc_fingerprint("text").alias("fp"))
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_same"))
+    return (
+        fp.join(F.broadcast(counts), on="fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_duplicated"),
+            (
+                F.sum(F.when(F.col("n_same") > 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_DUP_RATIO = """
+WITH fp AS (
+  SELECT doc_id, source,
+         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+           AS fp
+  FROM documents
+),
+counts AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY fp)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)::BIGINT AS n_duplicated,
+       (sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*))
+         AS dup_ratio
+FROM fp JOIN counts USING (fp)
+GROUP BY source
+ORDER BY source
+"""
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-data quality profile: per-label L2-norm distribution and
+    zero/degenerate-vector counts — the sanity pass before any
+    similarity work (norm-0 vectors silently poison cosine math).
+    Norms are the unrolled codegen expression computed once per row;
+    the per-label aggregate is a 10-group shuffle."""
+    from cs6300_vectordbs_spark.functions.vector import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = l2_norm("embedding", EMB_DIM)
+    return (
+        emb.select("label", n.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 9).alias("avg_norm"),
+            F.min("norm").alias("min_norm"),
+            F.max("norm").alias("max_norm"),
+            F.sum(F.when(F.col("norm") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
+        .orderBy("label")
+    )
+
+
+_ORACLE_NORM_STATS = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+)
+SELECT label, count(*)::BIGINT AS n_vectors,
+       round(avg(norm), 9) AS avg_norm,
+       min(norm) AS min_norm, max(norm) AS max_norm,
+       sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM n GROUP BY label ORDER BY label
+"""
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users grouped by first-activity week,
     counted per subsequent activity-week offset — the standard growth
@@ -3788,6 +3875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": q_props_stats,
         "props_map_stats": q_props_map_stats,
         "retention_cohorts": q_retention_cohorts,
+        "dup_ratio_by_source": q_dup_ratio_by_source,
+        "embedding_norm_stats": q_embedding_norm_stats,
         "above_average_customers": q_above_average_customers,
         "events_pivot": q_events_pivot,
         "fresh_fingerprints": q_fresh_fingerprints,
@@ -3891,6 +3980,8 @@ def oracle_sql() -> dict[str, str]:
         "props_stats": _ORACLE_PROPS,
         "props_map_stats": _ORACLE_PROPS_MAP,
         "retention_cohorts": _ORACLE_RETENTION,
+        "dup_ratio_by_source": _ORACLE_DUP_RATIO,
+        "embedding_norm_stats": _ORACLE_NORM_STATS,
         "above_average_customers": _ORACLE_ABOVE_AVG,
         "events_pivot": _ORACLE_PIVOT,
         "fresh_fingerprints": _ORACLE_FRESH,

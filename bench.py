@@ -105,6 +105,8 @@ EXTENDED_QUERIES = [
     "cross_source_dups",
     "cms_user_counts",
     "retention_cohorts",
+    "dup_ratio_by_source",
+    "embedding_norm_stats",
     "balanced_sample",
     "blob_metadata",
     "brp_lsh_pairs",
