@@ -1835,6 +1835,76 @@ ORDER BY event_type
 """
 
 
+def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal profile: events per (hour-of-day, type) with each cell's
+    share of its type's total — seasonality shape for anomaly baselines.
+    One aggregate + a broadcast join-back of 5 per-type totals; shares
+    are exact integer quotients."""
+    ev = read_events(spark, sf_dir)
+    by_hour = (
+        ev.select(F.hour("ts").alias("hod"), "event_type")
+        .groupBy("hod", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = by_hour.groupBy("event_type").agg(F.sum("n").alias("total"))
+    return (
+        by_hour.join(F.broadcast(totals), on="event_type")
+        .select(
+            F.col("hod").cast("bigint"),
+            "event_type",
+            F.col("n").cast("bigint"),
+            (F.col("n") / F.col("total")).alias("share"),
+        )
+        .orderBy("hod", "event_type")
+    )
+
+
+_ORACLE_SEASONALITY = """
+WITH by_hour AS (
+  SELECT extract(hour FROM ts::TIMESTAMP) AS hod, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+totals AS (SELECT event_type, sum(n) AS total FROM by_hour GROUP BY 1)
+SELECT hod::BIGINT AS hod, event_type, n::BIGINT AS n,
+       n::DOUBLE / total AS share
+FROM by_hour JOIN totals USING (event_type)
+ORDER BY hod, event_type
+"""
+
+
+def q_parts_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (brand, size-bucket): all four grouping sets in ONE
+    Expand + hash-aggregate pass (the cross-classified twin of the
+    ROLLUP hierarchy in sales_rollup). grouping_id bit-matches DuckDB's
+    GROUPING; retail-price averages follow the round-9 float policy."""
+    part = _t(spark, sf_dir, "part")
+    bucket = (F.col("p_size") / 10).cast("bigint")
+    return (
+        part.select(
+            "p_brand",
+            bucket.alias("size_bucket"),
+            "p_retailprice",
+        )
+        .cube("p_brand", "size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 9).alias("avg_price"),
+            F.grouping_id().alias("lvl"),
+        )
+    )
+
+
+_ORACLE_PARTS_CUBE = """
+SELECT p_brand, (p_size // 10)::BIGINT AS size_bucket,
+       count(*)::BIGINT AS n_parts,
+       round(avg(p_retailprice), 9) AS avg_price,
+       GROUPING(p_brand, (p_size // 10)::BIGINT) AS lvl
+FROM part
+GROUP BY CUBE (p_brand, (p_size // 10)::BIGINT)
+"""
+
+
 def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality dashboard metric: per-source exact-duplicate ratio
     (docs whose normalized fingerprint appears more than once corpus-
@@ -3876,6 +3946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_map_stats": q_props_map_stats,
         "retention_cohorts": q_retention_cohorts,
         "dup_ratio_by_source": q_dup_ratio_by_source,
+        "hourly_seasonality": q_hourly_seasonality,
+        "parts_cube": q_parts_cube,
         "embedding_norm_stats": q_embedding_norm_stats,
         "above_average_customers": q_above_average_customers,
         "events_pivot": q_events_pivot,
@@ -3981,6 +4053,8 @@ def oracle_sql() -> dict[str, str]:
         "props_map_stats": _ORACLE_PROPS_MAP,
         "retention_cohorts": _ORACLE_RETENTION,
         "dup_ratio_by_source": _ORACLE_DUP_RATIO,
+        "hourly_seasonality": _ORACLE_SEASONALITY,
+        "parts_cube": _ORACLE_PARTS_CUBE,
         "embedding_norm_stats": _ORACLE_NORM_STATS,
         "above_average_customers": _ORACLE_ABOVE_AVG,
         "events_pivot": _ORACLE_PIVOT,

@@ -106,6 +106,8 @@ EXTENDED_QUERIES = [
     "cms_user_counts",
     "retention_cohorts",
     "dup_ratio_by_source",
+    "hourly_seasonality",
+    "parts_cube",
     "embedding_norm_stats",
     "balanced_sample",
     "blob_metadata",
