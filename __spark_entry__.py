@@ -1166,6 +1166,92 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversions(read_events(spark, sf_dir), _FUNNEL_STEPS)
 
 
+def q_funnel_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion cross-classified by customer segment: the
+    per-user earliest-completion table (one row per entering user)
+    joins the broadcast customer dimension, then one grouped aggregate
+    counts survivors per step. Rates are single IEEE divides of exact
+    integer counts per segment."""
+    from cs6300_vectordbs_spark.operators.funnel import funnel_steps
+
+    per_user = funnel_steps(read_events(spark, sf_dir), _FUNNEL_STEPS)
+    seg = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    counts = (
+        per_user.join(F.broadcast(seg), on="user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            *[
+                F.count(f"t{i + 1}").cast("bigint").alias(f"n{i + 1}")
+                for i in range(len(_FUNNEL_STEPS))
+            ]
+        )
+    )
+    rows = None
+    for i, name in enumerate(_FUNNEL_STEPS):
+        n = F.col(f"n{i + 1}")
+        prev = F.col(f"n{i}") if i else F.col("n1")
+        r = counts.select(
+            "c_mktsegment",
+            F.lit(i + 1).cast("bigint").alias("step"),
+            F.lit(name).alias("event_type"),
+            n.alias("n_users"),
+            F.when(prev > 0, n.cast("double") / prev.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("rate_from_prev"),
+            F.when(F.col("n1") > 0, n.cast("double") / F.col("n1").cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("rate_from_first"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+_ORACLE_FUNNEL_SEG = """
+WITH s1 AS (
+  SELECT user_id, min(ts::TIMESTAMP) AS t1
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT c_mktsegment,
+         count(s1.t1) AS n1, count(s2.t2) AS n2, count(s3.t3) AS n3
+  FROM s1
+  LEFT JOIN s2 ON s1.user_id = s2.user_id
+  LEFT JOIN s3 ON s1.user_id = s3.user_id
+  JOIN customer ON s1.user_id = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 1::BIGINT AS step, 'view' AS event_type,
+       n1::BIGINT AS n_users,
+       CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS rate_from_prev,
+       CASE WHEN n1 > 0 THEN 1.0 ELSE 0.0 END AS rate_from_first
+FROM c
+UNION ALL
+SELECT c_mktsegment, 2, 'click', n2,
+       CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 ELSE 0.0 END,
+       CASE WHEN n1 > 0 THEN n2::DOUBLE / n1 ELSE 0.0 END
+FROM c
+UNION ALL
+SELECT c_mktsegment, 3, 'purchase', n3,
+       CASE WHEN n2 > 0 THEN n3::DOUBLE / n2 ELSE 0.0 END,
+       CASE WHEN n1 > 0 THEN n3::DOUBLE / n1 ELSE 0.0 END
+FROM c
+"""
+
+
 _ORACLE_FUNNEL = """
 WITH s1 AS (
   SELECT user_id, min(ts::TIMESTAMP) AS t1
@@ -3912,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "events_dedup_stream": q_events_dedup_stream,
         "funnel": q_funnel,
+        "funnel_by_segment": q_funnel_by_segment,
         "hourly_anomalies": q_hourly_anomalies,
         "chunk_documents": q_chunk_documents,
         "contamination": q_contamination,
@@ -4011,6 +4098,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": _ORACLE_CENTROIDS,
         "events_dedup_stream": _ORACLE_DEDUP_STREAM,
         "funnel": _ORACLE_FUNNEL,
+        "funnel_by_segment": _ORACLE_FUNNEL_SEG,
         "hourly_anomalies": _ORACLE_ANOMALIES,
         "chunk_documents": _ORACLE_CHUNKS,
         "contamination": _ORACLE_CONTAMINATION,

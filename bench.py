@@ -107,6 +107,7 @@ EXTENDED_QUERIES = [
     "retention_cohorts",
     "dup_ratio_by_source",
     "hourly_seasonality",
+    "funnel_by_segment",
     "parts_cube",
     "embedding_norm_stats",
     "balanced_sample",
