@@ -1921,6 +1921,93 @@ ORDER BY event_type
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: lag window per user ordered by (ts, event_id) — the same
+    total order the sessionizer uses — then transition counts and
+    row-normalized probabilities (exact integer quotients). The window
+    shuffles once on user_id; the matrix aggregate is 25 cells."""
+    from pyspark.sql.window import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(tot), on="prev_type")
+        .select(
+            "prev_type",
+            "event_type",
+            F.col("n").cast("bigint"),
+            (F.col("n") / F.col("row_total")).alias("p_transition"),
+        )
+        .orderBy("prev_type", "event_type")
+    )
+
+
+_ORACLE_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+         ) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS row_total FROM pairs GROUP BY 1)
+SELECT prev_type, event_type, n::BIGINT AS n,
+       n::DOUBLE / row_total AS p_transition
+FROM pairs JOIN tot USING (prev_type)
+ORDER BY prev_type, event_type
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (10 x 200-char
+    buckets, last bucket open-ended) with bucket shares — the corpus
+    profiling primitive. The bucket id is pure integer math fused into
+    the scan stage; one 11-group aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least((F.col("n_chars") / 200).cast("bigint"), F.lit(10))
+    by_bucket = (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = F.broadcast(by_bucket.agg(F.sum("n_docs").alias("total")))
+    return (
+        by_bucket.crossJoin(total)
+        .select(
+            "bucket",
+            (F.col("bucket") * 200).alias("bucket_lo"),
+            F.col("n_docs").cast("bigint"),
+            (F.col("n_docs") / F.col("total").cast("double")).alias("share"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_DOC_HIST = """
+WITH b AS (
+  SELECT least(n_chars // 200, 10) AS bucket FROM documents
+),
+t AS (SELECT count(*) AS total FROM documents)
+SELECT bucket, bucket * 200 AS bucket_lo, count(*)::BIGINT AS n_docs,
+       count(*)::DOUBLE / max(t.total) AS share
+FROM b, t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 def q_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diurnal profile: events per (hour-of-day, type) with each cell's
     share of its type's total — seasonality shape for anomaly baselines.
@@ -4034,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "dup_ratio_by_source": q_dup_ratio_by_source,
         "hourly_seasonality": q_hourly_seasonality,
+        "event_transitions": q_event_transitions,
+        "doc_length_histogram": q_doc_length_histogram,
         "parts_cube": q_parts_cube,
         "embedding_norm_stats": q_embedding_norm_stats,
         "above_average_customers": q_above_average_customers,
@@ -4142,6 +4231,8 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _ORACLE_RETENTION,
         "dup_ratio_by_source": _ORACLE_DUP_RATIO,
         "hourly_seasonality": _ORACLE_SEASONALITY,
+        "event_transitions": _ORACLE_TRANSITIONS,
+        "doc_length_histogram": _ORACLE_DOC_HIST,
         "parts_cube": _ORACLE_PARTS_CUBE,
         "embedding_norm_stats": _ORACLE_NORM_STATS,
         "above_average_customers": _ORACLE_ABOVE_AVG,

@@ -108,6 +108,8 @@ EXTENDED_QUERIES = [
     "dup_ratio_by_source",
     "hourly_seasonality",
     "funnel_by_segment",
+    "event_transitions",
+    "doc_length_histogram",
     "parts_cube",
     "embedding_norm_stats",
     "balanced_sample",
