@@ -1921,6 +1921,75 @@ ORDER BY event_type
 """
 
 
+def q_latency_percentiles_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT family: the wide P50/P95/P99 row stacked to long
+    (pctile, value) form — the shape metric stores ingest. stack() is a
+    zero-shuffle generator over the 1-row aggregate."""
+    wide = q_latency_percentiles(spark, sf_dir)
+    return wide.select(
+        F.expr(
+            "stack(3, 'p50', p50, 'p95', p95, 'p99', p99)"
+            " AS (pctile, value)"
+        )
+    ).orderBy("pctile")
+
+
+_ORACLE_PCT_LONG = """
+WITH wide AS (
+  SELECT round(quantile_cont(value, 0.5), 9) AS p50,
+         round(quantile_cont(value, 0.95), 9) AS p95,
+         round(quantile_cont(value, 0.99), 9) AS p99
+  FROM events
+)
+SELECT 'p50' AS pctile, p50 AS value FROM wide
+UNION ALL SELECT 'p95', p95 FROM wide
+UNION ALL SELECT 'p99', p99 FROM wide
+ORDER BY pctile
+"""
+
+
+def q_user_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ARRAY output: each user's first five event types in
+    event-time order, as one array column — the sequence-feature shape
+    an LLM-behavior pipeline exports. Determinism: collect_list order
+    is engine-arbitrary, so the structs are sorted AFTER collection by
+    the (ts, event_id) total order and sliced; the rendered array then
+    hash-matches DuckDB's ORDER BY list aggregate exactly."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.col("event_type").alias("y"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["y"]
+                ),
+                1,
+                5,
+            ).alias("first_events")
+        )
+        .select(F.col("user_id").cast("bigint"), "first_events")
+        .orderBy("user_id")
+    )
+
+
+_ORACLE_FIRST_EVENTS = """
+SELECT user_id,
+       (list(event_type ORDER BY ts::TIMESTAMP, event_id))[1:5]
+         AS first_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over each user's event
     sequence: lag window per user ordered by (ts, event_id) — the same
@@ -4122,6 +4191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ratio_by_source": q_dup_ratio_by_source,
         "hourly_seasonality": q_hourly_seasonality,
         "event_transitions": q_event_transitions,
+        "latency_percentiles_long": q_latency_percentiles_long,
+        "user_first_events": q_user_first_events,
         "doc_length_histogram": q_doc_length_histogram,
         "parts_cube": q_parts_cube,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4232,6 +4303,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_ratio_by_source": _ORACLE_DUP_RATIO,
         "hourly_seasonality": _ORACLE_SEASONALITY,
         "event_transitions": _ORACLE_TRANSITIONS,
+        "latency_percentiles_long": _ORACLE_PCT_LONG,
+        "user_first_events": _ORACLE_FIRST_EVENTS,
         "doc_length_histogram": _ORACLE_DOC_HIST,
         "parts_cube": _ORACLE_PARTS_CUBE,
         "embedding_norm_stats": _ORACLE_NORM_STATS,

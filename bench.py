@@ -109,6 +109,8 @@ EXTENDED_QUERIES = [
     "hourly_seasonality",
     "funnel_by_segment",
     "event_transitions",
+    "latency_percentiles_long",
+    "user_first_events",
     "doc_length_histogram",
     "parts_cube",
     "embedding_norm_stats",
