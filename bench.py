@@ -172,28 +172,51 @@ def main() -> None:
             continue
         timings[name] = round(best, 3)
 
-    headline = round(
-        sum(max(timings.get(n, 0.0), 0.0) for n in BENCH_QUERIES), 3
+    failed = sorted(n for n, t in timings.items() if t < 0)
+    # A failed headline query makes the total meaningless — emit null
+    # rather than a partial sum that reads as an improvement.
+    headline = (
+        None
+        if any(timings.get(n, -1.0) < 0 for n in BENCH_QUERIES)
+        else round(sum(timings.get(n, 0.0) for n in BENCH_QUERIES), 3)
     )
+    extended_total = (
+        None
+        if any(timings.get(n, -1.0) < 0 for n in EXTENDED_QUERIES)
+        else round(sum(timings.get(n, 0.0) for n in EXTENDED_QUERIES), 3)
+    )
+    # Full per-query detail goes to a file; the printed line carries
+    # only the headline block so it fits the driver's output-tail cap.
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "extended_total": extended_total,
+        "failed": failed,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        "w", encoding="utf-8",
+    ) as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 # value = the original 20-query set, directly comparable
-                # to BASELINE.md's recorded self-baseline; extension
-                # operators are timed in "queries" and summed separately.
+                # to BASELINE.md's recorded self-baseline; per-query
+                # times for ALL queries are in BENCH_DETAIL.json.
                 "metric": "headline_queries_total_wall",
                 "value": headline,
                 "unit": "sec",
-                "queries": timings,
-                "extended_total": round(
-                    sum(
-                        max(timings.get(n, 0.0), 0.0)
-                        for n in EXTENDED_QUERIES
-                    ),
-                    3,
-                ),
+                "queries": {n: timings.get(n) for n in BENCH_QUERIES},
+                "extended_total": extended_total,
+                "failed": failed,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

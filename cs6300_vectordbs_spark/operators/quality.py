@@ -190,3 +190,80 @@ def repetition_stats(
             _frac(F.col("top_bi"), F.col("n_bigrams")).alias("top_bigram_frac"),
         )
     )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n_tiles: int = 10,
+    *,
+    out_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ntile over a TOTAL order without the global single-
+    partition sort that ``ntile(n).over(Window.orderBy(...))`` compiles
+    to (Exchange SinglePartition + Sort — the one serial point Spark
+    ever forces, and a guaranteed OOM/straggler at 100 TB).
+
+    Distributed equivalent, bit-identical output for a total order:
+
+    1. ``repartitionByRange`` on the order key — a sampling-based range
+       exchange, every partition sorts in parallel;
+    2. per-partition local ``row_number`` (window partitioned by the
+       range-partition id — never a single reducer);
+    3. per-partition row counts (one tiny aggregate; P integers to the
+       driver) prefix-summed into offsets, broadcast back;
+    4. global_row = offset + local_row, and the exact SQL NTILE tile
+       formula: with N rows, the first N % n tiles get one extra row.
+
+    ``order_cols`` must be a TOTAL order (include a unique tie-break) —
+    that is also what makes plain ntile deterministic in the first
+    place.
+    """
+    spark = df.sparkSession
+    cols = [F.col(c) for c in order_cols]
+    P = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    ranged = df.repartitionByRange(P, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    from pyspark.sql.window import Window
+
+    wl = Window.partitionBy("__pid").orderBy(*cols)
+    local = ranged.withColumn("__lrn", F.row_number().over(wl))
+
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in local.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    )
+    n_total = sum(n for _, n in counts)
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "__pid int, __off bigint",
+        )
+    )
+    base, rem = divmod(n_total, n_tiles)
+    r = F.col("__off") + F.col("__lrn")  # 1-based global row index
+    threshold = rem * (base + 1)
+    if base == 0:
+        tile = r
+    else:
+        tile = F.when(
+            r <= F.lit(threshold),
+            F.floor((r - 1) / F.lit(base + 1)) + 1,
+        ).otherwise(
+            F.lit(rem) + F.floor((r - F.lit(threshold) - 1) / F.lit(base)) + 1
+        )
+    return (
+        local.join(off_df, on="__pid")
+        .withColumn(out_col, tile.cast("bigint"))
+        .drop("__pid", "__lrn", "__off")
+    )

@@ -391,3 +391,237 @@ def pairwise_similarity_blocked(
 
     src = spread(left).select(F.col(left_id).alias("id"), F.col(vec_col).alias("v"))
     return src.mapInPandas(gen, schema="id_a bigint, id_b bigint, sim double")
+
+
+def _grid_replicate(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    own_blocks: int,
+    other_blocks: int,
+    own_name: str,
+    other_name: str,
+    side: str,
+) -> DataFrame:
+    """Tag each row with its own hash-block and replicate it across all
+    blocks of the OTHER side: row i of side L lands in every grid cell
+    (block(i), *). One narrow explode — no driver round-trip."""
+    spark = df.sparkSession
+    other = F.broadcast(
+        spark.range(other_blocks).select(F.col("id").cast("int").alias(other_name))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(own_blocks))
+            .cast("int")
+            .alias(own_name),
+        )
+        .join(other, how="cross")
+        .withColumn("side", F.lit(side))
+    )
+
+
+def pairwise_similarity_grid(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    vec_col: str = "embedding",
+    min_sim: float | None = None,
+    upper_triangle: bool = True,
+    blocks: int = 8,
+) -> DataFrame:
+    """All-pairs cosine via a GRID-BLOCKED shuffle — fully distributed:
+    neither side is ever collected to the driver (the scale limit of
+    :func:`pairwise_similarity_blocked`, whose build side must fit in
+    one process). Both sides hash into ``blocks`` buckets; every
+    (left-bucket, right-bucket) grid cell is one shuffle group scored by
+    the same Arrow/numpy kernel with the same dimension-sequential
+    accumulation order — so results stay BIT-IDENTICAL to the broadcast
+    kernel, the JVM expression, and the DuckDB oracle.
+
+    Communication: each side is replicated ``blocks`` times (O(n * B)
+    shuffle for B^2-way parallelism) — the classic distributed
+    all-pairs trade; pick B ~ sqrt(cluster cores), keep per-cell data
+    (2 * n/B rows) inside executor memory. At 100 TB all-pairs is the
+    wrong algorithm regardless — use the LSH/IVF candidate paths — but
+    when an exact O(n^2) sweep is the job, this shape is the one that
+    runs: per-cell work is embarrassingly parallel and the driver holds
+    nothing.
+    """
+    import numpy as np
+
+    lrep = _grid_replicate(
+        left, left_id, vec_col,
+        own_blocks=blocks, other_blocks=blocks,
+        own_name="lb", other_name="rb", side="L",
+    )
+    rrep = _grid_replicate(
+        right, right_id, vec_col,
+        own_blocks=blocks, other_blocks=blocks,
+        own_name="rb", other_name="lb", side="R",
+    )
+    both = lrep.select("lb", "rb", "side", "id", "v").unionByName(
+        rrep.select("lb", "rb", "side", "id", "v")
+    )
+
+    want_min = min_sim
+    want_upper = upper_triangle
+
+    def cell(pdf):
+        import pandas as pd
+
+        lmask = pdf["side"].to_numpy() == "L"
+        lpdf, rpdf = pdf[lmask], pdf[~lmask]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64),
+                 "sim": np.array([], dtype=np.float64)}
+            )
+        rids = rpdf["id"].to_numpy(dtype=np.int64)
+        R = np.array(list(rpdf["v"]), dtype=np.float64)
+        d = R.shape[1]
+        RT = np.ascontiguousarray(R.T)
+        rsq = RT[0] * RT[0]
+        for j in range(1, d):
+            rsq = rsq + RT[j] * RT[j]
+        rnorm = np.sqrt(rsq)
+        lids = lpdf["id"].to_numpy(dtype=np.int64)
+        L = np.array(list(lpdf["v"]), dtype=np.float64)
+        dots = L[:, [0]] * RT[[0], :]
+        for j in range(1, d):
+            dots += L[:, [j]] * RT[[j], :]
+        lsq = L[:, 0] * L[:, 0]
+        for j in range(1, d):
+            lsq = lsq + L[:, j] * L[:, j]
+        denom = np.sqrt(lsq)[:, None] * rnorm[None, :]
+        zeros = denom == 0.0
+        sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+        mask = (
+            sims >= want_min if want_min is not None else np.ones_like(zeros)
+        )
+        if want_upper:
+            mask &= lids[:, None] < rids[None, :]
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame(
+            {"id_a": lids[ia], "id_b": rids[ib], "sim": sims[ia, ib]}
+        )
+
+    return both.groupBy("lb", "rb").applyInPandas(
+        cell, schema="id_a bigint, id_b bigint, sim double"
+    )
+
+
+def similarity_topk_grid(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    q_blocks: int = 8,
+    c_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine when the QUERY side is itself corpus-sized
+    (kNN-graph builds: every vector is a query) — fully distributed,
+    no driver collect. Queries hash into ``q_blocks`` buckets, corpus
+    into ``c_blocks``; each grid cell emits its LOCAL top-k per query
+    under the full (sim desc, id asc) order (any global winner is in
+    its cell's local top-k), then one exact window ranks the
+    O(c_blocks * k) candidates per query. Kernel arithmetic matches
+    :func:`similarity_topk_blocked` accumulation-for-accumulation, so
+    the result is bit-identical to the broadcast and JVM paths.
+
+    Shuffle: corpus replicated q_blocks times, queries c_blocks times —
+    O(n_c * B_q + n_q * B_c) instead of a driver-held query matrix; the
+    candidate shuffle into the final window is O(n_q * B_c * k).
+    """
+    import numpy as np
+
+    qrep = _grid_replicate(
+        queries, query_id, query_vec,
+        own_blocks=q_blocks, other_blocks=c_blocks,
+        own_name="qb", other_name="cb", side="Q",
+    )
+    crep = _grid_replicate(
+        corpus, corpus_id, corpus_vec,
+        own_blocks=c_blocks, other_blocks=q_blocks,
+        own_name="cb", other_name="qb", side="C",
+    )
+    both = qrep.select("qb", "cb", "side", "id", "v").unionByName(
+        crep.select("qb", "cb", "side", "id", "v")
+    )
+
+    def cell(pdf):
+        import pandas as pd
+
+        qmask = pdf["side"].to_numpy() == "Q"
+        qpdf, cpdf = pdf[qmask], pdf[~qmask]
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(
+                {"query_id": np.array([], dtype=np.int64),
+                 "cid": np.array([], dtype=np.int64),
+                 "sim": np.array([], dtype=np.float64)}
+            )
+        qids = qpdf["id"].to_numpy(dtype=np.int64)
+        Q = np.array(list(qpdf["v"]), dtype=np.float64)
+        d = Q.shape[1]
+        QT = np.ascontiguousarray(Q.T)  # (d, nq)
+        qsq = QT[0] * QT[0]
+        for j in range(1, d):
+            qsq = qsq + QT[j] * QT[j]
+        qnorm = np.sqrt(qsq)
+        lids = cpdf["id"].to_numpy(dtype=np.int64)
+        L = np.array(list(cpdf["v"]), dtype=np.float64)
+        dots = L[:, [0]] * QT[[0], :]
+        for j in range(1, d):
+            dots += L[:, [j]] * QT[[j], :]
+        lsq = L[:, 0] * L[:, 0]
+        for j in range(1, d):
+            lsq = lsq + L[:, j] * L[:, j]
+        denom = np.sqrt(lsq)[:, None] * qnorm[None, :]
+        zeros = denom == 0.0
+        sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(len(qids)):
+            col = sims[:, qi]
+            order = np.lexsort((lids, -col))
+            if exclude_self:
+                order = order[lids[order] != qids[qi]]
+            top = order[:k]
+            out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+            out_id.append(lids[top])
+            out_sim.append(col[top])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "cid": np.concatenate(out_id),
+                "sim": np.concatenate(out_sim),
+            }
+        )
+
+    cand = both.groupBy("qb", "cb").applyInPandas(
+        cell, schema="query_id bigint, cid bigint, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("cid").alias(corpus_id),
+            F.col("sim"),
+            (F.lit(1.0) - F.col("sim")).alias("dist"),
+        )
+    )

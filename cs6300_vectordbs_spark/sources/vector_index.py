@@ -88,6 +88,33 @@ def ivf_index_exists(path: str) -> bool:
     )
 
 
+def corpus_fingerprint(corpus: DataFrame, corpus_id: str,
+                       corpus_vec: str) -> str:
+    """Order-independent corpus identity: row count + sum of per-row
+    Murmur3 hashes over (id, vector). One map-side-combined aggregate
+    over the corpus — cheap relative to an index build, and it changes
+    whenever any row is added, dropped, or mutated."""
+    row = corpus.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.hash(F.col(corpus_id), F.col(corpus_vec)).cast("bigint")
+        ).alias("chk"),
+    ).collect()[0]
+    return f"{row['n']}:{row['chk']}"
+
+
+def _fingerprint_path(path: str) -> str:
+    return f"{path}/FINGERPRINT"
+
+
+def _read_fingerprint(path: str) -> str | None:
+    try:
+        with open(_fingerprint_path(path), "r", encoding="utf-8") as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
 def ensure_ivf_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -98,14 +125,20 @@ def ensure_ivf_index(
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
 ) -> None:
-    """S9 create-if-absent: a complete on-disk index is reused as-is
-    (the reference's count-guard analog, src/chroma.py:81-87); anything
-    partial or missing is rebuilt atomically via overwrite."""
-    if not ivf_index_exists(path):
-        build_ivf_index(
-            corpus, path, dim=dim, n_cells=n_cells,
-            corpus_id=corpus_id, corpus_vec=corpus_vec,
-        )
+    """S9 create-if-absent: a complete on-disk index whose stored
+    corpus fingerprint matches the live corpus is reused as-is (the
+    reference's count-guard analog, src/chroma.py:81-87 — but content-
+    addressed, so a regenerated corpus with the same row count still
+    invalidates); anything partial, missing, or stale is rebuilt."""
+    fp = corpus_fingerprint(corpus, corpus_id, corpus_vec)
+    if ivf_index_exists(path) and _read_fingerprint(path) == fp:
+        return
+    build_ivf_index(
+        corpus, path, dim=dim, n_cells=n_cells,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+    with open(_fingerprint_path(path), "w", encoding="utf-8") as f:
+        f.write(fp)
 
 
 def search_ivf_index(
@@ -229,9 +262,19 @@ def compact_ivf_index(spark: SparkSession, path: str) -> None:
         .filter(F.col("__rn") == 1)
         .select("id", F.lit(0).alias("gen"), "vec", "cell")
     )
-    # Rewrite through a checkpoint: the new files must not be derived
-    # lazily from the files being overwritten.
-    latest = latest.localCheckpoint(eager=True)
-    latest.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/cells"
-    )
+    # Write the full compacted generation BESIDE the live one, then
+    # swap. The source files stay intact until the replacement is
+    # completely materialized, so a mid-write failure leaves the old
+    # index serving (overwrite-in-place is delete-then-write and a
+    # crash mid-write destroys the index). On an object store the
+    # rename pair becomes a generation-pointer flip.
+    import shutil
+
+    tmp = f"{path}/cells.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    latest.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    old = f"{path}/cells.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(f"{path}/cells", old)
+    os.rename(tmp, f"{path}/cells")
+    shutil.rmtree(old, ignore_errors=True)

@@ -189,3 +189,85 @@ def test_sales_rollup_expands_before_single_aggregate(spark):
     assert "HashAggregate" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pair_queries_are_fully_distributed(spark):
+    """cosine_pairs / embedding_neardup / knn_graph_stats must never
+    collect a corpus-sized side to the driver: building the plan runs
+    ZERO Spark jobs (an eager collect would run one), and the physical
+    plan is the grid applyInPandas shape with no broadcast nested-loop
+    join carrying the corpus."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    tracker = spark.sparkContext.statusTracker()
+
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_grid,
+    )
+
+    def knn_core(spark, sf_dir):
+        # q_knn_graph_stats localCheckpoints its edge table (so the
+        # registered query's visible plan is post-checkpoint); the grid
+        # shape is asserted on the operator it builds the edges with.
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        allq = emb.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        return similarity_topk_grid(emb, allq, 3, exclude_self=True)
+
+    for builder in (m.q_cosine_pairs, m.q_embedding_neardup, knn_core):
+        group = f"plan-build-{builder.__name__}"
+        spark.sparkContext.setJobGroup(group, "plan construction only")
+        try:
+            df = builder(spark, SF_DIR)
+            plan = plan_of(df)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+        # Parquet footer/schema reads legitimately run a tiny job; a
+        # driver-side collect() of a corpus is the thing that must not.
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            for sid in info.stageIds:
+                sinfo = tracker.getStageInfo(sid)
+                assert sinfo is None or "collect" not in sinfo.name, (
+                    f"{builder.__name__} collected to the driver during "
+                    f"plan construction: stage {sinfo.name!r}"
+                )
+        assert "FlatMapGroupsInPandas" in plan
+        # The only nested-loop join allowed is the block-replication
+        # cross join, whose broadcast side is the B-row Range of block
+        # ids — never a parquet-backed (corpus) relation.
+        assert "CartesianProduct" not in plan
+        if "BroadcastNestedLoopJoin" in plan:
+            assert "Range" in plan
+            # every broadcast in the plan is the Range replication —
+            # the corpus scans must all feed shuffle exchanges
+            assert plan.count("BroadcastExchange") <= plan.count("Range (")
+
+    # The registered kNN query (which checkpoints its edge table during
+    # construction) must still never collect a corpus to the driver.
+    group = "plan-build-q_knn_graph_stats"
+    spark.sparkContext.setJobGroup(group, "plan construction only")
+    try:
+        m.q_knn_graph_stats(spark, SF_DIR)
+    finally:
+        spark.sparkContext.setJobGroup("", "")
+    for jid in tracker.getJobIdsForGroup(group):
+        for sid in tracker.getJobInfo(jid).stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            assert sinfo is None or "collect" not in sinfo.name
+
+
+def test_quality_deciles_has_no_single_partition_exchange(spark):
+    """exact_ntile must keep the decile assignment fully parallel: the
+    global-window ntile form compiles to Exchange SinglePartition +
+    Sort (one reducer sorts the entire corpus); the range-exchange +
+    local row_number form must never contain one."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_quality_deciles(spark, SF_DIR))
+    assert "SinglePartition" not in plan
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
