@@ -145,6 +145,76 @@ _SQL_COSINE = (
     "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))"
 )
 
+
+def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k search (V6) — the ``where=``/``filter=``
+    surface the reference stores advertise (/root/reference/src/
+    chroma.py:3, Chroma ``where`` / Pinecone ``filter``): corpus rows
+    join their document metadata and only ``lang = 'en'`` rows are
+    searchable. The filter goes through similarity_topk's filter_expr
+    PRE-join, so Catalyst pushes lang='en' into the documents parquet
+    scan (asserted in tests/test_plans.py) — at 100 TB the filter
+    prunes row groups before a single cosine is computed."""
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    out = similarity_topk(
+        corpus, _query_batch(emb), TOPK,
+        filter_expr="lang = 'en'", exclude_self=True, dim=EMB_DIM,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
+_ORACLE_FILTERED_TOPK = f"""
+WITH en AS (
+  SELECT em.* FROM embeddings em
+  JOIN documents d ON em.vec_id = d.doc_id
+  WHERE d.lang = 'en'
+), scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_SQL_COSINE} AS sim
+  FROM embeddings q JOIN en e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_search_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query latency capture (U3, the reference's
+    QueryResult.latency_ms): each query of the batch is answered and
+    wall-clocked individually inside the mapInPandas serving kernel
+    (operators/latency.py), then per-query latency rows feed the same
+    percentile aggregates as the reference's metrics table. Latency is
+    wall-clock → nondeterministic → rows-only driver check; the pytest
+    twin asserts the RESULT rows equal the exact batch search."""
+    from cs6300_vectordbs_spark.operators.latency import search_with_latency
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = search_with_latency(
+        emb, _query_batch(emb), TOPK, exclude_self=True
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+        "latency_ms",
+    )
+
 _ORACLE_TOPK = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_SQL_COSINE} AS sim
@@ -4216,10 +4286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "srp_lsh_topk": q_srp_lsh_topk,
+        "filtered_topk": q_filtered_topk,
         # -- beyond the 50-window: driver-green in r02 (see
         #    DRIVER_COVERAGE.md) or deferred to the r04 window --
+        "srp_lsh_topk": q_srp_lsh_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
+        "search_latency": q_search_latency,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -4368,6 +4440,8 @@ def oracle_sql() -> dict[str, str]:
         "clicks_before_error_stream": _ORACLE_CLICKS_BEFORE_STREAM,
         "kmv_distinct": _ORACLE_KMV,
         "cms_user_counts": _ORACLE_CMS,
+        "filtered_topk": _ORACLE_FILTERED_TOPK,
+        # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;
         # their correctness oracle is the exact topk/pairs queries above

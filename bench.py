@@ -127,6 +127,8 @@ EXTENDED_QUERIES = [
     "recall_per_query",
     "sequential_ids",
     "template_queries",
+    "filtered_topk",
+    "search_latency",
 ]
 
 

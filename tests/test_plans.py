@@ -271,3 +271,18 @@ def test_quality_deciles_has_no_single_partition_exchange(spark):
     plan = plan_of(m.q_quality_deciles(spark, SF_DIR))
     assert "SinglePartition" not in plan
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
+def test_filtered_topk_pushes_lang_filter_to_scan(spark):
+    """V6 metadata-filtered search: the lang='en' metadata predicate
+    must reach the documents parquet scan as a pushed filter (prunes
+    row groups before any cosine math), and the query batch stays the
+    broadcast side."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_filtered_topk(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("EqualTo(lang,en)" in ln for ln in pushed), pushed
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
