@@ -116,10 +116,19 @@ def bm25_topk(
     # rows, but computed over the much smaller postings table.
     dl = postings.groupBy("id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    totals = dl.agg(
+    # Collection-level constants (n_docs, avgdl) are INDEX METADATA:
+    # two scalars computed once at index-build time and embedded as
+    # literals, exactly as a stored inverted index keeps them in its
+    # header. Leaving them as a 1-row DataFrame made every consumer
+    # (the stop-term filter AND the scoring join) re-evaluate the
+    # whole dl-aggregate subtree — Spark does not share common
+    # subtrees across joins (measured: the pruned variant paid ~0.4 s
+    # extra at sf0.1 re-aggregating postings).
+    trow = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
+    ).collect()[0]
+    n_docs, avgdl = trow["n_docs"], trow["avgdl"]
 
     qt = queries.select(
         F.col(query_id).alias("__qid"),
@@ -139,27 +148,21 @@ def bm25_topk(
         # ~zero IDF but df x |queries| candidate rows (measured: the
         # top stop terms alone are most of a 9M-row candidate set at
         # sf0.1). Explicit pre-join pruning — not a post-join filter
-        # the optimizer may or may not sink.
-        stats = (
-            stats.crossJoin(F.broadcast(totals))
-            .filter(F.col("df") <= F.col("n_docs") * max_df_ratio)
-            .select("s", "df")
-        )
-    hit = (
-        qt.join(stats, on="s")
-        .join(postings, on="s")
-        .join(dl, on="id")
-        .crossJoin(F.broadcast(totals))
-    )
+        # the optimizer may or may not sink. n_docs is a literal, so
+        # this is a plain pushable comparison on the term table.
+        stats = stats.filter(
+            F.col("df") <= F.lit(n_docs) * max_df_ratio
+        ).select("s", "df")
+    hit = qt.join(stats, on="s").join(postings, on="s").join(dl, on="id")
 
     idf = F.log(
         F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        + (F.lit(n_docs) - F.col("df") + F.lit(0.5))
         / (F.col("df") + F.lit(0.5))
     )
     tf = F.col("tf").cast("double")
     denom = tf + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
     )
     term_score = idf * tf * F.lit(k1 + 1.0) / denom
 

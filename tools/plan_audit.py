@@ -137,6 +137,48 @@ event stream/scan never shuffles for the join and the streaming form
 is STATELESS (each micro-batch probes the same built hash table, no
 state store); the (segment, type) aggregate partial-combines
 map-side onto ~25 groups.""",
+    "cosine_pairs": """\
+Load-bearing properties: FULLY DISTRIBUTED all-pairs — no driver
+collect anywhere (r02 used a collect+broadcast kernel; the broadcast
+nested-loop joins below carry only the B-row Range of block ids).
+Both sides hash into B buckets and replicate across the other side's
+B buckets (O(nB) shuffle for B^2-way parallelism); every grid cell is
+one FlatMapGroupsInPandas group scored by the Arrow kernel with the
+JVM/DuckDB-identical accumulation order. Per-cell memory is 2n/B rows
+— pick B ~ sqrt(cores), nothing corpus-sized sits in one process.""",
+    "knn_graph_stats": """\
+Load-bearing properties: the kNN edge build is the grid top-k plan —
+the query side here is the WHOLE corpus, so the r02 collect-the-
+queries approach was the scale killer; now both sides shard into grid
+cells, each cell emits its local top-k per query (any global winner is
+in some cell's local top-k), and one exact window ranks O(c_blocks*k)
+candidates per query. Edges materialize once (checkpoint) before the
+degree union and the a<b<c triangle equi-join chain — three joins on
+an O(N*k) edge table, never on vectors.""",
+    "quality_deciles": """\
+Load-bearing properties: NO Exchange SinglePartition anywhere — the
+global-window ntile form serializes the entire corpus through one
+reducer; exact_ntile replaces it with RangePartitioning (sampling-
+based, every partition sorts in parallel) + per-partition row_number
++ tiny prefix-sum offset join (P integers), then the closed-form
+NTILE tile formula. Output is bit-identical to ntile(10) OVER (ORDER
+BY quality, doc_id) because the order is total.""",
+    "bm25_topk": """\
+Load-bearing properties: postings (term, doc, tf) materialize ONCE at
+the index boundary (checkpoint scan — at production scale this is the
+stored inverted index); n_docs/avgdl are collected once as INDEX
+METADATA and embedded as literals, so no consumer re-aggregates the
+corpus (the 1-row-DataFrame form re-evaluated the dl subtree per
+join); candidates come from the query-term EQUI-join against the
+postings index — shuffle volume O(matching postings), never
+|queries| x |docs|; per-query top-k is WindowGroupLimit.""",
+    "filtered_topk": """\
+Load-bearing properties: the metadata predicate (lang='en') is PUSHED
+through the corpus-metadata join into the documents parquet scan
+(PushedFilters below) — row groups prune BEFORE any cosine is
+computed, so selectivity multiplies directly into scan+flop cost; the
+query batch is broadcast and per-query top-k compiles to
+WindowGroupLimit, same as the unfiltered exact plan.""",
 }
 
 
