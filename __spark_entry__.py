@@ -4227,6 +4227,155 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_topk_cosine_exact(spark, "/root/testdata/sf0.001")
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concat-and-chunk): documents in
+    doc_id order are laid end-to-end and the token stream is cut into
+    256-token training sequences; output is the (seq_id, doc_id,
+    offset, n_tok) span manifest. The global token prefix sum runs
+    DISTRIBUTED (operators/packing.py — range exchange + local cumsum
+    + P-integer offsets), never a single-partition window; pure
+    integer arithmetic, so the DuckDB twin matches exactly."""
+    from cs6300_vectordbs_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").cast("bigint"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(toks, budget=256)
+
+
+_ORACLE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS ntok FROM documents
+), pos AS (
+  SELECT doc_id, ntok,
+         sum(ntok) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS e
+  FROM t
+), spans AS (
+  SELECT doc_id, ntok, e - ntok AS s, e FROM pos WHERE ntok > 0
+), ex AS (
+  -- constant series + filter (this DuckDB build rejects lateral
+  -- column bounds in generate_series); 64 covers any doc up to
+  -- 16384 tokens at budget 256
+  SELECT doc_id, s, e, (s // 256 + g.i) AS seq_id
+  FROM spans CROSS JOIN generate_series(0, 64) AS g(i)
+  WHERE (s // 256 + g.i) <= (e - 1) // 256
+)
+SELECT seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(s, seq_id * 256) - seq_id * 256)::BIGINT AS offset,
+       (least(e, (seq_id + 1) * 256)
+        - greatest(s, seq_id * 256))::BIGINT AS n_tok
+FROM ex
+"""
+
+
+def q_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score: mean negative log conditional
+    probability of the doc's bigrams under the CORPUS bigram LM (the
+    classic perplexity-style filter — boilerplate and spam score low
+    surprise, gibberish high). Corpus counts C(w1,w2)/C(w1) come from
+    two map-side-combined aggregates over the codegen shingle
+    pipeline; each doc's bigrams equi-join the (broadcastable at this
+    cardinality, shuffled at scale) LM table. -ln of an exact integer
+    ratio → identical doubles in any engine; the mean is a shuffled
+    float agg → round 9."""
+    from pyspark.sql.window import Window
+
+    from cs6300_vectordbs_spark.operators.util import spread
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    ex = (
+        spread(docs)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.posexplode(F.split(t, r"\s+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    wlead = Window.partitionBy("id").orderBy("pos")
+    pairs = (
+        ex.select(
+            "id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(wlead).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    lm = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    tot = lm.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    scored = (
+        pairs.join(lm, on=["w1", "w2"])
+        .join(tot, on="w1")
+        .select(
+            "id",
+            (-F.log(F.col("n12").cast("double") / F.col("n1"))).alias("nll"),
+        )
+    )
+    return scored.groupBy(F.col("id").cast("bigint").alias("doc_id")).agg(
+        F.round(F.avg("nll"), 9).alias("avg_nll"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    )
+
+
+_ORACLE_LM_SCORES = f"""
+WITH {_sql_shingles(2)},
+pairs AS (
+  SELECT doc_id, string_split(unnest(sh_all), ' ') AS p
+  FROM (SELECT doc_id,
+               [array_to_string(tk[i:i+1], ' ')
+                for i in generate_series(1, len(tk) - 1)] AS sh_all
+        FROM toks)
+), bi AS (
+  SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM pairs
+), lm AS (
+  SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2
+), tot AS (
+  SELECT w1, sum(n12) AS n1 FROM lm GROUP BY 1
+)
+SELECT b.doc_id, round(avg(-ln(n12 / n1)), 9) AS avg_nll,
+       count(*)::BIGINT AS n_bigrams
+FROM bi b JOIN lm USING (w1, w2) JOIN tot USING (w1)
+GROUP BY b.doc_id
+"""
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix weights: per-source token share raised to
+    temperature 0.7 and renormalized — the standard multi-corpus
+    sampling rule (T<1 upsamples rare sources). Two tiny aggregates;
+    nothing corpus-sized shuffles."""
+    from cs6300_vectordbs_spark.operators.packing import (
+        source_mixture_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return source_mixture_weights(
+        docs, tokens_col="n_tokens", temperature=0.7
+    )
+
+
+_ORACLE_MIXTURE = f"""
+WITH per AS (
+  SELECT source, sum(len({_SQL_TOKS}))::BIGINT AS n_items
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(n_items)::DOUBLE AS t FROM per),
+powed AS (
+  SELECT source, n_items, n_items / t AS share,
+         pow(n_items / t, 0.7) AS p
+  FROM per, tot
+), ptot AS (SELECT sum(p) AS pt FROM powed)
+SELECT source, n_items, round(share, 9) AS share,
+       round(p / pt, 9) AS weight
+FROM powed, ptot
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. Round 2's window covered the 48
@@ -4292,6 +4441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_lsh_topk": q_srp_lsh_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "search_latency": q_search_latency,
+        "pack_sequences": q_pack_sequences,
+        "lm_doc_scores": q_lm_doc_scores,
+        "source_mixture": q_source_mixture,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -4441,6 +4593,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": _ORACLE_KMV,
         "cms_user_counts": _ORACLE_CMS,
         "filtered_topk": _ORACLE_FILTERED_TOPK,
+        "pack_sequences": _ORACLE_PACK,
+        "lm_doc_scores": _ORACLE_LM_SCORES,
+        "source_mixture": _ORACLE_MIXTURE,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

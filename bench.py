@@ -129,6 +129,9 @@ EXTENDED_QUERIES = [
     "template_queries",
     "filtered_topk",
     "search_latency",
+    "pack_sequences",
+    "lm_doc_scores",
+    "source_mixture",
 ]
 
 
