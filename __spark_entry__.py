@@ -4376,6 +4376,113 @@ FROM powed, ptot
 
 
 
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume-customer query (TPC-H Q18 shape): orders whose
+    total line quantity exceeds a threshold, with customer identity
+    attached. The HAVING aggregate runs FIRST on lineitem alone
+    (map-side partial, shuffle keyed l_orderkey), and only qualifying
+    orderkeys — a tiny set — flow into the joins: at 100 TB the two
+    dimension probes see thousands of rows, not billions. Quantity
+    sums are exact integer-valued decimals; total order value stays
+    DECIMAL until the final cast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .alias("sum_qty")
+    ).filter(F.col("sum_qty") > 250)
+    return (
+        qty.join(orders, qty.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").cast("bigint"),
+            "c_name",
+            F.col("o_orderkey").cast("bigint"),
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("double")
+            .alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+_ORACLE_LARGE_ORDERS = """
+WITH qty AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(12,2)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate::DATE, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice::DECIMAL(12,2)::DOUBLE AS o_totalprice,
+       sum_qty::DOUBLE AS sum_qty
+FROM qty JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue report (TPC-H Q10 shape): per-customer
+    revenue lost to returns in a one-quarter order window, top 20.
+    The returnflag filter rides INTO the lineitem scan and the date
+    window into the orders scan (PushedFilters); revenue accumulates
+    in exact DECIMAL through a partial+final aggregate; the top-20 is
+    TakeOrderedAndProject (heap merge), never a global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+            .cast("double").alias("revenue")
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.col("c_custkey").cast("bigint"), "c_name", "n_name", "revenue"
+        )
+    )
+
+
+_ORACLE_RETURNED = """
+SELECT c_custkey, c_name, n_name,
+  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2)))::DOUBLE
+    AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. Round 2's window covered the 48
@@ -4444,6 +4551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "lm_doc_scores": q_lm_doc_scores,
         "source_mixture": q_source_mixture,
+        "large_orders": q_large_orders,
+        "returned_revenue": q_returned_revenue,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -4596,6 +4705,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _ORACLE_PACK,
         "lm_doc_scores": _ORACLE_LM_SCORES,
         "source_mixture": _ORACLE_MIXTURE,
+        "large_orders": _ORACLE_LARGE_ORDERS,
+        "returned_revenue": _ORACLE_RETURNED,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

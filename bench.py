@@ -132,6 +132,8 @@ EXTENDED_QUERIES = [
     "pack_sequences",
     "lm_doc_scores",
     "source_mixture",
+    "large_orders",
+    "returned_revenue",
 ]
 
 

@@ -286,3 +286,26 @@ def test_filtered_topk_pushes_lang_filter_to_scan(spark):
     assert any("EqualTo(lang,en)" in ln for ln in pushed), pushed
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_returned_revenue_pushdown_and_heap_topk(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_returned_revenue(spark, SF_DIR))
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_aggregates_before_joins(spark):
+    """The HAVING aggregate must run on lineitem alone so only
+    qualifying orderkeys reach the joins — the sum_qty filter sits on
+    the aggregate, not after the customer join."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_large_orders(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
