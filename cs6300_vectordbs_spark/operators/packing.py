@@ -40,6 +40,7 @@ def global_running_totals(
     value_col: str,
     *,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Adds ``__end`` (inclusive prefix sum of ``value_col`` over the
     total order ``order_cols``) without any single-partition exchange.
@@ -60,6 +61,13 @@ def global_running_totals(
     local = ranged.withColumn(
         "__lsum", F.sum(F.col(value_col).cast("bigint")).over(wl)
     )
+    # Materialize ONCE before counting — the totals job and the main
+    # job must see the identical range-partition assignment (a
+    # sampling-based exchange re-executed twice risks different
+    # boundaries → silently wrong offsets), and the input scans once.
+    # ``materialize=False`` exposes the lazy plan for plan tests.
+    if materialize:
+        local = local.localCheckpoint(eager=True)
     counts = sorted(
         (r["__pid"], r["t"])
         for r in local.groupBy("__pid")

@@ -199,6 +199,7 @@ def exact_ntile(
     *,
     out_col: str = "tile",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact ntile over a TOTAL order without the global single-
     partition sort that ``ntile(n).over(Window.orderBy(...))`` compiles
@@ -232,6 +233,14 @@ def exact_ntile(
 
     wl = Window.partitionBy("__pid").orderBy(*cols)
     local = ranged.withColumn("__lrn", F.row_number().over(wl))
+    # Materialize ONCE before counting: the counts job and the main job
+    # must see the identical range-partition assignment (re-executing a
+    # sampling-based range exchange twice risks different boundaries,
+    # which would silently mis-offset every tile), and the input is
+    # scanned once instead of twice. ``materialize=False`` exposes the
+    # lazy plan for tests that assert its shape.
+    if materialize:
+        local = local.localCheckpoint(eager=True)
 
     counts = sorted(
         (r["__pid"], r["n"])

@@ -264,13 +264,23 @@ def test_quality_deciles_has_no_single_partition_exchange(spark):
     """exact_ntile must keep the decile assignment fully parallel: the
     global-window ntile form compiles to Exchange SinglePartition +
     Sort (one reducer sorts the entire corpus); the range-exchange +
-    local row_number form must never contain one."""
+    local row_number form must never contain one. Asserted on the
+    un-materialized form (the default checkpoints the ranged frame,
+    which hides the exchange from the visible plan)."""
     import __spark_entry__ as m
+    from cs6300_vectordbs_spark.operators.quality import exact_ntile
     from tests.conftest import SF_DIR
 
-    plan = plan_of(m.q_quality_deciles(spark, SF_DIR))
+    stats = m.q_doc_stats(spark, SF_DIR)
+    tiled = exact_ntile(
+        stats, ["quality", "doc_id"], 10, out_col="decile",
+        materialize=False,
+    )
+    plan = plan_of(tiled)
     assert "SinglePartition" not in plan
-    assert "RangePartitioning" in plan or "rangepartitioning" in plan
+    assert "rangepartitioning" in plan.lower()
+    # and the registered query's final plan stays SinglePartition-free
+    assert "SinglePartition" not in plan_of(m.q_quality_deciles(spark, SF_DIR))
 
 
 def test_filtered_topk_pushes_lang_filter_to_scan(spark):
