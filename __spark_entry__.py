@@ -4483,6 +4483,32 @@ LIMIT 20
 
 
 
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (FAISS IndexIVFPQ shape): coarse-cell
+    pruning x PQ compression x exact re-rank — the production 100-TB
+    index layout. Deterministic end to end (sampled quantizers, fixed
+    tie rules) but the SQL twin would compound two already-large
+    oracles, so: rows-only driver check + the recall-vs-exact
+    invariant in tests/test_ann_pq.py."""
+    from cs6300_vectordbs_spark.operators.ann import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM,
+        n_cells=16, n_probe=8, m=8, ksub=16,
+        candidates_per_query=4 * TOPK, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+        "adc",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. Round 2's window covered the 48
@@ -4553,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "large_orders": q_large_orders,
         "returned_revenue": q_returned_revenue,
+        "ivfpq_topk": q_ivfpq_topk,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,

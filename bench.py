@@ -134,6 +134,7 @@ EXTENDED_QUERIES = [
     "source_mixture",
     "large_orders",
     "returned_revenue",
+    "ivfpq_topk",
 ]
 
 

@@ -629,3 +629,195 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", corpus_id, "sim", "adc")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    candidates_per_query: int | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ composite top-k — the FAISS production index shape
+    (IndexIVFPQ): the coarse quantizer prunes the search to probed
+    cells, product-quantization compresses what is scanned inside
+    them, and an exact re-rank fixes the shortlist. At 100 TB this is
+    THE layout: cell pruning cuts the scan to n_probe/n_cells of the
+    index, and the m-byte PQ codes make that remainder ~32x smaller
+    than raw float32 — the two savings multiply.
+
+    Fully deterministic (sampled centroids + sampled codebooks, ties
+    to lowest id, fixed subspace fold order) like its ivf_topk /
+    pq_topk parents — registered rows-only with a recall-vs-exact
+    invariant test (the SQL twin exists in principle but compounds
+    two already-large oracles).
+
+    Plan shape: centroids AND codebooks broadcast; the corpus pays
+    exactly two shuffles at index-build time (cell-assignment argmax,
+    PQ-encoding argmin — both map-side-combined groupBys) and the two
+    results join co-keyed on the vector id; per-query ADC tables join
+    the probed cells BROADCAST, so serving shuffle volume is
+    O(candidates in probed cells), then WindowGroupLimit shortlists
+    cand_n before the exact re-rank touches any raw vector.
+    """
+    sub = dim // m
+    cand_n = candidates_per_query or 4 * k
+
+    cent = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
+    )
+    cb = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(ksub)
+        .select(
+            (
+                F.row_number().over(Window.orderBy(F.col(corpus_id).asc())) - 1
+            ).alias("__cid"),
+            F.col(corpus_vec).alias("__cvec"),
+        )
+    )
+
+    def d2_slice(a: str, b: str, mi: int) -> Column:
+        o = mi * sub
+        return F.expr(
+            " + ".join(
+                f"((CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE))"
+                f" * (CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE)))"
+                for i in range(sub)
+            )
+        )
+
+    def dot_slice(a: str, b: str, mi: int) -> Column:
+        o = mi * sub
+        return F.expr(
+            " + ".join(
+                f"(CAST(`{a}`[{o + i}] AS DOUBLE) * CAST(`{b}`[{o + i}] AS DOUBLE))"
+                for i in range(sub)
+            )
+        )
+
+    # Index build pass 1: coarse cell assignment (argmax cosine, ties
+    # to lowest centroid id).
+    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    assigned = (
+        spread(corpus).crossJoin(F.broadcast(cent))
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.col("__cid"),
+                F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+            ).alias("cell")
+        )
+    )
+    # Index build pass 2: PQ encoding (per-subspace argmin L2, ties to
+    # lowest code).
+    enc = (
+        spread(corpus).crossJoin(F.broadcast(cb))
+        .groupBy(corpus_id)
+        .agg(
+            F.first(F.col(corpus_vec)).alias(corpus_vec),
+            *[
+                F.min_by(
+                    F.col("__cid"),
+                    F.struct(
+                        d2_slice(corpus_vec, "__cvec", mi).alias("d"),
+                        F.col("__cid").alias("c"),
+                    ),
+                ).alias(f"code{mi}")
+                for mi in range(m)
+            ],
+        )
+    )
+    indexed = enc.join(assigned, on=corpus_id)
+
+    # Per-query probes (n_probe nearest cells) and ADC tables.
+    qsim = cosine_sim("__qvec", "__cvec", dim)
+    qw = Window.partitionBy("__qid").orderBy(qsim.desc(), F.col("__cid").asc())
+    probes = (
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        .crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= n_probe)
+        .select("__qid", F.col("__cid").alias("cell"))
+    )
+    qt = (
+        queries.select(
+            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "__qid", "__qvec", "__cid",
+            *[
+                dot_slice("__qvec", "__cvec", mi).alias(f"pd{mi}")
+                for mi in range(m)
+            ],
+        )
+    )
+    qtab = qt.groupBy("__qid").agg(
+        F.first("__qvec").alias("__qvec"),
+        *[
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__cid").alias("c"),
+                            F.col(f"pd{mi}").alias("p"),
+                        )
+                    )
+                ),
+                lambda s: s["p"],
+            ).alias(f"tab{mi}")
+            for mi in range(m)
+        ],
+    )
+    probe_tabs = probes.join(qtab, on="__qid")
+
+    cand = indexed.join(F.broadcast(probe_tabs), on="cell")
+    if exclude_self:
+        cand = cand.filter(F.col(corpus_id) != F.col("__qid"))
+
+    adc_terms = [
+        F.element_at(F.col(f"tab{mi}"), F.col(f"code{mi}") + 1)
+        for mi in range(m)
+    ]
+    adc = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc = adc + t
+
+    cw = Window.partitionBy("__qid").orderBy(
+        F.col("__adc").desc(), F.col(corpus_id).asc()
+    )
+    shortlist = (
+        cand.withColumn("__adc", adc)
+        .withColumn("__crn", F.row_number().over(cw))
+        .filter(F.col("__crn") <= cand_n)
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        shortlist.select(
+            F.col("__qid").alias("query_id"),
+            F.col(corpus_id),
+            cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+            F.col("__adc").alias("adc"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", corpus_id, "sim", "adc")
+    )

@@ -50,3 +50,36 @@ def test_pq_candidate_stage_uses_window_group_limit(spark):
     plan = plan_of(pq_topk(emb, qs, 5, dim=64))
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_recall_against_exact(spark, emb):
+    """The IVF-PQ composite must behave like an ANN index: high recall
+    vs the exact search at generous probe/candidate settings, exact
+    ranks within its shortlist, deterministic across runs."""
+    from cs6300_vectordbs_spark.operators.ann import ivfpq_topk
+    from cs6300_vectordbs_spark.operators.similarity import similarity_topk
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = ivfpq_topk(
+        emb, queries, 5, dim=64, n_cells=8, n_probe=8, m=8, ksub=16,
+        candidates_per_query=40, exclude_self=True,
+    )
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    exact = similarity_topk(emb, queries, 5, exclude_self=True, dim=64)
+    want = {(r.query_id, r.vec_id) for r in exact.collect()}
+    # n_probe == n_cells probes every cell, so IVF prunes nothing and
+    # recall loss can only come from the PQ shortlist.
+    assert len(got & want) / len(want) >= 0.6
+    # determinism: a second run returns the identical result set
+    again = {
+        (r.query_id, r.vec_id)
+        for r in ivfpq_topk(
+            emb, queries, 5, dim=64, n_cells=8, n_probe=8, m=8, ksub=16,
+            candidates_per_query=40, exclude_self=True,
+        ).collect()
+    }
+    assert again == got

@@ -234,6 +234,7 @@ def test_driver_contract_registration_invariants():
         "ivf_kmeans_topk",
         "latency_percentiles_approx",
         "search_latency",
+        "ivfpq_topk",
     }
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())
