@@ -31,7 +31,7 @@ from ..functions.querygen import template_query
 from .judge import sim_judge_score, is_relevant
 from .metrics_ir import recall_at_k, ndcg_at_k
 from .sampling import hash_bucket
-from .similarity import similarity_topk
+from .similarity import similarity_topk_blocked
 
 
 def search_pipeline(
@@ -71,10 +71,11 @@ def search_pipeline(
         )
         .withColumn("query_vec", embed_text("query", dim))
     )
-    # JVM broadcast-join search: at this query-batch size the blocked
-    # Arrow kernel's query-collect + array transfer costs more than the
-    # codegen'd join saves (measured 12s vs 6s at sf0.1, nq=500).
-    hits = similarity_topk(
+    # Arrow-blocked search kernel: bit-identical to the JVM broadcast
+    # join (same IEEE order, same tie-break) and 2-4x faster at this
+    # shape (re-measured r03: 1.3-2.5 s vs 5.1-5.5 s at sf0.1, nq=500 —
+    # the per-pair codegen element_at eval dominates the JVM path).
+    hits = similarity_topk_blocked(
         corpus,
         queries,
         k,
@@ -83,7 +84,6 @@ def search_pipeline(
         query_id="query_id",
         query_vec="query_vec",
         exclude_self=False,
-        dim=dim,
     )
     # Recalibrated rubric: hash-projection embeddings put top-5 sims
     # roughly in [0.4, 0.9], so the 4.0 relevance bar maps to
