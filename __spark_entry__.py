@@ -4218,6 +4218,172 @@ def q_brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brp_lsh_pairs(emb, _query_batch(emb, N_QUERIES))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/text_search.py
+    tfidf_topterms): document-sharded postings, broadcast vocab stats,
+    per-doc top-k window that runs inside the shard partitions. Scores
+    round(9) before ranking, ties by term ascending."""
+    from cs6300_vectordbs_spark.operators.text_search import tfidf_topterms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_topterms(docs, k=3)
+    return out.select(
+        F.col("doc_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        "term",
+        "score",
+    )
+
+
+_ORACLE_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest({_SQL_TOKS}) AS s FROM documents
+),
+postings AS (SELECT id, s, count(*) AS tf FROM toks GROUP BY id, s),
+stats AS (SELECT s, count(*) AS df FROM postings GROUP BY s),
+nd AS (SELECT count(DISTINCT id) AS n FROM postings),
+scored AS (
+  SELECT id, s,
+         round(tf::DOUBLE * ln((SELECT n FROM nd)::DOUBLE / df), 9) AS score
+  FROM postings JOIN stats USING (s)
+),
+ranked AS (
+  SELECT id, s, score,
+         row_number() OVER (PARTITION BY id ORDER BY score DESC, s ASC) AS rnk
+  FROM scored
+)
+SELECT id AS doc_id, rnk::BIGINT AS rank, s AS term, score
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 state intervals from the append-only event log
+    (operators/timeseries.py state_history): each user's event_type
+    runs collapsed to (state, valid_from, valid_to, n_events) with the
+    open interval's valid_to NULL. One shuffle on user_id; both windows
+    and the run groupBy reuse the same (ts, event_id) total order."""
+    from cs6300_vectordbs_spark.operators.timeseries import state_history
+
+    ev = read_events(spark, sf_dir)
+    out = state_history(ev)
+    return out.select(
+        F.col("user_id").cast("bigint"),
+        "state",
+        "valid_from",
+        "valid_to",
+        F.col("n_events").cast("bigint"),
+    )
+
+
+_ORACLE_STATE_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+),
+runs0 AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered
+),
+runs AS (
+  SELECT user_id, run, min(ts) AS valid_from, min(event_type) AS state,
+         count(*) AS n_events
+  FROM runs0 GROUP BY user_id, run
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+       n_events
+FROM runs
+"""
+
+
+_RP_OUT_DIM = 16
+
+
+def q_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection dimensionality reduction
+    of the embedding corpus, 64 -> 16 dims (functions/vector.py
+    random_projection): the ±1 matrix is md5-derived driver-side and
+    baked into ONE codegen'd expression per output dim — a pure
+    map-only pass, no shuffle, no UDF, the canonical way to cheapen
+    downstream ANN/clustering at 100 TB. Output exploded to
+    (vec_id, dim, value) rows per the hashable-output policy."""
+    from cs6300_vectordbs_spark.functions.vector import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = random_projection("embedding", EMB_DIM, _RP_OUT_DIM)
+    return (
+        emb.select(F.col("vec_id").cast("bigint"), *cols)
+        .select(
+            "vec_id",
+            F.posexplode(F.array(*[F.col(f"rp{j}") for j in range(_RP_OUT_DIM)]))
+            .alias("dim", "__v"),
+        )
+        .select("vec_id", F.col("dim").cast("bigint"), F.round("__v", 9).alias("value"))
+    )
+
+
+def _oracle_rp() -> str:
+    from cs6300_vectordbs_spark.functions.vector import projection_signs
+
+    signs = projection_signs(EMB_DIM, _RP_OUT_DIM)
+    selects = []
+    for j in range(_RP_OUT_DIM):
+        expr = " + ".join(
+            f"({'' if signs[j][i] > 0 else '- '}CAST(embedding[{i + 1}] AS DOUBLE))"
+            for i in range(EMB_DIM)
+        )
+        selects.append(
+            f"SELECT vec_id, {j}::BIGINT AS dim, "
+            f"round(({expr}) / 8.0, 9) AS value FROM embeddings"
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+def q_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split report (80/10/10 by the
+    Knuth hash bucket of doc_id — the same keyed hash every sampling
+    operator uses, so the split is stable across runs, engines, and
+    re-partitioning). One map-side-combined groupBy; the scale cost is
+    a single corpus pass."""
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100)
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+_ORACLE_SPLIT = """
+WITH b AS (
+  SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 AS bucket,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM b GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4580,6 +4746,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_orders": q_large_orders,
         "returned_revenue": q_returned_revenue,
         "ivfpq_topk": q_ivfpq_topk,
+        "tfidf_keywords": q_tfidf_keywords,
+        "user_state_history": q_user_state_history,
+        "rp_projection": q_rp_projection,
+        "split_summary": q_split_summary,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -4734,6 +4904,10 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture": _ORACLE_MIXTURE,
         "large_orders": _ORACLE_LARGE_ORDERS,
         "returned_revenue": _ORACLE_RETURNED,
+        "tfidf_keywords": _ORACLE_TFIDF,
+        "user_state_history": _ORACLE_STATE_HISTORY,
+        "rp_projection": _oracle_rp(),
+        "split_summary": _ORACLE_SPLIT,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

@@ -147,3 +147,51 @@ def cosine_from_parts(
     """
     denom = norm_a * norm_b
     return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot_col / denom)
+
+
+def projection_signs(in_dim: int, out_dim: int, tag: str = "rp") -> list[list[int]]:
+    """Deterministic ±1 sign matrix for sparse random projection
+    (Achlioptas-style), derived from md5 so every engine — and the SQL
+    oracle — can reproduce it without sharing RNG state. Entry (j, i)
+    is +1 when the first hex nibble of md5("{tag}|{j}|{i}") is even.
+
+    Computed DRIVER-SIDE with hashlib and embedded as plan literals:
+    the matrix is out_dim x in_dim (~1k ints), so baking it into the
+    expression costs nothing, while hashing per-row in the engine
+    would redo the same in_dim x out_dim digests for every vector.
+    """
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{tag}|{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    vec: str, in_dim: int, out_dim: int, *, tag: str = "rp"
+) -> list[Column]:
+    """Johnson-Lindenstrauss sign projection of an array column:
+    out[j] = sum_i v[i] * sign(j, i) / sqrt(in_dim).
+
+    Returns ``out_dim`` Columns (one per output dimension), each a
+    single codegen'd F.expr — a pure map-side pass with no shuffle, no
+    UDF, no per-row hashing: THE way to cheapen downstream ANN /
+    clustering at 100 TB (project once, index the short vectors).
+    ``vec`` must be a plain column name.
+    """
+    signs = projection_signs(in_dim, out_dim, tag)
+    scale = float(in_dim) ** 0.5
+    cols = []
+    for j in range(out_dim):
+        expr = " + ".join(
+            f"({'' if signs[j][i] > 0 else '- '}CAST(`{vec}`[{i}] AS DOUBLE))"
+            for i in range(in_dim)
+        )
+        cols.append((F.expr(expr) / F.lit(scale)).alias(f"rp{j}"))
+    return cols

@@ -204,3 +204,62 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", id_col, "score")
     )
+
+
+def tfidf_topterms(
+    docs: DataFrame,
+    k: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the standard corpus-level
+    keyword/topic extraction pass of a training-data pipeline (and the
+    classic lexical twin of per-doc embedding summaries).
+
+    score(t, d) = tf(t, d) * ln(N / df(t)), rounded to 9 decimals
+    BEFORE ranking (the repo's cross-engine float policy for ln);
+    ranking ties break by term ascending. N counts docs with >= 1
+    token, consistent with the postings the stats derive from.
+
+    Plan: the same document-sharded postings build as :func:`bm25_topk`
+    (tokenize -> one (id, term) groupBy, repartitioned by doc id), df
+    attached via a vocab-sized broadcast, and the per-doc top-k window
+    partitioned by the SHARD KEY (doc id) — WindowGroupLimit runs
+    entirely within each index partition, so the whole pass after the
+    index build is exchange-free. At 100 TB: two map-side-combined
+    aggregates plus a map-only scoring pass.
+    """
+    toks = shingle_rows(
+        docs, id_col=id_col, text_col=text_col, n=1, distinct=False
+    )
+    spark = docs.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    postings = (
+        toks.groupBy("id", "s")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition(p, "id")
+        .persist()
+    )
+    n_docs = postings.select("id").distinct().count()
+    stats = postings.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    scored = postings.join(F.broadcast(stats), on="s").select(
+        "id",
+        "s",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            9,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("s").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", F.col("s").alias("term"),
+            "score",
+        )
+    )

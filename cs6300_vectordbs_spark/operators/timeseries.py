@@ -166,3 +166,62 @@ def gap_fill_hourly(
             F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum"),
         )
     )
+
+
+def state_history(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """SCD2-style state history: collapse each key's event stream into
+    change intervals ``(key, state, valid_from, valid_to, n_events)``
+    — the slowly-changing-dimension type-2 shape every warehouse uses
+    for snapshot lineage, built from an append-only event log.
+
+    A row opens a new interval when its state differs from the
+    previous event's state (lag over (key) ordered by (ts, tie));
+    ``valid_to`` is the next interval's start (NULL for the open
+    interval — the standard "current row" marker) and ``n_events``
+    counts the events collapsed into the interval.
+
+    Plan: two windows over the SAME (key, ts, tie) ordering — Spark
+    plans one Exchange + one Sort and reuses them for both window
+    frames — then a groupBy on (key, interval-start) that the window
+    partitioning already co-locates. One shuffle total, keyed by the
+    entity id; no global ordering anywhere. The tie column makes the
+    order total, so the intervals are deterministic in any engine.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tie_col).asc()
+    )
+    marked = events.select(
+        key_col, ts_col, tie_col, state_col,
+        F.when(
+            F.lag(state_col).over(w).isNull()
+            | (F.lag(state_col).over(w) != F.col(state_col)),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("__chg"),
+    ).withColumn(
+        "__run",
+        F.sum("__chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = marked.groupBy(key_col, "__run").agg(
+        F.min(ts_col).alias("valid_from"),
+        # every row in a run shares one state by construction; min() is
+        # the deterministic way to say "that state" in any engine
+        F.min(state_col).alias("state"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col("__run").asc())
+    return runs.select(
+        key_col,
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )

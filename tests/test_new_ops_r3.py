@@ -1,0 +1,116 @@
+"""Round-3 additions: TF-IDF keywords, SCD2 state history, random
+projection, split summary — each vs an independent pure-Python
+reference."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.functions.vector import (
+    projection_signs,
+    random_projection,
+)
+from cs6300_vectordbs_spark.operators.text_search import tfidf_topterms
+from cs6300_vectordbs_spark.operators.timeseries import state_history
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog chased the cat"),
+    (3, "quantum entanglement of photons"),
+    (4, "the cat and the dog and the mat"),
+    (5, "photons scatter off the mat"),
+]
+
+
+def test_tfidf_topterms(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    got = {
+        (r.doc_id, r.rank): (r.term, r.score)
+        for r in tfidf_topterms(docs, k=2).collect()
+    }
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(DOCS)
+    df = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    for d, t in toks.items():
+        scores = sorted(
+            (
+                (-round(t.count(term) * math.log(n / df[term]), 9), term)
+                for term in set(t)
+            ),
+        )
+        for i, (neg, term) in enumerate(scores[:2]):
+            assert got[(d, i + 1)] == (term, -neg), (d, i)
+
+
+def test_state_history_runs(spark):
+    rows = [
+        # user 1: A A B A  -> intervals A(2 events), B(1), A(1, open)
+        (1, "2024-01-01 00:00:00", 1, "A"),
+        (1, "2024-01-01 01:00:00", 2, "A"),
+        (1, "2024-01-01 02:00:00", 3, "B"),
+        (1, "2024-01-01 03:00:00", 4, "A"),
+        # user 2: single event -> one open interval
+        (2, "2024-01-01 00:30:00", 5, "C"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts string, event_id bigint, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(
+        (r.user_id, r.state, str(r.valid_from), str(r.valid_to), r.n_events)
+        for r in state_history(ev).collect()
+    )
+    assert out == [
+        (1, "A", "2024-01-01 00:00:00", "2024-01-01 02:00:00", 2),
+        (1, "A", "2024-01-01 03:00:00", "None", 1),
+        (1, "B", "2024-01-01 02:00:00", "2024-01-01 03:00:00", 1),
+        (2, "C", "2024-01-01 00:30:00", "None", 1),
+    ]
+
+
+def test_state_history_intervals_partition_time(spark):
+    """Intervals of one user never overlap and chain exactly:
+    each valid_to equals the next valid_from in time order."""
+    from cs6300_vectordbs_spark.io import read_events
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    hist = state_history(ev.limit(2000)).collect()
+    byu = {}
+    for r in hist:
+        byu.setdefault(r.user_id, []).append(r)
+    for u, rows in byu.items():
+        rows.sort(key=lambda r: r.valid_from)
+        opens = [r for r in rows if r.valid_to is None]
+        assert len(opens) == 1  # exactly one current interval
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from
+
+
+def test_random_projection_matches_numpy(spark, emb):
+    import numpy as np
+
+    dim = len(emb.select("embedding").first()[0])
+    out_dim = 4
+    cols = random_projection("embedding", dim, out_dim)
+    got = {
+        r.vec_id: [r[f"rp{j}"] for j in range(out_dim)]
+        for r in emb.select("vec_id", *cols).limit(50).collect()
+    }
+    S = np.array(projection_signs(dim, out_dim), dtype=np.float64)
+    for r in emb.select("vec_id", "embedding").limit(50).collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        want = S @ v / math.sqrt(dim)
+        assert np.allclose(got[r.vec_id], want, atol=1e-9), r.vec_id
+
+
+def test_projection_signs_deterministic():
+    a = projection_signs(8, 3)
+    b = projection_signs(8, 3)
+    assert a == b
+    assert all(x in (-1, 1) for row in a for x in row)
+    # different tag -> different matrix (not a constant function)
+    assert projection_signs(8, 3, tag="other") != a
