@@ -4384,6 +4384,181 @@ FROM b GROUP BY 1
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid outliers (operators/similarity.py
+    centroid_outliers): 3 farthest vectors from their own label's
+    rounded centroid — the mislabeled-sample diagnostic. Broadcast
+    centroid arrays, map-only unrolled distance, WindowGroupLimit
+    top-k per label."""
+    from cs6300_vectordbs_spark.operators.similarity import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb, k=3, dim=EMB_DIM)
+    return out.select(
+        F.col("label").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "dist",
+    )
+
+
+def _oracle_outliers() -> str:
+    sq = " + ".join(
+        f"((CAST(embedding[{i + 1}] AS DOUBLE) - cv[{i + 1}])"
+        f" * (CAST(embedding[{i + 1}] AS DOUBLE) - cv[{i + 1}]))"
+        for i in range(EMB_DIM)
+    )
+    return f"""
+WITH cent AS (
+  SELECT label, j, round(avg(embedding[j + 1]::DOUBLE), 9) AS c
+  FROM embeddings
+  CROSS JOIN generate_series(0, {EMB_DIM - 1}) AS t(j)
+  GROUP BY label, j
+),
+carr AS (SELECT label, list(c ORDER BY j) AS cv FROM cent GROUP BY label),
+d AS (
+  SELECT e.label, e.vec_id, sqrt({sq}) AS dist
+  FROM embeddings e JOIN carr USING (label)
+),
+ranked AS (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id ASC) AS rnk
+  FROM d
+)
+SELECT label::BIGINT AS label, rnk::BIGINT AS rank, vec_id::BIGINT AS vec_id,
+       round(dist, 9) AS dist
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: MinHash-LSH pair
+    graph -> connected-component clusters -> keep the HIGHEST-QUALITY
+    member per cluster (ties to lowest id) instead of clean_corpus's
+    min-id canonical — what a curation pipeline actually ships. The
+    survivor pick is one max_by aggregate over the (tiny) cluster
+    membership joined to the oracle-verified quality score."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    )
+    clusters = dedup_clusters(pairs)
+    qual = q_doc_stats(spark, sf_dir).select("doc_id", "quality")
+    j = clusters.join(qual, on="doc_id")
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                F.col("doc_id"),
+                F.struct(
+                    F.col("quality").alias("q"),
+                    (-F.col("doc_id")).alias("nid"),
+                ),
+            ).alias("survivor_id"),
+            F.max("quality").alias("best_quality"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("cluster_id").cast("bigint"),
+            F.col("survivor_id").cast("bigint"),
+            "best_quality",
+            F.col("n_members").cast("bigint"),
+        )
+    )
+
+
+def _oracle_best_survivors() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_SQL_CLOSURE},
+clusters AS (
+  SELECT a AS doc_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+),
+qual AS (
+  SELECT doc_id, quality FROM ({_ORACLE_DOC_STATS})
+),
+j AS (
+  SELECT c.cluster_id, c.doc_id, q.quality
+  FROM clusters c JOIN qual q USING (doc_id)
+),
+ranked AS (
+  SELECT cluster_id, doc_id, quality,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM j
+)
+SELECT cluster_id::BIGINT AS cluster_id, doc_id::BIGINT AS survivor_id,
+       quality AS best_quality, n::BIGINT AS n_members
+FROM ranked WHERE rnk = 1
+"""
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-granular exact dedup: fingerprint every 32-token chunk
+    (md5 of the whitespace-normalized chunk text) and report
+    fingerprints appearing in more than one DOCUMENT — the
+    sub-document duplication a doc-level dedup misses (boilerplate,
+    shared headers, license blocks). Map-only chunking + one
+    fingerprint groupBy with map-side combine; at 100 TB this is the
+    cheapest dedup pass in the pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    fp = chunks.select(
+        F.col("doc_id"),
+        F.substring(
+            F.md5(
+                F.regexp_replace(F.lower(F.trim("chunk_text")), r"\s+", " ")
+            ),
+            1,
+            16,
+        ).alias("chunk_fp"),
+    )
+    return (
+        fp.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "chunk_fp",
+            F.col("n_chunks").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("min_doc").cast("bigint"),
+        )
+    )
+
+
+_ORACLE_CHUNK_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+st AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(0, greatest(len(tk) - 1, 0), 24)) AS start
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(tk[start + 1 : start + 32], ' ') AS chunk_text
+  FROM st WHERE start < n
+),
+fp AS (
+  SELECT doc_id,
+         substr(md5(regexp_replace(lower(trim(chunk_text)), '\\s+', ' ', 'g')),
+                1, 16) AS chunk_fp
+  FROM chunks
+)
+SELECT chunk_fp, count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS min_doc
+FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4750,6 +4925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_history": q_user_state_history,
         "rp_projection": q_rp_projection,
         "split_summary": q_split_summary,
+        "embedding_outliers": q_embedding_outliers,
+        "best_survivors": q_best_survivors,
+        "chunk_dedup": q_chunk_dedup,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -4908,6 +5086,9 @@ def oracle_sql() -> dict[str, str]:
         "user_state_history": _ORACLE_STATE_HISTORY,
         "rp_projection": _oracle_rp(),
         "split_summary": _ORACLE_SPLIT,
+        "embedding_outliers": _oracle_outliers(),
+        "best_survivors": _oracle_best_survivors(),
+        "chunk_dedup": _ORACLE_CHUNK_DEDUP,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

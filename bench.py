@@ -135,6 +135,13 @@ EXTENDED_QUERIES = [
     "large_orders",
     "returned_revenue",
     "ivfpq_topk",
+    "tfidf_keywords",
+    "user_state_history",
+    "rp_projection",
+    "split_summary",
+    "embedding_outliers",
+    "best_survivors",
+    "chunk_dedup",
 ]
 
 

@@ -625,3 +625,74 @@ def similarity_topk_grid(
             (F.lit(1.0) - F.col("sim")).alias("dist"),
         )
     )
+
+
+def centroid_outliers(
+    vectors: DataFrame,
+    k: int = 3,
+    *,
+    dim: int,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding outliers: the k vectors farthest (L2) from
+    their own label's centroid — the standard mislabeled-sample /
+    corpus-drift diagnostic over a labeled embedding corpus.
+
+    Determinism across engines: centroids are the per-(label, dim)
+    shuffled avg ROUNDED to 9 dp (the same policy label_centroids
+    uses), collected into a dim-ordered array; the distance is then a
+    statically-unrolled fixed-order expression over (vector, rounded
+    centroid) — bit-identical everywhere — and rounded once more for
+    the output column. Ranking ties break by id ascending.
+
+    Plan at scale: one posexplode aggregate for centroids (shuffle
+    cardinality |labels| x dim), centroid ARRAY table is |labels| rows
+    -> broadcast; per-vector distance is a map-only unrolled
+    expression; per-label top-k is WindowGroupLimit (partial top-k
+    before the one tiny shuffle). No corpus-sized shuffle anywhere.
+    """
+    ex = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("d", "__x"),
+    )
+    cent = (
+        ex.groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("__x").cast("double")), 9).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("c")))
+                ),
+                lambda s: s["c"],
+            ).alias("__cv")
+        )
+    )
+    sq = " + ".join(
+        f"((CAST(`{vec_col}`[{i}] AS DOUBLE) - `__cv`[{i}])"
+        f" * (CAST(`{vec_col}`[{i}] AS DOUBLE) - `__cv`[{i}]))"
+        for i in range(dim)
+    )
+    d = (
+        vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col),
+        )
+        .join(F.broadcast(cent), on="label")
+        .select(
+            "label", "vec_id", F.sqrt(F.expr(sq)).alias("__dist")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("__dist").desc(), F.col("vec_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "label", "rank", "vec_id", F.round("__dist", 9).alias("dist")
+        )
+    )

@@ -114,3 +114,52 @@ def test_projection_signs_deterministic():
     assert all(x in (-1, 1) for row in a for x in row)
     # different tag -> different matrix (not a constant function)
     assert projection_signs(8, 3, tag="other") != a
+
+
+def test_centroid_outliers_invariants(spark, emb):
+    from cs6300_vectordbs_spark.operators.similarity import centroid_outliers
+
+    dim = len(emb.select("embedding").first()[0])
+    out = centroid_outliers(emb, k=3, dim=dim).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r.label, []).append(r)
+    n_labels = emb.select("label").distinct().count()
+    assert len(by_label) == n_labels
+    for label, rows in by_label.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        # ranks descend in distance
+        for a, b in zip(rows, rows[1:]):
+            assert a.dist >= b.dist
+        assert all(r.dist >= 0 for r in rows)
+
+
+def test_chunk_dedup_finds_planted_dup(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta " * 16),
+            (2, "alpha beta gamma delta " * 16),   # same text, other doc
+            (3, "totally different content here " * 16),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    import __spark_entry__ as e
+    from cs6300_vectordbs_spark.operators.chunking import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    fp = chunks.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.regexp_replace(F.lower(F.trim("chunk_text")), r"\s+", " ")),
+            1, 16,
+        ).alias("chunk_fp"),
+    )
+    dup = (
+        fp.groupBy("chunk_fp")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .collect()
+    )
+    assert len(dup) > 0 and all(r.n_docs == 2 for r in dup)
