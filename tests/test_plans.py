@@ -319,3 +319,70 @@ def test_large_orders_aggregates_before_joins(spark):
     plan = plan_of(m.q_large_orders(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_scoring_groupby_needs_no_candidate_exchange(spark, docs):
+    """The document-sharded postings index (repartition by doc id +
+    persist) must let the (query, doc) scoring aggregate complete
+    WITHOUT shuffling the candidate set: queries broadcast, candidates
+    generated in place, HashAggregate keyed (qid, id) satisfied by the
+    shard partitioning."""
+    from cs6300_vectordbs_spark.operators.text_search import bm25_topk
+
+    qs = docs.limit(20).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    plan = plan_of(bm25_topk(docs, qs, k=5))
+    # the query-term side reaches the candidate join as a broadcast
+    assert "BroadcastHashJoin" in plan
+    # the only ENSURE_REQUIREMENTS exchanges allowed are the final
+    # per-query window rank; the scoring groupBy must not add one
+    # keyed on the candidate (qid, id) pair.
+    import re
+
+    cand_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+        and "query_id" in ln
+        and "doc_id" in ln
+    ]
+    assert cand_exchanges == [], cand_exchanges
+
+
+def test_rp_projection_is_map_only(spark, emb):
+    """JL sign projection must compile to a pure scan+project plan:
+    no Exchange, no aggregate, no UDF — the 100 TB map-only contract."""
+    from cs6300_vectordbs_spark.functions.vector import random_projection
+
+    dim = len(emb.select("embedding").first()[0])
+    out = emb.select("vec_id", *random_projection("embedding", dim, 8))
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_outliers_broadcasts_centroids_with_partial_topk(spark, emb):
+    from cs6300_vectordbs_spark.operators.similarity import centroid_outliers
+
+    dim = len(emb.select("embedding").first()[0])
+    plan = plan_of(centroid_outliers(emb, k=3, dim=dim))
+    # centroid array table (|labels| rows) joins broadcast
+    assert "BroadcastHashJoin" in plan
+    # per-label top-k is a partial top-k before the shuffle
+    assert "WindowGroupLimit" in plan
+    # no cartesian anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_state_history_reuses_one_sort_for_both_windows(spark):
+    from cs6300_vectordbs_spark.io import read_events
+    from cs6300_vectordbs_spark.operators.timeseries import state_history
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    plan = plan_of(state_history(ev))
+    # exactly one shuffle keyed on the entity id for the lag/run
+    # windows (the run groupBy and lead window ride the same
+    # partitioning); no global (un-keyed) exchange.
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
