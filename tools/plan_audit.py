@@ -164,14 +164,34 @@ based, every partition sorts in parallel) + per-partition row_number
 NTILE tile formula. Output is bit-identical to ntile(10) OVER (ORDER
 BY quality, doc_id) because the order is total.""",
     "bm25_topk": """\
-Load-bearing properties: postings (term, doc, tf) materialize ONCE at
-the index boundary (checkpoint scan — at production scale this is the
-stored inverted index); n_docs/avgdl are collected once as INDEX
-METADATA and embedded as literals, so no consumer re-aggregates the
-corpus (the 1-row-DataFrame form re-evaluated the dl subtree per
-join); candidates come from the query-term EQUI-join against the
-postings index — shuffle volume O(matching postings), never
-|queries| x |docs|; per-query top-k is WindowGroupLimit.""",
+Load-bearing properties: the postings index is DOCUMENT-SHARDED
+(repartition by doc id + persist — the shard layout of every search
+engine; persist keeps the HashPartitioning metadata checkpoint drops);
+BM25 impacts idf*tf*(k1+1)/denom are precomputed on the O(index)
+postings rows (Lucene's impact lists, relationally), with dl attached
+co-partitioned and vocab stats broadcast; query terms BROADCAST into
+the shards, so candidates are generated in place and the (query, doc)
+scoring aggregate completes with NO exchange of the candidate set
+(measured 4x on the sf0.1 query path); n_docs/avgdl are collected
+once as index metadata literals; per-query top-k is WindowGroupLimit.""",
+    "tfidf_keywords": """\
+Load-bearing properties: same document-sharded postings build as
+bm25_topk; df joins broadcast; the per-doc top-k window PARTITIONS BY
+THE SHARD KEY, so WindowGroupLimit ranks entirely inside the index
+partitions — the whole pass after the index build is exchange-free.""",
+    "rp_projection": """\
+Load-bearing properties: the ±1 JL matrix is md5-derived DRIVER-SIDE
+and baked into one codegen'd expression per output dim — the plan is
+scan + project only: no Exchange, no aggregate, no Python. At 100 TB
+this is a single map pass that cheapens every downstream ANN/cluster
+stage 4x in width.""",
+    "embedding_outliers": """\
+Load-bearing properties: centroid arrays (|labels| rows) BROADCAST to
+the corpus; the distance is a statically-unrolled fixed-order
+expression over the rounded centroid (bit-identical in any engine);
+per-label top-k is WindowGroupLimit partial top-k. The only
+corpus-keyed shuffle is the posexplode centroid aggregate, whose
+reduce cardinality is |labels| x dim regardless of corpus size.""",
     "filtered_topk": """\
 Load-bearing properties: the metadata predicate (lang='en') is PUSHED
 through the corpus-metadata join into the documents parquet scan
