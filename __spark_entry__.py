@@ -4559,6 +4559,100 @@ FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
 """
 
 
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the scalar
+    MAX subquery decorrelates to a 1-row aggregate broadcast-crossed
+    against the per-supplier revenue table — no second scan of
+    lineitem, no window over a single partition. Money stays DECIMAL
+    through the sum and the equality compare (exact), cast to double
+    only in the output projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,0)") - disc)
+    per_sup = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("__r"))
+    )
+    mx = per_sup.agg(F.max("__r").alias("__mx"))
+    return (
+        per_sup.crossJoin(F.broadcast(mx))
+        .filter(F.col("__r") == F.col("__mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("bigint"),
+            "s_name",
+            F.col("__r").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+_ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS r
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, r::DOUBLE AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE r = (SELECT max(r) FROM rev)
+"""
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts above a global-revenue-share floor, 0.075%): the
+    correlated HAVING against a corpus-wide total decorrelates to a
+    1-row total aggregated FROM the per-part table (one lineitem scan
+    feeds both sides) broadcast-crossed back. Exact DECIMAL sums; the
+    threshold compare and the share column go through double
+    identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,0)") - disc)
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("__r"))
+    tot = per_part.agg(F.sum("__r").alias("__tot"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__r").cast("double")
+            > F.col("__tot").cast("double") * F.lit(0.00075)
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").cast("bigint"),
+            "p_name",
+            F.col("__r").cast("double").alias("revenue"),
+            F.round(
+                F.col("__r").cast("double") / F.col("__tot").cast("double"), 9
+            ).alias("share"),
+        )
+    )
+
+
+_ORACLE_IMPORTANT_PARTS = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))) AS r
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT sum(r) AS t FROM rev)
+SELECT p_partkey, p_name, r::DOUBLE AS revenue,
+       round(r::DOUBLE / t::DOUBLE, 9) AS share
+FROM rev CROSS JOIN tot
+JOIN part ON p_partkey = l_partkey
+WHERE r::DOUBLE > t::DOUBLE * 0.00075
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4928,6 +5022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "best_survivors": q_best_survivors,
         "chunk_dedup": q_chunk_dedup,
+        "top_supplier": q_top_supplier,
+        "important_parts": q_important_parts,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -5089,6 +5185,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _oracle_outliers(),
         "best_survivors": _oracle_best_survivors(),
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
+        "top_supplier": _ORACLE_TOP_SUPPLIER,
+        "important_parts": _ORACLE_IMPORTANT_PARTS,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

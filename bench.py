@@ -142,6 +142,8 @@ EXTENDED_QUERIES = [
     "embedding_outliers",
     "best_survivors",
     "chunk_dedup",
+    "top_supplier",
+    "important_parts",
 ]
 
 
