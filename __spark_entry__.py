@@ -4653,6 +4653,48 @@ WHERE r::DOUBLE > t::DOUBLE * 0.00075
 """
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user growth curve: cumulative unique users by
+    day. The naive form (COUNT(DISTINCT) OVER ORDER BY day) re-scans
+    ever-growing state; the scale form DEDUPLICATES FIRST — each
+    user's first-seen day (one groupBy min), then daily new-user
+    counts, then a prefix sum over the DAY GRID, whose cardinality is
+    bounded by the calendar (~365 rows/year), not the corpus — so the
+    one ordered window is over a provably tiny frame."""
+    ev = read_events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    first = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_date")
+    )
+    daily = first.groupBy("first_date").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("first_date").alias("day"),
+        F.col("new_users").cast("bigint"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
+
+
+_ORACLE_CUMULATIVE_USERS = """
+WITH first AS (
+  SELECT user_id, min(ts::TIMESTAMP::DATE) AS first_date
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_date, count(*) AS new_users FROM first GROUP BY first_date
+)
+SELECT first_date AS day, new_users,
+       sum(new_users) OVER (ORDER BY first_date
+                            ROWS UNBOUNDED PRECEDING) AS cumulative_users
+FROM daily
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5024,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "top_supplier": q_top_supplier,
         "important_parts": q_important_parts,
+        "cumulative_users": q_cumulative_users,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -5187,6 +5230,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_dedup": _ORACLE_CHUNK_DEDUP,
         "top_supplier": _ORACLE_TOP_SUPPLIER,
         "important_parts": _ORACLE_IMPORTANT_PARTS,
+        "cumulative_users": _ORACLE_CUMULATIVE_USERS,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

@@ -144,6 +144,7 @@ EXTENDED_QUERIES = [
     "chunk_dedup",
     "top_supplier",
     "important_parts",
+    "cumulative_users",
 ]
 
 
