@@ -4695,6 +4695,68 @@ FROM daily
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional sampling — keep each doc with probability
+    equal to its (oracle-verified) quality score, using the keyed
+    Knuth-hash uniform instead of an RNG, so the sample is
+    deterministic across runs, engines, and partitionings (the
+    property that makes distributed pipeline re-runs reproducible).
+    Map-only: the uniform and the keep decision are scan-fused."""
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "quality")
+    u = hash_bucket("doc_id", 1000000).cast("double") / F.lit(1000000.0)
+    return (
+        stats.withColumn("u", F.round(u, 9))
+        .filter(F.col("u") < F.col("quality"))
+        .select("doc_id", "quality", "u")
+    )
+
+
+_ORACLE_WEIGHTED_SAMPLE = f"""
+WITH stats AS ({_ORACLE_DOC_STATS}),
+s AS (
+  SELECT doc_id, quality,
+         round((((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000000)
+               / 1000000.0, 9) AS u
+  FROM stats
+)
+SELECT doc_id, quality, u FROM s WHERE u < quality
+"""
+
+
+def q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding profile (mean / min / max / zero count
+    per coordinate) — the dead-dimension and scale-drift health check
+    run before any index build. One posexplode aggregate whose reduce
+    cardinality is exactly ``dim`` rows no matter the corpus size;
+    shuffled float means round(9) per the cross-engine policy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("dim", "__x"))
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.round(F.avg(F.col("__x").cast("double")), 9).alias("mean"),
+            F.min(F.col("__x").cast("double")).alias("min"),
+            F.max(F.col("__x").cast("double")).alias("max"),
+            F.sum(
+                F.when(F.col("__x") == 0.0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_zero"),
+        )
+        .select(F.col("dim").cast("bigint"), "mean", "min", "max", "n_zero")
+    )
+
+
+_ORACLE_DIM_STATS = f"""
+SELECT j::BIGINT AS dim,
+       round(avg(embedding[j + 1]::DOUBLE), 9) AS mean,
+       min(embedding[j + 1]::DOUBLE) AS min,
+       max(embedding[j + 1]::DOUBLE) AS max,
+       sum(CASE WHEN embedding[j + 1] = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+FROM embeddings
+CROSS JOIN generate_series(0, {EMB_DIM - 1}) AS t(j)
+GROUP BY j
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5067,6 +5129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "important_parts": q_important_parts,
         "cumulative_users": q_cumulative_users,
+        "weighted_sample": q_weighted_sample,
+        "dim_stats": q_dim_stats,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -5231,6 +5295,8 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": _ORACLE_TOP_SUPPLIER,
         "important_parts": _ORACLE_IMPORTANT_PARTS,
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
+        "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
+        "dim_stats": _ORACLE_DIM_STATS,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

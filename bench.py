@@ -145,6 +145,8 @@ EXTENDED_QUERIES = [
     "top_supplier",
     "important_parts",
     "cumulative_users",
+    "weighted_sample",
+    "dim_stats",
 ]
 
 
