@@ -4757,6 +4757,37 @@ GROUP BY j
 """
 
 
+def q_ivf_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector search: the query batch arrives as a file
+    STREAM and each micro-batch is served from the persisted IVF index
+    (streaming/search.py — foreachBatch over the same pruned serving
+    plan as ivf_persisted_topk). Per-query independence makes the
+    drained stream bit-identical to the batch serve, so this shares
+    the ivf family's full value-hash oracle."""
+    from cs6300_vectordbs_spark.sources.vector_index import ensure_ivf_index
+    from cs6300_vectordbs_spark.streaming.search import (
+        read_query_stream,
+        serve_query_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/ivf_index_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_ivf_index(spark, emb, path, dim=EMB_DIM, n_cells=_IVF_CELLS)
+    qs = read_query_stream(spark, sf_dir, N_QUERIES)
+    out = serve_query_stream(
+        spark, qs, path, TOPK,
+        dim=EMB_DIM, n_probe=_IVF_PROBE, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5131,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_users": q_cumulative_users,
         "weighted_sample": q_weighted_sample,
         "dim_stats": q_dim_stats,
+        "ivf_search_stream": q_ivf_search_stream,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -5250,6 +5282,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_report": _ORACLE_PIPELINE,
         "ivf_topk": _ORACLE_IVF,
         "ivf_persisted_topk": _ORACLE_IVF,
+        "ivf_search_stream": _ORACLE_IVF,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_sliding_stream": _ORACLE_EVENTS_SLIDING,

@@ -147,6 +147,7 @@ EXTENDED_QUERIES = [
     "cumulative_users",
     "weighted_sample",
     "dim_stats",
+    "ivf_search_stream",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Streaming vector search — a query STREAM served against the
+persisted IVF index (extension surface; the production serving shape
+of the reference's one-query-at-a-time loop,
+/root/reference/src/chroma.py:95-102, lifted to a Structured Streaming
+micro-batch job).
+
+Design: queries arrive as a file stream; each micro-batch is served by
+the same ``search_ivf_index`` plan the batch path uses (broadcast
+probes, directory-level partition pruning on probed cells) inside
+``foreachBatch`` — the standard Structured Streaming pattern for
+serving jobs whose per-batch logic needs driver-side planning (here:
+the probed-cell IN-filter). Because per-query results are independent,
+the union of micro-batch outputs is EXACTLY the batch result over the
+same query set, so the batch query shares its full value-hash oracle
+with this stream.
+
+Scale notes: the index is static (stream-static), state is zero, and
+each micro-batch costs O(probed cells + queries x k). Results append
+to a parquet sink — at production scale that sink is the serving log
+the latency/recall metrics (operators/metrics_ir.py) aggregate over.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_query_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream of the query batch (first ``n_queries`` ids
+    of the embeddings table) in (query_id, query_vec) shape."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def serve_query_stream(
+    spark: SparkSession,
+    queries_stream: DataFrame,
+    index_path: str,
+    k: int = 5,
+    *,
+    dim: int,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+    out_path: str | None = None,
+) -> DataFrame:
+    """Drain the query stream against the stored index (availableNow,
+    exactly-once) and return the full result set.
+
+    Each micro-batch runs the batch serving plan via ``foreachBatch``
+    and APPENDS to a parquet result sink; the returned DataFrame reads
+    that sink back. Result rows are (query_id, rank, id, sim, dist) —
+    identical to the batch ``search_ivf_index`` output for the same
+    query set, independent of how the stream was micro-batched.
+    """
+    from ..sources.vector_index import search_ivf_index
+
+    out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        res = search_ivf_index(
+            spark, index_path, batch_df, k,
+            dim=dim, n_probe=n_probe, exclude_self=exclude_self,
+        )
+        res.write.mode("append").parquet(out)
+
+    q = (
+        queries_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

@@ -163,3 +163,36 @@ def test_chunk_dedup_finds_planted_dup(spark):
         .collect()
     )
     assert len(dup) > 0 and all(r.n_docs == 2 for r in dup)
+
+
+def test_streaming_search_equals_batch_serve(spark, emb):
+    """The drained query stream must produce exactly the batch serving
+    result for the same query set (per-query independence)."""
+    import tempfile
+
+    from cs6300_vectordbs_spark.sources.vector_index import (
+        ensure_ivf_index,
+        search_ivf_index,
+    )
+    from cs6300_vectordbs_spark.streaming.search import (
+        read_query_stream,
+        serve_query_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    dim = len(emb.select("embedding").first()[0])
+    path = tempfile.mkdtemp(prefix="ivf_idx_test_")
+    ensure_ivf_index(spark, emb, path, dim=dim, n_cells=8)
+    qs = read_query_stream(spark, sf_dir, 20)
+    got = serve_query_stream(
+        spark, qs, path, 5, dim=dim, n_probe=3, exclude_self=True
+    )
+    batch_q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    want = search_ivf_index(
+        spark, path, batch_q, 5, dim=dim, n_probe=3, exclude_self=True
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
