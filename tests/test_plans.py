@@ -386,3 +386,33 @@ def test_state_history_reuses_one_sort_for_both_windows(spark):
     # partitioning); no global (un-keyed) exchange.
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_headline_queries_have_no_scale_smells(spark):
+    """Every headline query's plan must be free of the three
+    cluster-killers: cartesian products, single-partition exchanges,
+    and row-at-a-time Python UDFs. (tools/plan_sweep.py runs the same
+    check over ALL registered queries per round.)"""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from bench import BENCH_QUERIES
+
+    qs = e.queries()
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name in BENCH_QUERIES:
+        if name.endswith("_stream"):
+            continue
+        plan = plan_of(qs[name](spark, sf))
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "Exchange SinglePartition" in plan:
+            flags.append("single-partition")
+        if "BatchEvalPython" in plan:
+            flags.append("row-python-udf")
+        if flags:
+            bad[name] = flags
+    assert bad == {}, bad
