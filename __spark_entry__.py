@@ -4788,6 +4788,36 @@ def q_ivf_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-text-index serving path (sources/text_index.py): ensure
+    the on-disk BM25 impact index exists (create-if-absent with
+    content-addressed invalidation, S9), then serve top-k with
+    term-bucket PARTITION pruning — the lexical analog of the IVF
+    cell-pruned serve. Impacts are precomputed at build time; serving
+    reads |query buckets|/64 of the index and shares bm25_topk's full
+    value-hash oracle."""
+    from cs6300_vectordbs_spark.sources.text_index import (
+        ensure_text_index,
+        search_text_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/text_index_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    ensure_text_index(spark, docs, path)
+    qs = hash_sample(docs, "doc_id", pct=10).select(
+        F.col("doc_id").alias("query_id"),
+        template_query("text", 5, prefix="").alias("query"),
+    )
+    out = search_text_index(spark, path, qs, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("doc_id").cast("bigint"),
+        "score",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5163,6 +5193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "dim_stats": q_dim_stats,
         "ivf_search_stream": q_ivf_search_stream,
+        "bm25_persisted_topk": q_bm25_persisted_topk,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -5283,6 +5314,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _ORACLE_IVF,
         "ivf_persisted_topk": _ORACLE_IVF,
         "ivf_search_stream": _ORACLE_IVF,
+        "bm25_persisted_topk": _ORACLE_BM25,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_sliding_stream": _ORACLE_EVENTS_SLIDING,

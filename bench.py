@@ -148,6 +148,7 @@ EXTENDED_QUERIES = [
     "weighted_sample",
     "dim_stats",
     "ivf_search_stream",
+    "bm25_persisted_topk",
 ]
 
 

@@ -196,3 +196,46 @@ def test_streaming_search_equals_batch_serve(spark, emb):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+
+def test_text_index_lifecycle_and_pruned_serve(spark, docs, tmp_path):
+    """Create-if-absent reuses a fingerprint-matched index, rebuilds on
+    corpus change, and the serve plan prunes term-bucket partitions."""
+    import os
+
+    from cs6300_vectordbs_spark.operators.text_search import bm25_topk
+    from cs6300_vectordbs_spark.sources.text_index import (
+        ensure_text_index,
+        search_text_index,
+    )
+
+    path = str(tmp_path / "tix")
+    d = docs.limit(200)
+    ensure_text_index(spark, d, path)
+    mtime = os.path.getmtime(f"{path}/META")
+    ensure_text_index(spark, d, path)  # no-op: fingerprint matches
+    assert os.path.getmtime(f"{path}/META") == mtime
+    d2 = docs.limit(150)
+    ensure_text_index(spark, d2, path)  # corpus changed -> rebuild
+    assert os.path.getmtime(f"{path}/META") > mtime
+
+    ensure_text_index(spark, d, path)  # back to the 200-doc corpus
+    qs = d.limit(20).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+    )
+    got = search_text_index(spark, path, qs, k=5)
+    want = bm25_topk(d, qs, k=5)
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+    # partition pruning: the impacts scan lists only probed buckets
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        search_text_index(spark, path, qs, k=5).explain("formatted")
+    plan = buf.getvalue()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines and "bucket" in scan_lines[0]
