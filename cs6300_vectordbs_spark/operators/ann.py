@@ -699,15 +699,6 @@ def ivfpq_topk(
             )
         )
 
-    def dot_slice(a: str, b: str, mi: int) -> Column:
-        o = mi * sub
-        return F.expr(
-            " + ".join(
-                f"(CAST(`{a}`[{o + i}] AS DOUBLE) * CAST(`{b}`[{o + i}] AS DOUBLE))"
-                for i in range(sub)
-            )
-        )
-
     # Index build pass 1: coarse cell assignment (argmax cosine, ties
     # to lowest centroid id).
     sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
@@ -742,49 +733,49 @@ def ivfpq_topk(
     )
     indexed = enc.join(assigned, on=corpus_id)
 
-    # Per-query probes (n_probe nearest cells) and ADC tables.
-    qsim = cosine_sim("__qvec", "__cvec", dim)
-    qw = Window.partitionBy("__qid").orderBy(qsim.desc(), F.col("__cid").asc())
-    probes = (
-        queries.select(
-            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-        )
-        .crossJoin(F.broadcast(cent))
-        .withColumn("__rn", F.row_number().over(qw))
-        .filter(F.col("__rn") <= n_probe)
-        .select("__qid", F.col("__cid").alias("cell"))
-    )
-    qt = (
-        queries.select(
-            F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
-        )
-        .crossJoin(F.broadcast(cb))
-        .select(
-            "__qid", "__qvec", "__cid",
-            *[
-                dot_slice("__qvec", "__cvec", mi).alias(f"pd{mi}")
-                for mi in range(m)
-            ],
-        )
-    )
-    qtab = qt.groupBy("__qid").agg(
-        F.first("__qvec").alias("__qvec"),
-        *[
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("__cid").alias("c"),
-                            F.col(f"pd{mi}").alias("p"),
-                        )
-                    )
-                ),
-                lambda s: s["p"],
-            ).alias(f"tab{mi}")
+    # Per-query probes (n_probe nearest cells) and ADC tables, computed
+    # DRIVER-SIDE in numpy: the query batch is small by contract (the
+    # same collect-the-queries license the blocked exact kernel uses),
+    # and the per-query work is |queries| x (n_cells + m x ksub) dots —
+    # microseconds. Doing this in the plan cost two crossJoins, two
+    # windows, and a collect_list groupBy of pure driver-shaped data
+    # (measured: ~2.7 s of py4j plan construction alone at m=8). The
+    # result ships as ONE literal probe+ADC table broadcast into the
+    # candidate join — the serving plan is unchanged from there on.
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent_rows = cent.collect()
+    cb_rows = sorted(cb.collect(), key=lambda r: r["__cid"])
+    C = np.array([r["__cvec"] for r in cent_rows], dtype=np.float64)
+    cids = [r["__cid"] for r in cent_rows]
+    B = np.array([r["__cvec"] for r in cb_rows], dtype=np.float64)
+    q_rows = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
+    ).collect()
+    cn = np.sqrt((C * C).sum(axis=1))
+    rows = []
+    for r in q_rows:
+        qv = np.array(r["__qvec"], dtype=np.float64)
+        qn = float(np.sqrt((qv * qv).sum()))
+        denom_c = cn * (qn if qn != 0.0 else 1.0)
+        sims = np.where(denom_c == 0.0, 0.0, C @ qv / np.where(denom_c == 0.0, 1.0, denom_c))
+        # (sim desc, cid asc) probe order — same tie rule as the JVM path
+        order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
+        tabs = [
+            [float(np.dot(qv[mi * sub:(mi + 1) * sub], B[c, mi * sub:(mi + 1) * sub]))
+             for c in range(len(cb_rows))]
             for mi in range(m)
-        ],
+        ]
+        for i in order[:n_probe]:
+            rows.append(
+                (r["__qid"], [float(x) for x in qv], cids[i], *tabs)
+            )
+    schema = (
+        "__qid bigint, __qvec array<double>, cell int, "
+        + ", ".join(f"tab{mi} array<double>" for mi in range(m))
     )
-    probe_tabs = probes.join(qtab, on="__qid")
+    probe_tabs = spark.createDataFrame(rows, schema)
 
     cand = indexed.join(F.broadcast(probe_tabs), on="cell")
     if exclude_self:
