@@ -4818,6 +4818,38 @@ def q_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit between the text corpus and the
+    embedding store — the first check a pipeline runs before serving:
+    docs without vectors (un-embedded backlog), vectors without docs
+    (orphans from deletes), and the matched core. One full-outer join
+    on the id (both sides pre-projected to the key column only, so the
+    shuffle moves ids, not payloads) and a 3-row conditional count."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("d"))
+    emb = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("v"))
+    j = docs.join(emb, docs["d"] == emb["v"], "full_outer")
+    status = (
+        F.when(F.col("d").isNull(), F.lit("vector_only"))
+        .when(F.col("v").isNull(), F.lit("doc_only"))
+        .otherwise(F.lit("matched"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_ORACLE_INTEGRITY = """
+SELECT CASE WHEN d.doc_id IS NULL THEN 'vector_only'
+            WHEN e.vec_id IS NULL THEN 'doc_only'
+            ELSE 'matched' END AS status,
+       count(*) AS n
+FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5194,6 +5226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_stats": q_dim_stats,
         "ivf_search_stream": q_ivf_search_stream,
         "bm25_persisted_topk": q_bm25_persisted_topk,
+        "integrity_report": q_integrity_report,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
@@ -5315,6 +5348,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_persisted_topk": _ORACLE_IVF,
         "ivf_search_stream": _ORACLE_IVF,
         "bm25_persisted_topk": _ORACLE_BM25,
+        "integrity_report": _ORACLE_INTEGRITY,
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "events_sliding": _ORACLE_EVENTS_SLIDING,
         "events_sliding_stream": _ORACLE_EVENTS_SLIDING,

@@ -149,6 +149,7 @@ EXTENDED_QUERIES = [
     "dim_stats",
     "ivf_search_stream",
     "bm25_persisted_topk",
+    "integrity_report",
 ]
 
 
