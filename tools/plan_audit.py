@@ -185,6 +185,14 @@ and baked into one codegen'd expression per output dim — the plan is
 scan + project only: no Exchange, no aggregate, no Python. At 100 TB
 this is a single map pass that cheapens every downstream ANN/cluster
 stage 4x in width.""",
+    "bm25_persisted_topk": """\
+Load-bearing properties: serving reads the STORED impact index with a
+term-bucket PARTITION filter (PartitionFilters below — unmatched
+bucket directories are never listed, the lexical analog of IVF cell
+pruning); impacts were precomputed at build time so the serve plan
+touches no raw text, dl, or df table; query terms broadcast; the
+scoring sum + WindowGroupLimit top-k are the same slim shapes as the
+in-memory bm25_topk.""",
     "embedding_outliers": """\
 Load-bearing properties: centroid arrays (|labels| rows) BROADCAST to
 the corpus; the distance is a statically-unrolled fixed-order
