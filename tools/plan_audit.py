@@ -231,7 +231,11 @@ def condense(plan: str) -> str:
     detail = [
         ln.strip()
         for ln in lines
-        if re.match(r"\s*(PushedFilters|ReadSchema|Arguments: \[isnotnull)", ln)
+        if re.match(
+            r"\s*(PushedFilters|ReadSchema|PartitionFilters"
+            r"|Arguments: \[isnotnull)",
+            ln,
+        )
     ]
     if detail:
         out.append("")
