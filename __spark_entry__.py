@@ -972,7 +972,12 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form serializes the whole corpus through one reducer)."""
     from cs6300_vectordbs_spark.operators.quality import exact_ntile
 
-    stats = q_doc_stats(spark, sf_dir)
+    # Project to (doc_id, quality) BEFORE the ntile: exact_ntile's
+    # localCheckpoint is a pruning barrier, so without this the range
+    # shuffle + checkpoint would compute and materialize every
+    # doc_stats column (lang_id, fingerprint, token_count — all
+    # regex-heavy) that the decile rollup never reads.
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "quality")
     return (
         exact_ntile(stats, ["quality", "doc_id"], 10, out_col="decile")
         .groupBy("decile")
