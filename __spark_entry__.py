@@ -5119,6 +5119,531 @@ LIMIT 20
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier lookup (TPC-H Q2 shape, adapted: this
+    schema has no partsupp, so the supply relation is derived as the
+    distinct (part, supplier) pairs observed in lineitem with cost =
+    MIN(l_extendedprice) — a pure MIN, no arithmetic, so the value is
+    bit-exact across engines). For every size-15 part supplied from
+    EUROPE, return the supplier(s) achieving the per-part minimum cost.
+
+    Scale shape: the supply-pair aggregate shuffles lineitem once on
+    (l_partkey, l_suppkey) with map-side partial MIN; part and the
+    supplier->nation->region chain are BROADCAST (dims); the per-part
+    minimum is a window on the already-shuffled partkey — Catalyst
+    reuses the hash-partitioning, no second exchange of the big side."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_sup = (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .select(
+            F.col("p_partkey").cast("bigint"),
+            "p_name",
+            F.col("s_suppkey").cast("bigint"),
+            "s_name",
+            "n_name",
+            "cost",
+        )
+    )
+
+
+_ORACLE_MIN_COST = """
+WITH supply AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+         min(l_extendedprice) AS cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND r_name = 'EUROPE'
+  GROUP BY ALL
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost
+FROM supply
+QUALIFY cost = min(cost) OVER (PARTITION BY p_partkey)
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-shipping between two trading nations (TPC-H Q7 shape):
+    the disjunctive nation-PAIR predicate ((supp=N1 AND cust=N2) OR
+    (supp=N2 AND cust=N1)) across a 4-way join, grouped by direction
+    and ship year. Scale shape: supplier/customer/nation are broadcast
+    onto lineitem/orders; the only big shuffle is lineitem<->orders on
+    orderkey; both nation filters are applied INSIDE the broadcast
+    dims, so the pair predicate prunes before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*pair))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_VOLUME_SHIP = """
+SELECT supp_nation, cust_nation, ship_year,
+       sum(rev)::DOUBLE AS revenue, count(*)::BIGINT AS n_items
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         year(l_shipdate)::BIGINT AS ship_year,
+         l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+      OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, ship_year
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape,
+    adapted: no partsupp, so supply cost is modeled as 10% of the
+    part's retail price per unit — exact DECIMAL arithmetic on both
+    engines). The p_name LIKE filter rides in the broadcast part dim;
+    profit accumulates in DECIMAL and is cast to double once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+        * F.lit(0.1).cast("decimal(2,1)")
+    )
+    profit = price * (F.lit(1).cast("decimal(3,0)") - disc) - cost
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+_ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(l_shipdate)::BIGINT AS o_year,
+  sum(l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+      - p_retailprice::DECIMAL(12,2) * l_quantity::DECIMAL(4,0)
+        * 0.1::DECIMAL(2,1))::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): LEFT OUTER
+    join customers to a filtered orders set, count per customer
+    (zero-order customers kept by the outer join), then histogram the
+    counts. Two aggregates: the first shuffles on custkey, the second
+    on the tiny count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint"), "custdist")
+    )
+
+
+_ORACLE_CUST_DIST = """
+SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-revenue share for one month (TPC-H Q14 shape):
+    conditional aggregation over a joined month slice — both DECIMAL
+    sums are exact, the final percentage is one double division
+    (identical operands on both engines), rounded per the repo float
+    policy. The date window pushes into the lineitem scan; part is
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    rev = price * (F.lit(1).cast("decimal(3,0)") - disc)
+    zero = F.lit(0).cast("decimal(16,4)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_rev"),
+            F.sum(rev).cast("double").alias("total_rev"),
+        )
+        .select(
+            "promo_rev",
+            "total_rev",
+            F.round(
+                F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 9
+            ).alias("promo_pct"),
+        )
+    )
+
+
+_ORACLE_PROMO = """
+WITH sums AS (
+  SELECT
+    sum(CASE WHEN p_type = 'PROMO'
+        THEN l_extendedprice::DECIMAL(12,2) * (1 - l_discount::DECIMAL(4,2))
+        ELSE 0::DECIMAL(16,4) END)::DOUBLE AS promo_rev,
+    sum(l_extendedprice::DECIMAL(12,2)
+        * (1 - l_discount::DECIMAL(4,2)))::DOUBLE AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT promo_rev, total_rev,
+       round(100.0 * promo_rev / total_rev, 9) AS promo_pct
+FROM sums
+"""
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts per part profile (TPC-H Q16 shape, adapted: the
+    supply relation is the distinct (part, supplier) pairs observed in
+    lineitem). Excluded suppliers (negative account balance — the
+    complaints stand-in) are removed with an ANTI-join; the count is
+    COUNT(DISTINCT supplier) per (brand, type, size) bucket. Scale
+    shape: one shuffle of the pair set on partkey-profile keys;
+    part and the exclusion list are broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 20)
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+        .select("p_brand", "p_type", F.col("p_size").cast("bigint"), "supplier_cnt")
+    )
+
+
+_ORACLE_SUPP_PART = """
+SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 20)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): average yearly
+    revenue lost if small orders (quantity < 20% of the part's average
+    order quantity) were no longer filled, for one brand. The 20%-of-
+    average comparison is CROSS-MULTIPLIED into integer space
+    (5*qty*cnt < sum_qty, quantities are integral) so both engines
+    compare exact integers instead of float averages. Scale shape:
+    the per-part stats aggregate shuffles lineitem once on partkey and
+    is then re-joined on the same key; part is broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    li_b = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li_b.groupBy(F.col("l_partkey").alias("sk")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    small = li_b.join(stats, F.col("l_partkey") == F.col("sk")).filter(
+        qty * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty")
+    )
+    # No round(): at ~1e6 magnitude, 9 decimals exceeds double's 16
+    # significant digits and the engines' rounding differs by 1 ulp.
+    # The DECIMAL sum is exact and /7.0 on identical doubles is
+    # bit-identical IEEE — raw is the cross-engine-safe form here.
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double") / F.lit(7.0)
+        ).alias("avg_yearly")
+    )
+
+
+_ORACLE_SMALL_QTY = """
+WITH brand_li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#3'
+), stats AS (
+  SELECT l_partkey AS sk, sum(l_quantity::BIGINT) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM brand_li GROUP BY l_partkey
+)
+SELECT sum(l_extendedprice::DECIMAL(12,2))::DOUBLE / 7.0 AS avg_yearly
+FROM brand_li JOIN stats ON l_partkey = sk
+WHERE l_quantity::BIGINT * 5 * cnt_qty < sum_qty
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue under an OR-of-ANDs predicate (TPC-H Q19
+    shape): three (brand, size-range, quantity-range) conjuncts OR'd
+    together. The part-side conjuncts (brand/size) evaluate inside the
+    broadcast dim and the lineitem-side bounds (quantity 1..30 across
+    all arms) are pushed to the fact scan as a covering range, so the
+    disjunction only runs on pre-pruned rows."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = _t(spark, sf_dir, "part")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#15", 15, 20, 30)
+        )
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_DISJUNCTIVE = """
+SELECT
+  sum(l_extendedprice::DECIMAL(12,2)
+      * (1 - l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_excess_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-volume suppliers of a part family (TPC-H Q20 shape,
+    adapted: no partsupp availqty, so the inner threshold is shipped
+    quantity): suppliers in NATION_3 with some 'red'-named part whose
+    1996 shipped quantity from that supplier exceeds 40 units. The
+    inner aggregate is per (supplier, part); qualification is a
+    SEMI-join into the supplier dim. Scale shape: one lineitem shuffle
+    on the (supp, part) composite; part and nation broadcast; the
+    distinct-supplier set is tiny by construction."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    heavy = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        sup.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(F.col("s_suppkey").cast("bigint"), "s_name")
+    )
+
+
+_ORACLE_EXCESS_PARTS = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity::BIGINT) > 40
+  )
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for returns in shared orders
+    (TPC-H Q21 shape, adapted: no receipt/commit dates, so "late" is
+    l_returnflag = 'R'): for finished multi-supplier orders, count per
+    supplier the returned lineitems where NO other supplier in the
+    order also returned — the classic EXISTS + NOT-EXISTS double
+    correlation, expressed as a SEMI-join then an ANTI-join on
+    (orderkey, other-supplier) pairs. Top 10 by count.
+
+    Scale shape: all three lineitem derivatives shuffle on orderkey
+    (one partitioning reused across both joins by AQE); orders' status
+    filter pushes to its scan; supplier is broadcast at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    ).distinct()
+    other_returns = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r3_orderkey"),
+            F.col("l_suppkey").alias("r3_suppkey"),
+        )
+        .distinct()
+    )
+    qualified = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_returns,
+            (F.col("l_orderkey") == F.col("r3_orderkey"))
+            & (F.col("l_suppkey") != F.col("r3_suppkey")),
+            "left_anti",
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        qualified.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+        .select("s_name", "numwait")
+    )
+
+
+_ORACLE_WAITING = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey != l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 
 
 
@@ -5280,6 +5805,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "shipping_priority": q_shipping_priority,
         "market_share": q_market_share,
+        # --- round-3 additions (queued for the round-4 driver window;
+        # locally oracle-verified via tools/verify_local.py) ---
+        "min_cost_supplier": q_min_cost_supplier,
+        "volume_shipping": q_volume_shipping,
+        "product_profit": q_product_profit,
+        "customer_distribution": q_customer_distribution,
+        "promo_revenue": q_promo_revenue,
+        "supplier_part_counts": q_supplier_part_counts,
+        "small_qty_revenue": q_small_qty_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "excess_parts_suppliers": q_excess_parts_suppliers,
+        "waiting_suppliers": q_waiting_suppliers,
     }
 
 
@@ -5401,6 +5938,16 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "dim_stats": _ORACLE_DIM_STATS,
+        "min_cost_supplier": _ORACLE_MIN_COST,
+        "volume_shipping": _ORACLE_VOLUME_SHIP,
+        "product_profit": _ORACLE_PRODUCT_PROFIT,
+        "customer_distribution": _ORACLE_CUST_DIST,
+        "promo_revenue": _ORACLE_PROMO,
+        "supplier_part_counts": _ORACLE_SUPP_PART,
+        "small_qty_revenue": _ORACLE_SMALL_QTY,
+        "disjunctive_revenue": _ORACLE_DISJUNCTIVE,
+        "excess_parts_suppliers": _ORACLE_EXCESS_PARTS,
+        "waiting_suppliers": _ORACLE_WAITING,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

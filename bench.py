@@ -150,6 +150,16 @@ EXTENDED_QUERIES = [
     "ivf_search_stream",
     "bm25_persisted_topk",
     "integrity_report",
+    "min_cost_supplier",
+    "volume_shipping",
+    "product_profit",
+    "customer_distribution",
+    "promo_revenue",
+    "supplier_part_counts",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "excess_parts_suppliers",
+    "waiting_suppliers",
 ]
 
 
