@@ -213,12 +213,27 @@ def ivf_topk_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(
-        array_to_vector(
-            F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
-        ).alias("features")
+    # Train on a BOUNDED sample (FAISS practice: the coarse quantizer
+    # needs ~O(100) vectors per centroid, not the corpus — at 100 TB
+    # the limit() stops the scan early), coalesced to a few partitions
+    # (KMeans runs one job per iteration; 32 near-empty tasks per
+    # iteration is pure scheduler overhead) and cached across the
+    # iterations (otherwise every iteration re-reads parquet).
+    sample_n = max(10_000, 256 * n_cells)
+    train = (
+        corpus.select(
+            array_to_vector(
+                F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+            ).alias("features")
+        )
+        .limit(sample_n)
+        .coalesce(4)
+        .cache()
     )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    try:
+        model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    finally:
+        train.unpersist()
     spark = corpus.sparkSession
     cent = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
