@@ -416,3 +416,65 @@ def test_headline_queries_have_no_scale_smells(spark):
         if flags:
             bad[name] = flags
     assert bad == {}, bad
+
+
+def test_min_cost_supplier_broadcasts_dims_and_reduces_before_window(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_min_cost_supplier(spark, SF_DIR))
+    # part + supplier->nation->region chain ride as broadcasts onto
+    # lineitem; the per-part window min runs on the already-aggregated
+    # supply pairs (tiny), never on raw lineitem.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # p_size filter reaches the part scan
+    assert "EqualTo(p_size,15)" in plan
+
+
+def test_waiting_suppliers_correlations_compile_to_equi_joins(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_waiting_suppliers(spark, SF_DIR))
+    # EXISTS/NOT-EXISTS with the suppkey inequality must become
+    # equi-joins on orderkey with a residual != condition — a nested-
+    # loop or cartesian here is O(n^2) at scale.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    # status + returnflag filters push to the scans
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+    # heap top-10, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_disjunctive_revenue_pushes_covering_range_to_fact_scan(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_disjunctive_revenue(spark, SF_DIR))
+    # The OR-of-ANDs can't push whole, but the covering quantity range
+    # must reach the lineitem scan so the disjunction only sees
+    # pre-pruned rows.
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "GreaterThanOrEqual(l_quantity,1.0)" in ln
+        and "LessThanOrEqual(l_quantity,30.0)" in ln
+        for ln in pushed
+    ), pushed
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_qty_revenue_stats_join_is_equi_on_partkey(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_small_qty_revenue(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # brand filter prunes the broadcast part dim at its scan
+    assert "EqualTo(p_brand,Brand#3)" in plan
