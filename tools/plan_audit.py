@@ -207,6 +207,22 @@ through the corpus-metadata join into the documents parquet scan
 computed, so selectivity multiplies directly into scan+flop cost; the
 query batch is broadcast and per-query top-k compiles to
 WindowGroupLimit, same as the unfiltered exact plan.""",
+    "min_cost_supplier": """\
+Load-bearing properties (Q2 shape): part (size-filtered, pushed to its
+scan) and the supplier->nation->region chain are all BROADCAST onto
+lineitem — the fact table shuffles exactly once, for the supply-pair
+MIN aggregate (partial+final HashAggregate, map-side combine); the
+per-part window min then runs over the aggregated pair set, which is
+|distinct (part,supp)| — orders of magnitude below lineitem — so the
+second exchange moves reduced data only.""",
+    "waiting_suppliers": """\
+Load-bearing properties (Q21 shape): both correlated subqueries
+(EXISTS other-supplier, NOT EXISTS other-returning-supplier) compile
+to EQUI semi-/anti-joins on l_orderkey with the suppkey inequality as
+a residual join condition — never a nested-loop or cartesian; all
+three lineitem derivatives hash-partition on orderkey so AQE reuses
+one exchange layout; o_orderstatus and l_returnflag push to the
+scans; the final top-10 is TakeOrderedAndProject (heap merge).""",
 }
 
 
