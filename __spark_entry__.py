@@ -2940,6 +2940,80 @@ _ORACLE_BM25_PRUNED = _ORACLE_BM25.replace(
 ).replace("JOIN stats st USING (s)", "JOIN pruned st USING (s)")
 
 
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: exact cosine top-10 recall stage, then a
+    cross-encoder PRECISION stage re-ranking each query's candidates
+    to the final top-3. The cross-encoder is the deterministic
+    md5-pair-score stand-in (operators/rerank.py — the real model
+    plugs in via rerank_with_model, same contract, tested in
+    tests/test_model_hooks.py). Scale shape: the expensive scorer
+    touches only O(queries x 10) candidate pairs, never the corpus;
+    text joins are equi-joins on doc id; final top-3 compiles to
+    WindowGroupLimit. Reference parity: the rerank slot the reference
+    delegates to its vector DB's distance ordering
+    (/root/reference/src/chroma.py:77-96)."""
+    from cs6300_vectordbs_spark.operators.rerank import rerank_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = similarity_topk(
+        emb, _query_batch(emb), 10, exclude_self=True, dim=EMB_DIM
+    ).select("query_id", "vec_id")
+    pairs = (
+        cand.join(docs, cand["vec_id"] == docs["doc_id"])
+        .select("query_id", F.col("vec_id"), F.col("text").alias("doc_text"))
+        .join(
+            docs.select(
+                F.col("doc_id").alias("qid"),
+                F.col("text").alias("query_text"),
+            ),
+            F.col("query_id") == F.col("qid"),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            "query_text",
+            "doc_text",
+        )
+    )
+    out = rerank_topk(pairs, 3)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        "rank",
+        F.col("doc_id").cast("bigint"),
+        "ce_score",
+    )
+
+
+_ORACLE_RERANK = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_SQL_COSINE} AS sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT query_id, vec_id
+  FROM (SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS r
+        FROM scored)
+  WHERE r <= 10
+), pairs AS (
+  SELECT c.query_id, c.vec_id AS doc_id,
+         (('0x' || substr(md5('ce|' || qd.text || '|' || dd.text), 1, 15))
+            ::BIGINT % 1000001) / 1000000.0 AS ce_score
+  FROM cand c
+  JOIN documents dd ON c.vec_id = dd.doc_id
+  JOIN documents qd ON c.query_id = qd.doc_id
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, ce_score
+FROM (SELECT query_id, doc_id, ce_score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ce_score DESC, doc_id ASC) AS rank
+      FROM pairs)
+WHERE rank <= 3
+"""
+
+
 def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
     ranking and the embedding cosine ranking (pool depth 20 each,
@@ -5817,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjunctive_revenue": q_disjunctive_revenue,
         "excess_parts_suppliers": q_excess_parts_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
+        "rerank_topk": q_rerank_topk,
     }
 
 
@@ -5948,6 +6023,7 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": _ORACLE_DISJUNCTIVE,
         "excess_parts_suppliers": _ORACLE_EXCESS_PARTS,
         "waiting_suppliers": _ORACLE_WAITING,
+        "rerank_topk": _ORACLE_RERANK,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

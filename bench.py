@@ -160,6 +160,7 @@ EXTENDED_QUERIES = [
     "disjunctive_revenue",
     "excess_parts_suppliers",
     "waiting_suppliers",
+    "rerank_topk",
 ]
 
 

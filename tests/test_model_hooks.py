@@ -111,3 +111,36 @@ def test_search_with_latency_matches_exact_search(emb):
     sims = {(r.query_id, r.rank): r.sim for r in rows}
     for r in exact.collect():
         assert sims[(r.query_id, r.rank)] == pytest.approx(r.sim, abs=1e-12)
+
+
+def test_rerank_with_model_matches_column_stand_in(spark, docs):
+    """rerank_with_model (mapInPandas, real-model slot) must produce
+    the identical ranking to the verified column-expression stand-in
+    when the injected scorer implements the same md5 pair score."""
+    import hashlib
+
+    from cs6300_vectordbs_spark.operators.rerank import (
+        rerank_topk,
+        rerank_with_model,
+    )
+
+    d = docs.limit(30).select("doc_id", "text")
+    qd = d.limit(3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    pairs = qd.crossJoin(
+        d.select("doc_id", F.col("text").alias("doc_text"))
+    )
+
+    def score(qs, ds):
+        out = []
+        for q, t in zip(qs, ds):
+            h = hashlib.md5(f"ce|{q}|{t}".encode()).hexdigest()
+            out.append((int(h[:15], 16) % 1000001) / 1000000.0)
+        return out
+
+    via_model = rerank_with_model(pairs, score, 3)
+    via_expr = rerank_topk(pairs, 3)
+    a = sorted(map(tuple, via_model.collect()))
+    b = sorted(map(tuple, via_expr.collect()))
+    assert a == b and len(a) == 9
