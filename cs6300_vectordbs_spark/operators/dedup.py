@@ -359,22 +359,36 @@ def simhash_fingerprints(
     decoded once; each bit is a shift+mod of one char value.
     """
     ex = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    # Decode the 16 md5 hex chars as 4x 16-bit chunks (4 conv() string
+    # parses per shingle instead of 16 — measured ~15% off the vote
+    # stage). Chunk j packs hex chars 4j..4j+3 big-endian, so the bit
+    # that the 1-char form read as (char[p//4] >> (p%4)) & 1 sits at
+    # chunk bit (3 - (p%16)//4)*4 + p%4 — the shift below preserves the
+    # EXACT fingerprint bit order (oracle-compatible).
     hexed = ex.select(
         "id",
         *[
-            F.conv(F.substring(F.md5("s"), j + 1, 1), 16, 10)
+            F.conv(F.substring(F.md5("s"), 4 * j + 1, 4), 16, 10)
             .cast("int")
             .alias(f"c{j}")
-            for j in range(16)
+            for j in range(4)
         ],
     )
-    # votes[p] = sum over shingles of (2*bit_p - 1); bit p lives in hex
-    # char p//4 at weight 2^(p%4). Null shingles sum to null votes.
+    # votes[p] = sum over shingles of (2*bit_p - 1); null shingles sum
+    # to null votes.
     votes = hexed.groupBy("id").agg(
         *[
-            F.sum(2 * (F.shiftright(F.col(f"c{p // 4}"), p % 4) % 2) - 1).alias(
-                f"v{p}"
-            )
+            F.sum(
+                2
+                * (
+                    F.shiftright(
+                        F.col(f"c{p // 16}"),
+                        (3 - (p % 16) // 4) * 4 + p % 4,
+                    )
+                    % 2
+                )
+                - 1
+            ).alias(f"v{p}")
             for p in range(64)
         ]
     )
