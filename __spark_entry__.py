@@ -586,6 +586,50 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (streaming-ingest) dedup: docs with doc_id % 10 == 0
+    are the NEW batch; the rest are the already-deduped corpus behind a
+    persisted MinHash-LSH band index (create-if-absent with
+    content-addressed invalidation, sources/dedup_index.py). The probe
+    computes signatures for the BATCH ONLY — O(batch), never
+    O(corpus) — derives the probe bucket set driver-side, prunes the
+    index scan to those partitions (dedup's analog of IVF cell
+    pruning), and refines band collisions with the exact
+    signature-equality estimate. Oracle: the full-recompute MinHash
+    pair set restricted to new-vs-indexed pairs — identical signatures
+    and band rule, so the sets match exactly."""
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        ensure_dedup_index,
+        probe_dedup_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    indexed = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/dedup_index_{tag}"
+    ensure_dedup_index(
+        spark, indexed, path,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+    )
+    out = probe_dedup_index(spark, new, path, min_jaccard=0.3)
+    return out.select(
+        F.col("new_id").cast("bigint"),
+        F.col("indexed_id").cast("bigint"),
+        "est_jaccard",
+    )
+
+
+def _oracle_incremental_dedup() -> str:
+    return f"""WITH {_minhash_ctes()}
+SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS indexed_id,
+       est_jaccard
+FROM pairs
+WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
+"""
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus contamination surface: near-duplicate pairs whose
     two documents come from DIFFERENT sources (the train-set vs
@@ -5892,6 +5936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_parts_suppliers": q_excess_parts_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
         "rerank_topk": q_rerank_topk,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -6024,6 +6069,7 @@ def oracle_sql() -> dict[str, str]:
         "excess_parts_suppliers": _ORACLE_EXCESS_PARTS,
         "waiting_suppliers": _ORACLE_WAITING,
         "rerank_topk": _ORACLE_RERANK,
+        "incremental_dedup": _oracle_incremental_dedup(),
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

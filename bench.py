@@ -161,6 +161,7 @@ EXTENDED_QUERIES = [
     "excess_parts_suppliers",
     "waiting_suppliers",
     "rerank_topk",
+    "incremental_dedup",
 ]
 
 

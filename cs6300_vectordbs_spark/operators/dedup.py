@@ -197,6 +197,83 @@ def _minhash_from_shingles(sh: Column, num_hashes: int) -> Column:
     return F.array(*mins)
 
 
+def minhash_signature_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signatures as ``(id, sig array<bigint>)`` rows.
+
+    Signature via shingle rows + groupBy(min x num_hashes), NOT per-row
+    array higher-order functions: min/md5/conv inside a hash aggregate
+    run in whole-stage codegen with map-side partial combine, while
+    transform/array_min lambdas evaluate interpreted (measured ~4x
+    slower). distinct=False: min() is idempotent under duplicate
+    shingles, so the dedup shuffle is skipped. Docs with no shingles
+    (shorter than shingle_n) produce no rows — correct, since they
+    can't be near-duplicates under this similarity.
+    """
+    ex = shingle_rows(
+        docs, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
+    )
+    return (
+        ex.groupBy("id")
+        .agg(
+            *[
+                F.min(_md5_hash64(F.col("s"), i)).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        .select(
+            "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+        )
+    )
+
+
+def lsh_band_keys(
+    sig_col: str = "sig", *, num_hashes: int = 16, bands: int = 4
+) -> Column:
+    """array<string> of ``bands`` LSH band keys: md5 over the band's
+    signature slice, prefixed with the band index (so equal slices in
+    different bands never collide)."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[
+                        F.col(sig_col)[i].cast("string")
+                        for i in range(
+                            b * rows_per_band, (b + 1) * rows_per_band
+                        )
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_est_jaccard(
+    sig_a: str = "sig_a", sig_b: str = "sig_b", *, num_hashes: int = 16
+) -> Column:
+    """MinHash Jaccard estimate: fraction of equal signature positions."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     *,
@@ -215,27 +292,9 @@ def minhash_lsh_pairs(
     are groupBy(band_key) — keys are short hashes, heavily combinable.
     Returns (id_a, id_b, est_jaccard).
     """
-    rows_per_band = num_hashes // bands
-    # Signature via shingle rows + groupBy(min x num_hashes), NOT
-    # per-row array higher-order functions: min/md5/conv inside a hash
-    # aggregate run in whole-stage codegen with map-side partial
-    # combine, while transform/array_min lambdas evaluate interpreted
-    # (measured ~4x slower). distinct=False: min() is idempotent under
-    # duplicate shingles, so the dedup shuffle is skipped. Docs with no
-    # shingles (shorter than shingle_n) produce no rows — correct,
-    # since they can't be near-duplicates under this similarity.
-    ex = shingle_rows(
-        docs, id_col=id_col, text_col=text_col, n=shingle_n, distinct=False
-    )
-    sig = (
-        ex.groupBy("id")
-        .agg(
-            *[
-                F.min(_md5_hash64(F.col("s"), i)).alias(f"h{i}")
-                for i in range(num_hashes)
-            ]
-        )
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    sig = minhash_signature_table(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
     )
     # Materialize signatures before the self-join: the signature table is
     # tiny relative to the corpus (num_hashes longs + id per doc), while
@@ -247,21 +306,12 @@ def minhash_lsh_pairs(
     # suffices.
     sig = sig.localCheckpoint(eager=True)
 
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[
-                    F.col("sig")[i].cast("string")
-                    for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                ],
-            )
-        ).alias("band_key")
-        for b in range(bands)
-    ]
     banded = sig.select(
-        "id", "sig", F.explode(F.array(*band_cols)).alias("band_key")
+        "id",
+        "sig",
+        F.explode(
+            lsh_band_keys("sig", num_hashes=num_hashes, bands=bands)
+        ).alias("band_key"),
     )
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key")
     b_ = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key")
@@ -274,14 +324,8 @@ def minhash_lsh_pairs(
     est = cand.select(
         "id_a",
         "id_b",
-        (
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / F.lit(float(num_hashes))
+        minhash_est_jaccard(
+            "sig_a", "sig_b", num_hashes=num_hashes
         ).alias("est_jaccard"),
     )
     if min_jaccard is not None:

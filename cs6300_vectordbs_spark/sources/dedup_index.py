@@ -1,0 +1,199 @@
+"""Persistent MinHash-LSH signature index — incremental dedup.
+
+The third member of the persisted-index family (vector_index.py IVF,
+text_index.py BM25): at production scale a corpus is deduplicated
+ONCE, and every subsequent ingest batch must be checked against the
+existing corpus WITHOUT recomputing corpus signatures — the streaming-
+ingest dedup path. The reference has no dedup at all (it delegates
+storage to ChromaDB/Pinecone, /root/reference/src/chroma.py:48-76);
+this is north-star extension surface.
+
+Layout on disk:
+
+  {path}/bands/bucket=<b>/...  (band_key, id, sig) rows, one per
+                               (doc, band), partitioned by a stable
+                               hash bucket of the BAND KEY
+  {path}/META                  num_hashes / bands / shingle_n / n_buckets
+  {path}/FINGERPRINT           corpus identity (count + hash sum)
+
+Serving (probe_dedup_index) computes the NEW batch's signatures and
+band keys — O(batch), not O(corpus) — derives the probe bucket set
+driver-side from the batch's band keys, applies it as a PARTITION
+filter on the bands scan (the dedup analog of IVF cell pruning /
+BM25 term-bucket pruning: the index scan touches
+|probe buckets| / n_buckets of the directories), then equi-joins on
+band_key and refines candidates with the exact signature-equality
+Jaccard estimate. The corpus-side signatures come straight off disk;
+raw corpus text is never touched again.
+
+The bucket hash is Spark's Murmur3 (stable across sessions for the
+same input); it only needs build/serve agreement inside this engine —
+the ORACLE for probe results is the plain full-recompute MinHash SQL
+twin over the same split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    lsh_band_keys,
+    minhash_est_jaccard,
+    minhash_signature_table,
+)
+
+
+def dedup_index_exists(path: str) -> bool:
+    return os.path.exists(f"{path}/bands/_SUCCESS") and os.path.exists(
+        f"{path}/META"
+    )
+
+
+def _fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.hash(F.col(id_col), F.col(text_col)).cast("bigint")
+        ).alias("chk"),
+    ).collect()[0]
+    return f"{row['n']}:{row['chk']}"
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Signatures -> exploded band rows -> bucket-partitioned parquet."""
+    sig = minhash_signature_table(
+        docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            lsh_band_keys("sig", num_hashes=num_hashes, bands=bands)
+        ).alias("band_key"),
+    ).withColumn("bucket", F.pmod(F.hash("band_key"), F.lit(n_buckets)))
+    banded.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/bands"
+    )
+    with open(f"{path}/META", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "n_buckets": n_buckets,
+            },
+            f,
+        )
+
+
+def ensure_dedup_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """S9 create-if-absent with content-addressed invalidation: reuse
+    only a complete index whose stored corpus fingerprint matches."""
+    fp = _fingerprint(docs, id_col, text_col)
+    fp_file = f"{path}/FINGERPRINT"
+    try:
+        with open(fp_file, "r", encoding="utf-8") as f:
+            stored = f.read().strip()
+    except OSError:
+        stored = None
+    if dedup_index_exists(path) and stored == fp:
+        return
+    build_dedup_index(
+        docs, path, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, n_buckets=n_buckets,
+    )
+    with open(fp_file, "w", encoding="utf-8") as f:
+        f.write(fp)
+
+
+def probe_dedup_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Near-duplicates of ``new_docs`` against the INDEXED corpus.
+
+    Returns (new_id, indexed_id, est_jaccard). Only new-vs-indexed
+    pairs are reported (rows whose indexed id equals a new id are
+    excluded — a re-ingested identical doc is an upsert, not a dup);
+    new-vs-new duplicates are the in-batch ``minhash_lsh_pairs`` job.
+    """
+    with open(f"{path}/META", "r", encoding="utf-8") as f:
+        meta = json.load(f)
+    num_hashes = int(meta["num_hashes"])
+    bands = int(meta["bands"])
+    shingle_n = int(meta["shingle_n"])
+    n_buckets = int(meta["n_buckets"])
+
+    sig = minhash_signature_table(
+        new_docs, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, shingle_n=shingle_n,
+    )
+    probe = sig.select(
+        F.col("id").alias("new_id"),
+        F.col("sig").alias("sig_new"),
+        F.explode(
+            lsh_band_keys("sig", num_hashes=num_hashes, bands=bands)
+        ).alias("band_key"),
+    ).withColumn("bucket", F.pmod(F.hash("band_key"), F.lit(n_buckets)))
+    # The probe side is one ingest batch — tiny next to the index.
+    # Materialize it once (the signature pipeline is the expensive
+    # part), derive the bucket set driver-side, and broadcast it into
+    # the index join.
+    probe = probe.localCheckpoint(eager=True)
+    buckets = sorted(
+        r["bucket"] for r in probe.select("bucket").distinct().collect()
+    )
+
+    idx = spark.read.parquet(f"{path}/bands").filter(
+        F.col("bucket").isin(buckets)
+    )
+    cand = (
+        idx.join(F.broadcast(probe), on=["bucket", "band_key"])
+        .filter(F.col("id") != F.col("new_id"))
+        .select(
+            "new_id",
+            F.col("id").alias("indexed_id"),
+            "sig_new",
+            F.col("sig").alias("sig_idx"),
+        )
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    return cand.select(
+        "new_id",
+        "indexed_id",
+        minhash_est_jaccard(
+            "sig_new", "sig_idx", num_hashes=num_hashes
+        ).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= min_jaccard)
