@@ -143,3 +143,100 @@ def write_bucketed(
     if sort_by is not None:
         w = w.sortBy(sort_by)
     w.saveAsTable(table)
+
+
+def load_corpus_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    *,
+    column_map: dict[str, str] | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus source — the dominant training-data interchange
+    format. Returns ``(good, bad)``: parsed rows and raw corrupt lines.
+
+    Scale rules this encodes:
+      - ALWAYS pass an explicit ``schema`` ("doc_id bigint, text
+        string, ..."): schema inference is a full extra pass over the
+        data (at 100 TB, reading everything twice before the job
+        starts). Inference is allowed only when schema is None.
+      - PERMISSIVE corrupt handling: malformed lines land in
+        ``corrupt_col`` instead of failing the job (one broken line in
+        a billion must not kill the ingest); callers quarantine ``bad``
+        to a reject sink and continue.
+      - ``column_map`` projects/renames at the scan, so Catalyst prunes
+        unread JSON fields (Jackson skips unparsed subtrees).
+    """
+    if schema is not None:
+        # text scan + from_json: one pass, no inference, and corrupt
+        # lines are simply rows where the struct parses to NULL —
+        # avoiding the JSON source's restriction on querying the
+        # corrupt-record column from a raw scan (which would force a
+        # cache of the whole parse).
+        raw = spark.read.text(path).filter(F.trim("value") != "")
+        parsed = raw.select(
+            "value",
+            F.from_json(
+                "value",
+                f"{schema}, {corrupt_col} string",
+                {"columnNameOfCorruptRecord": corrupt_col},
+            ).alias("j"),
+        )
+        is_bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
+        bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
+        good = (
+            parsed.filter(~is_bad).select("j.*").drop(corrupt_col)
+        )
+    else:
+        # Inference path (full extra read — small/interactive use only).
+        df = spark.read.option("mode", "PERMISSIVE").json(path)
+        if corrupt_col in df.columns:
+            df = df.cache()  # documented requirement to query the col
+            bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+                F.col(corrupt_col).alias("raw_line")
+            )
+            good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+        else:
+            bad = df.limit(0).select(F.lit("").alias("raw_line"))
+            good = df
+    if column_map:
+        good = good.select(
+            *[
+                F.col(src).alias(dst)
+                for src, dst in column_map.items()
+                if src in good.columns
+            ]
+        )
+    return good, bad
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    *,
+    order_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> int:
+    """Sized-shard corpus export: contiguous ``order_col`` ranges with
+    ~``rows_per_shard`` rows per parquet file. Returns the shard count.
+
+    Training loaders want (a) bounded shard sizes (a shard must fit a
+    loader worker's memory; tiny shards waste open/seek overhead — the
+    small-files problem), and (b) deterministic order-ranged shards so
+    a run can be resumed/sampled by shard. ``repartitionByRange`` is a
+    sampling-based range exchange (parallel, no single reducer);
+    ``maxRecordsPerFile`` caps stragglers from range skew. The count()
+    is one cheap metadata-ish pass; at steady state callers track row
+    counts in their manifest instead.
+    """
+    n = df.count()
+    shards = max(1, -(-n // rows_per_shard))
+    (
+        df.repartitionByRange(shards, F.col(order_col))
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    return shards

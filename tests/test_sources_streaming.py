@@ -286,3 +286,44 @@ def test_sliding_window_triples_tumbling_mass(spark):
     out = sliding_event_counts(ev)
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == 3 * ev.count()
+
+
+def test_load_corpus_jsonl_splits_good_and_corrupt(spark, tmp_path):
+    from cs6300_vectordbs_spark.sources.ingest import load_corpus_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en"}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 2, "text": "beta", "lang": "de"}\n'
+        '{"doc_id": 3, "text": "gamma"'  # truncated line
+        "\n"
+    )
+    good, bad = load_corpus_jsonl(
+        spark, str(p), "doc_id bigint, text string, lang string",
+        column_map={"doc_id": "doc_id", "text": "text"},
+    )
+    rows = sorted((r.doc_id, r.text) for r in good.collect())
+    assert rows == [(1, "alpha"), (2, "beta")]
+    assert good.columns == ["doc_id", "text"]
+    badlines = sorted(r.raw_line for r in bad.collect())
+    assert badlines == ['THIS IS NOT JSON', '{"doc_id": 3, "text": "gamma"']
+
+
+def test_write_corpus_shards_bounds_file_sizes(spark, tmp_path):
+    from cs6300_vectordbs_spark.sources.ingest import write_corpus_shards
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = str(tmp_path / "shards")
+    n = write_corpus_shards(df, out, rows_per_shard=300)
+    assert n == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # every parquet file holds <= rows_per_shard rows
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 300 for r in per_file)
+    assert len(per_file) >= 4
