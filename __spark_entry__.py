@@ -630,6 +630,40 @@ WHERE (id_a % 10 = 0) != (id_b % 10 = 0)
 """
 
 
+def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of incremental_dedup: the new-batch documents
+    arrive as a file STREAM; each micro-batch runs the persisted-index
+    probe via foreachBatch (streaming/dedup_stream.py). Per-batch
+    independence (probe is stream-vs-static-index only) makes the
+    drained result identical to the batch probe — shares its full
+    value-hash oracle."""
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        ensure_dedup_index,
+    )
+    from cs6300_vectordbs_spark.streaming.dedup_stream import (
+        probe_doc_stream,
+        read_doc_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    indexed = docs.filter(F.col("doc_id") % 10 != 0)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/dedup_index_{tag}"
+    ensure_dedup_index(
+        spark, indexed, path,
+        num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+    )
+    stream = read_doc_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 10 == 0
+    )
+    out = probe_doc_stream(spark, stream, path, min_jaccard=0.3)
+    return out.select(
+        F.col("new_id").cast("bigint"),
+        F.col("indexed_id").cast("bigint"),
+        "est_jaccard",
+    )
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus contamination surface: near-duplicate pairs whose
     two documents come from DIFFERENT sources (the train-set vs
@@ -5937,6 +5971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "rerank_topk": q_rerank_topk,
         "incremental_dedup": q_incremental_dedup,
+        "incremental_dedup_stream": q_incremental_dedup_stream,
     }
 
 
@@ -6070,6 +6105,7 @@ def oracle_sql() -> dict[str, str]:
         "waiting_suppliers": _ORACLE_WAITING,
         "rerank_topk": _ORACLE_RERANK,
         "incremental_dedup": _oracle_incremental_dedup(),
+        "incremental_dedup_stream": _oracle_incremental_dedup(),
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

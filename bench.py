@@ -162,6 +162,7 @@ EXTENDED_QUERIES = [
     "waiting_suppliers",
     "rerank_topk",
     "incremental_dedup",
+    "incremental_dedup_stream",
 ]
 
 

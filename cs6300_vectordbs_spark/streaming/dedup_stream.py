@@ -1,0 +1,84 @@
+"""Streaming incremental dedup — an ingest STREAM of documents probed
+against the persisted MinHash-LSH band index (sources/dedup_index.py).
+
+The production shape: a crawler/ingest pipeline emits document batches
+continuously; each batch must be checked for near-duplicates against
+the existing corpus BEFORE admission, at O(batch) cost. Stream-static:
+the index is fixed for the run (periodic index refresh is a separate
+compaction job), so state is zero and each micro-batch runs the exact
+batch probe plan inside ``foreachBatch`` (driver-side planning is
+required for the probe-bucket partition filter).
+
+Per-batch independence: a batch's documents are probed only against
+the STATIC index, never against each other (in-batch dups are the
+batch ``minhash_lsh_pairs`` job), so the union of micro-batch outputs
+is EXACTLY the one-shot ``probe_dedup_index`` result over the same
+documents, independent of micro-batching — the stream shares the batch
+query's full value-hash oracle.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_doc_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over the documents table."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def probe_doc_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    index_path: str,
+    *,
+    min_jaccard: float = 0.3,
+    out_path: str | None = None,
+) -> DataFrame:
+    """Drain the document stream against the stored dedup index
+    (availableNow, exactly-once) and return the accumulated
+    (new_id, indexed_id, est_jaccard) rows."""
+    from ..sources.dedup_index import probe_dedup_index
+
+    out = out_path or tempfile.mkdtemp(prefix="dedup_probe_")
+    shutil.rmtree(out, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="dedup_probe_ckpt_")
+
+    def handle(batch: DataFrame, _bid: int) -> None:
+        if not batch.take(1):
+            return
+        res = probe_dedup_index(
+            spark, batch, index_path, min_jaccard=min_jaccard
+        )
+        res.write.mode("append").parquet(out)
+
+    (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    try:
+        return spark.read.parquet(out)
+    except Exception:
+        return spark.createDataFrame(
+            [], "new_id bigint, indexed_id bigint, est_jaccard double"
+        ).select(
+            "new_id", "indexed_id", F.col("est_jaccard").cast("double")
+        )
