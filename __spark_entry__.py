@@ -5271,6 +5271,49 @@ LIMIT 20
 """
 
 
+def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change query (TPC-H Q6 shape): a single
+    scan-heavy conditional sum with NO join — the purest predicate-
+    pushdown benchmark. All three predicates (ship year, discount
+    band, quantity cap) reach the parquet scan as PushedFilters, so
+    row groups prune before any row is materialized; the aggregate is
+    a one-row partial+final sum in exact DECIMAL. The discount-band
+    comparison runs on DECIMAL(4,2) (values are exact hundredths;
+    comparing the raw doubles to 0.05/0.07 literals would be a
+    float-representation trap on both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_quantity") < 24)
+        )
+        .filter(
+            (disc >= F.lit("0.05").cast("decimal(4,2)"))
+            & (disc <= F.lit("0.07").cast("decimal(4,2)"))
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * disc)
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_DISCOUNT_REVENUE = """
+SELECT
+  sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(4,2))::DOUBLE
+    AS revenue,
+  count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND l_discount::DECIMAL(4,2) BETWEEN 0.05 AND 0.07
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost-supplier lookup (TPC-H Q2 shape, adapted: this
     schema has no partsupp, so the supply relation is derived as the
@@ -5972,6 +6015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rerank_topk": q_rerank_topk,
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_stream": q_incremental_dedup_stream,
+        "discount_revenue": q_discount_revenue,
     }
 
 
@@ -6106,6 +6150,7 @@ def oracle_sql() -> dict[str, str]:
         "rerank_topk": _ORACLE_RERANK,
         "incremental_dedup": _oracle_incremental_dedup(),
         "incremental_dedup_stream": _oracle_incremental_dedup(),
+        "discount_revenue": _ORACLE_DISCOUNT_REVENUE,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

@@ -163,6 +163,7 @@ EXTENDED_QUERIES = [
     "rerank_topk",
     "incremental_dedup",
     "incremental_dedup_stream",
+    "discount_revenue",
 ]
 
 

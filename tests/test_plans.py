@@ -478,3 +478,18 @@ def test_small_qty_revenue_stats_join_is_equi_on_partkey(spark):
     assert "Exchange SinglePartition" not in plan
     # brand filter prunes the broadcast part dim at its scan
     assert "EqualTo(p_brand,Brand#3)" in plan
+
+
+def test_discount_revenue_pushes_all_predicates_to_scan(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_discount_revenue(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed
+    ln = pushed[0]
+    assert "GreaterThanOrEqual(l_shipdate" in ln
+    assert "LessThan(l_shipdate" in ln
+    assert "LessThan(l_quantity,24.0)" in ln
+    # one-row aggregate: partial+final, never a join
+    assert "Join" not in plan
