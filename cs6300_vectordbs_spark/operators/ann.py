@@ -213,23 +213,37 @@ def ivf_topk_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    # Train on a BOUNDED sample (FAISS practice: the coarse quantizer
-    # needs ~O(100) vectors per centroid, not the corpus — at 100 TB
-    # the limit() stops the scan early), coalesced to a few partitions
-    # (KMeans runs one job per iteration; 32 near-empty tasks per
-    # iteration is pure scheduler overhead) and cached across the
-    # iterations (otherwise every iteration re-reads parquet).
+    # Train on a BOUNDED, ORDER-DECORRELATED sample (FAISS practice:
+    # the coarse quantizer needs ~O(100) vectors per centroid, not the
+    # corpus). A plain limit() would take a file-order PREFIX — on a
+    # corpus laid out by source/date the centroids would only ever see
+    # the leading slice — so rows are first thinned by a deterministic
+    # hash gate (spread across the whole corpus regardless of layout),
+    # THEN bounded by limit() as a hard cap. repartition(4) restores
+    # parallel training (a global limit collapses to one partition)
+    # while keeping per-iteration scheduler overhead small, and cache()
+    # keeps KMeans' per-iteration scans off the parquet source.
     sample_n = max(10_000, 256 * n_cells)
-    train = (
-        corpus.select(
-            array_to_vector(
-                F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
-            ).alias("features")
+
+    def featurize(df):
+        return (
+            df.select(
+                array_to_vector(
+                    F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+                ).alias("features")
+            )
+            .limit(sample_n)
+            .repartition(4)
+            .cache()
         )
-        .limit(sample_n)
-        .coalesce(4)
-        .cache()
-    )
+
+    gate = F.pmod(F.hash(F.col(corpus_id)), F.lit(8)) == 0
+    train = featurize(corpus.filter(gate))
+    if train.count() < 4 * n_cells:
+        # Tiny corpus: the 1/8 gate would starve the quantizer of
+        # points — train on the (bounded) whole corpus instead.
+        train.unpersist()
+        train = featurize(corpus)
     try:
         model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     finally:

@@ -14,7 +14,7 @@ Layout on disk:
                                (doc, band), partitioned by a stable
                                hash bucket of the BAND KEY
   {path}/META                  num_hashes / bands / shingle_n / n_buckets
-  {path}/FINGERPRINT           corpus identity (count + hash sum)
+  {path}/FINGERPRINT           corpus identity + build params
 
 Serving (probe_dedup_index) computes the NEW batch's signatures and
 band keys — O(batch), not O(corpus) — derives the probe bucket set
@@ -45,22 +45,17 @@ from ..operators.dedup import (
     minhash_est_jaccard,
     minhash_signature_table,
 )
+from .index_common import (
+    corpus_fingerprint,
+    read_fingerprint,
+    write_fingerprint,
+)
 
 
 def dedup_index_exists(path: str) -> bool:
     return os.path.exists(f"{path}/bands/_SUCCESS") and os.path.exists(
         f"{path}/META"
     )
-
-
-def _fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
-    row = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.hash(F.col(id_col), F.col(text_col)).cast("bigint")
-        ).alias("chk"),
-    ).collect()[0]
-    return f"{row['n']}:{row['chk']}"
 
 
 def build_dedup_index(
@@ -114,23 +109,30 @@ def ensure_dedup_index(
     n_buckets: int = 64,
 ) -> None:
     """S9 create-if-absent with content-addressed invalidation: reuse
-    only a complete index whose stored corpus fingerprint matches."""
-    fp = _fingerprint(docs, id_col, text_col)
-    fp_file = f"{path}/FINGERPRINT"
-    try:
-        with open(fp_file, "r", encoding="utf-8") as f:
-            stored = f.read().strip()
-    except OSError:
-        stored = None
-    if dedup_index_exists(path) and stored == fp:
+    only a complete index whose stored fingerprint matches BOTH the
+    live corpus and the requested build parameters — a parameter
+    change (bands, hashes, shingle size, buckets) rebuilds even over
+    an unchanged corpus, since a stale-parameter index would silently
+    serve a different band rule than the caller (and the oracle)
+    expects."""
+    fp = corpus_fingerprint(
+        docs,
+        [id_col, text_col],
+        {
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+            "n_buckets": n_buckets,
+        },
+    )
+    if dedup_index_exists(path) and read_fingerprint(path) == fp:
         return
     build_dedup_index(
         docs, path, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, n_buckets=n_buckets,
     )
-    with open(fp_file, "w", encoding="utf-8") as f:
-        f.write(fp)
+    write_fingerprint(path, fp)
 
 
 def probe_dedup_index(

@@ -189,24 +189,27 @@ def load_corpus_jsonl(
             parsed.filter(~is_bad).select("j.*").drop(corrupt_col)
         )
     else:
-        # Inference path (full extra read — small/interactive use only).
-        df = spark.read.option("mode", "PERMISSIVE").json(path)
-        if corrupt_col in df.columns:
-            df = df.cache()  # documented requirement to query the col
-            bad = df.filter(F.col(corrupt_col).isNotNull()).select(
-                F.col(corrupt_col).alias("raw_line")
-            )
-            good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-        else:
-            bad = df.limit(0).select(F.lit("").alias("raw_line"))
-            good = df
+        # Inference path (full extra read — small/interactive use
+        # only): infer the schema, then run the SAME text+from_json
+        # split as the explicit-schema path. No caching of the parse
+        # (the corrupt-column-only restriction applies to the raw JSON
+        # scan, not to from_json) and one code path for the split.
+        inferred = spark.read.option("mode", "PERMISSIVE").json(path)
+        fields = [f for f in inferred.schema.fields if f.name != corrupt_col]
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in fields
+        )
+        return load_corpus_jsonl(
+            spark, path, ddl, column_map=column_map, corrupt_col=corrupt_col
+        )
     if column_map:
+        missing = [s for s in column_map if s not in good.columns]
+        if missing:
+            raise KeyError(
+                f"column_map source columns not in schema: {missing}"
+            )
         good = good.select(
-            *[
-                F.col(src).alias(dst)
-                for src, dst in column_map.items()
-                if src in good.columns
-            ]
+            *[F.col(src).alias(dst) for src, dst in column_map.items()]
         )
     return good, bad
 

@@ -8,7 +8,7 @@ Layout on disk:
                                   (term, doc, w) partitioned by a
                                   stable hash bucket of the TERM
   {path}/META                     n_docs / avgdl / k1 / b (JSON)
-  {path}/FINGERPRINT              corpus identity (count + hash sum)
+  {path}/FINGERPRINT              corpus identity + build params
 
 The impacts are the full per-(term, doc) BM25 weight
 idf*tf*(k1+1)/denom computed at BUILD time (Lucene's impact lists) —
@@ -35,22 +35,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.dedup import shingle_rows
+from .index_common import (
+    corpus_fingerprint,
+    read_fingerprint,
+    write_fingerprint,
+)
 
 
 def text_index_exists(path: str) -> bool:
     return os.path.exists(f"{path}/impacts/_SUCCESS") and os.path.exists(
         f"{path}/META"
     )
-
-
-def _fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
-    row = docs.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.hash(F.col(id_col), F.col(text_col)).cast("bigint")
-        ).alias("chk"),
-    ).collect()[0]
-    return f"{row['n']}:{row['chk']}"
 
 
 def build_text_index(
@@ -128,22 +123,21 @@ def ensure_text_index(
     n_buckets: int = 64,
 ) -> None:
     """S9 create-if-absent with content-addressed invalidation: reuse
-    only a complete index whose stored corpus fingerprint matches."""
-    fp = _fingerprint(docs, id_col, text_col)
-    fp_file = f"{path}/FINGERPRINT"
-    try:
-        with open(fp_file, "r", encoding="utf-8") as f:
-            stored = f.read().strip()
-    except OSError:
-        stored = None
-    if text_index_exists(path) and stored == fp:
+    only a complete index whose stored fingerprint matches both the
+    live corpus AND the BM25 parameters (k1/b/buckets) — a
+    stale-parameter index must never serve a caller expecting the new
+    scoring."""
+    fp = corpus_fingerprint(
+        docs, [id_col, text_col],
+        {"k1": k1, "b": b, "n_buckets": n_buckets},
+    )
+    if text_index_exists(path) and read_fingerprint(path) == fp:
         return
     build_text_index(
         docs, path, id_col=id_col, text_col=text_col,
         k1=k1, b=b, n_buckets=n_buckets,
     )
-    with open(fp_file, "w", encoding="utf-8") as f:
-        f.write(fp)
+    write_fingerprint(path, fp)
 
 
 def search_text_index(

@@ -23,7 +23,6 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def read_doc_stream(
@@ -50,14 +49,32 @@ def probe_doc_stream(
     min_jaccard: float = 0.3,
     out_path: str | None = None,
 ) -> DataFrame:
-    """Drain the document stream against the stored dedup index
-    (availableNow, exactly-once) and return the accumulated
-    (new_id, indexed_id, est_jaccard) rows."""
+    """Drain the document stream against the stored dedup index and
+    return the accumulated (new_id, indexed_id, est_jaccard) rows.
+
+    Semantics: availableNow drains everything currently available with
+    a fresh run; within the run, foreachBatch + parquet append is
+    at-least-once per micro-batch (a crash between sink commit and
+    checkpoint commit would replay the batch on restart — a production
+    deployment makes ``handle`` idempotent by writing per-batch
+    directories keyed on batch id, or uses a transactional sink).
+
+    ``out_path`` must be empty or nonexistent — the caller owns it and
+    this function will NOT delete pre-existing data; omit it for a
+    fresh temp dir.
+    """
+    import os
+
     from ..sources.dedup_index import probe_dedup_index
 
+    if out_path is not None and os.path.isdir(out_path) and os.listdir(out_path):
+        raise ValueError(
+            f"out_path {out_path!r} is non-empty; refusing to overwrite"
+        )
     out = out_path or tempfile.mkdtemp(prefix="dedup_probe_")
-    shutil.rmtree(out, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="dedup_probe_ckpt_")
+
+    wrote = {"any": False}
 
     def handle(batch: DataFrame, _bid: int) -> None:
         if not batch.take(1):
@@ -66,19 +83,25 @@ def probe_doc_stream(
             spark, batch, index_path, min_jaccard=min_jaccard
         )
         res.write.mode("append").parquet(out)
+        wrote["any"] = True
 
-    (
-        docs_stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
     try:
-        return spark.read.parquet(out)
-    except Exception:
+        (
+            docs_stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        # The checkpoint is per-drain scratch (each call is a fresh
+        # run); never leak it.
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not wrote["any"]:
+        # No micro-batch produced rows — there is no parquet footer to
+        # read. Any OTHER read failure below must propagate: swallowing
+        # it would report "no duplicates" for admitted dup documents.
         return spark.createDataFrame(
             [], "new_id bigint, indexed_id bigint, est_jaccard double"
-        ).select(
-            "new_id", "indexed_id", F.col("est_jaccard").cast("double")
         )
+    return spark.read.parquet(out)
