@@ -129,8 +129,15 @@ def ensure_ivf_index(
     corpus fingerprint matches the live corpus is reused as-is (the
     reference's count-guard analog, src/chroma.py:81-87 — but content-
     addressed, so a regenerated corpus with the same row count still
-    invalidates); anything partial, missing, or stale is rebuilt."""
-    fp = corpus_fingerprint(corpus, corpus_id, corpus_vec)
+    invalidates); anything partial, missing, or stale is rebuilt.
+    The fingerprint also encodes the build parameters (dim/n_cells):
+    changing the cell count over an unchanged corpus must rebuild —
+    a stale-geometry index would serve different cells than the
+    caller's probe math assumes."""
+    fp = (
+        corpus_fingerprint(corpus, corpus_id, corpus_vec)
+        + f":dim={dim},n_cells={n_cells}"
+    )
     if ivf_index_exists(path) and _read_fingerprint(path) == fp:
         return
     build_ivf_index(

@@ -63,19 +63,29 @@ def serve_query_stream(
     exclude_self: bool = False,
     out_path: str | None = None,
 ) -> DataFrame:
-    """Drain the query stream against the stored index (availableNow,
-    exactly-once) and return the full result set.
+    """Drain the query stream against the stored index (availableNow)
+    and return the full result set.
 
     Each micro-batch runs the batch serving plan via ``foreachBatch``
     and APPENDS to a parquet result sink; the returned DataFrame reads
     that sink back. Result rows are (query_id, rank, id, sim, dist) —
     identical to the batch ``search_ivf_index`` output for the same
     query set, independent of how the stream was micro-batched.
+    Within a drain, foreachBatch + append is at-least-once per
+    micro-batch (crash-between-commits replays); per-query results are
+    idempotent row sets, and a production deployment would key batch
+    output directories on batch id. ``out_path`` must be empty or
+    nonexistent — caller-owned data is never deleted.
     """
+    import os
+
     from ..sources.vector_index import search_ivf_index
 
+    if out_path is not None and os.path.isdir(out_path) and os.listdir(out_path):
+        raise ValueError(
+            f"out_path {out_path!r} is non-empty; refusing to overwrite"
+        )
     out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
-    shutil.rmtree(out, ignore_errors=True)
     ckpt = tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
@@ -93,5 +103,9 @@ def serve_query_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        # Per-drain scratch (each call is a fresh run); never leak it.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out)
