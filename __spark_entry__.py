@@ -4179,6 +4179,106 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_TUNE_PROBES = (1, 4, 16)
+
+
+def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tuning sweep — the reference harness's core loop (measure
+    recall across index configurations, BASELINE.json north star)
+    lifted to one query: IVF top-k at n_probe in {1, 4, 16} scored
+    against the exact top-k, reporting micro-averaged recall@k per
+    probe width. n_probe = n_cells (16) probes every cell, so its
+    recall row is exactly 1.0 — a built-in sanity anchor. All three
+    IVF runs share the deterministic sampled quantizer, so the whole
+    report is value-hash oracled (the SQL twin ranks once over all
+    cells and slices by probe depth). Scale shape: the exact arm is
+    the WindowGroupLimit broadcast plan; each IVF arm scans only its
+    probed cells; the recall join is queries x k rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_batch(emb)
+    exact = similarity_topk(
+        emb, q, TOPK, exclude_self=True, dim=EMB_DIM
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
+    n_exact = exact.count()
+    parts = []
+    for p in _TUNE_PROBES:
+        approx = ivf_topk(
+            emb, q, TOPK, dim=EMB_DIM,
+            n_cells=_IVF_CELLS, n_probe=p, exclude_self=True,
+        ).select("query_id", "vec_id")
+        hits = exact.join(approx, on=["query_id", "vec_id"], how="inner")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(p).cast("bigint").alias("n_probe"),
+                F.col("n_hits").cast("bigint"),
+                F.round(
+                    F.col("n_hits") / F.lit(float(n_exact)), 9
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _oracle_ann_tuning() -> str:
+    probes_sql = ", ".join(str(p) for p in _TUNE_PROBES)
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
+                      e.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {TOPK}
+),
+n_exact AS (SELECT count(*)::DOUBLE AS n FROM exact),
+sweep AS (SELECT unnest([{probes_sql}]) AS n_probe),
+approx AS (
+  SELECT s.n_probe, r.query_id, r.vec_id FROM sweep s, LATERAL (
+    SELECT query_id, vec_id FROM (
+      SELECT c2.query_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY c2.query_id
+               ORDER BY {_sql_cos('c2.qvec', 'e.embedding')} DESC,
+                        e.vec_id ASC) AS rank
+      FROM (SELECT query_id, qvec, cell FROM probes
+            WHERE rn <= s.n_probe) c2
+      JOIN cells e ON e.cell = c2.cell AND e.vec_id != c2.query_id)
+    WHERE rank <= {TOPK}) r
+)
+SELECT a.n_probe::BIGINT AS n_probe,
+       count(*)::BIGINT AS n_hits,
+       round(count(*) / (SELECT n FROM n_exact), 9) AS recall_at_k
+FROM approx a JOIN exact x
+  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY a.n_probe
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUB = EMB_DIM // _PQ_M
@@ -6016,6 +6116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "discount_revenue": q_discount_revenue,
+        "ann_tuning_report": q_ann_tuning_report,
     }
 
 
@@ -6151,6 +6252,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _oracle_incremental_dedup(),
         "incremental_dedup_stream": _oracle_incremental_dedup(),
         "discount_revenue": _ORACLE_DISCOUNT_REVENUE,
+        "ann_tuning_report": _oracle_ann_tuning(),
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

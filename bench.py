@@ -164,6 +164,7 @@ EXTENDED_QUERIES = [
     "incremental_dedup",
     "incremental_dedup_stream",
     "discount_revenue",
+    "ann_tuning_report",
 ]
 
 
