@@ -493,3 +493,14 @@ def test_discount_revenue_pushes_all_predicates_to_scan(spark):
     assert "LessThan(l_quantity,24.0)" in ln
     # one-row aggregate: partial+final, never a join
     assert "Join" not in plan
+
+
+def test_rerank_pipeline_plan(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_rerank_topk(spark, SF_DIR))
+    # candidate text joins are equi-joins on doc id; the final top-3
+    # compiles to a partial top-k; no cartesian anywhere
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
