@@ -922,27 +922,12 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is the similarity_topk plan (corpus broadcast-streamed, no
     all-pairs materialization beyond the per-query top-k); the triangle
     join is three equi-joins on a table of O(N*k) edges."""
-    from cs6300_vectordbs_spark.operators.similarity import (
-        similarity_topk_grid,
-    )
-
-    emb = _t(spark, sf_dir, "embeddings")
-    allq = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    # All-vectors-as-queries: the grid plan shards BOTH sides (the
-    # query side is corpus-sized here, so broadcasting/collecting it is
-    # exactly the thing that dies at 100x) — per-cell local top-k, one
-    # exact window over O(c_blocks * k) candidates per query.
-    knn = similarity_topk_grid(emb, allq, 3, exclude_self=True)
-    edges = (
-        knn.select(
-            F.least("query_id", "vec_id").alias("a"),
-            F.greatest("query_id", "vec_id").alias("b"),
-        )
-        .distinct()
-    )
-    edges = edges.localCheckpoint(eager=True)
+    # All-vectors-as-queries: the grid plan (inside _knn_edges) shards
+    # BOTH sides (the query side is corpus-sized here, so broadcasting/
+    # collecting it is exactly the thing that dies at 100x) — per-cell
+    # local top-k, one exact window over O(c_blocks * k) candidates
+    # per query.
+    edges = _knn_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
@@ -974,6 +959,117 @@ def q_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def _knn_edges(spark: SparkSession, sf_dir: str):
+    """Symmetric exact-top-3 kNN edges (a < b) — shared by the graph
+    analytics and PageRank queries."""
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_grid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = similarity_topk_grid(emb, allq, 3, exclude_self=True)
+    return (
+        knn.select(
+            F.least("query_id", "vec_id").alias("a"),
+            F.greatest("query_id", "vec_id").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the kNN similarity graph — the centrality signal
+    graph-based data-curation uses to pick representative documents
+    (and the second iterative-dataflow operator next to connected
+    components). Five fixed power iterations, damping 0.85, uniform
+    teleport; the undirected kNN graph has no dangling nodes (every
+    vertex has >= 1 edge), so mass is conserved up to teleport.
+
+    Scale shape per iteration: one equi-join of ranks onto the
+    directed edge list + one groupBy-sum — two shuffles over O(N*k)
+    edges with map-side combine, lineage truncated per round
+    (localCheckpoint), counts never reach the driver. The oracle runs
+    the identical five iterations as chained CTEs; output rounds to
+    9 dp (values ~1/N; float association noise is ~1e-15 relative)."""
+    edges = _knn_edges(spark, sf_dir)
+    dirs = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    n = deg.count()
+    d = 0.85
+    ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
+    contrib_edges = dirs.join(deg, on="src")
+    for _ in range(5):
+        contrib = (
+            contrib_edges.join(ranks, on="src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("degree")).alias("c"))
+        )
+        ranks = (
+            deg.join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
+                "src",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("src").cast("bigint").alias("vec_id"),
+        F.round("rank", 9).alias("pagerank"),
+    )
+
+
+def _oracle_pagerank() -> str:
+    knn_edges = f"""
+knn AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
+                    e.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+),
+edges AS (
+  SELECT DISTINCT least(query_id, vec_id) AS a,
+                  greatest(query_id, vec_id) AS b
+  FROM knn WHERE rank <= 3
+),
+dir AS (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT src, count(*) AS degree FROM dir GROUP BY src),
+nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+r0 AS (SELECT src, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"""
+    iters = []
+    for i in range(5):
+        iters.append(f"""
+r{i + 1} AS (
+  SELECT d.src,
+         0.15 / (SELECT n FROM nn)
+         + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM deg d LEFT JOIN (
+    SELECT e.dst, sum(r.rank / g.degree) AS c
+    FROM dir e
+    JOIN r{i} r ON e.src = r.src
+    JOIN deg g ON e.src = g.src
+    GROUP BY e.dst
+  ) s ON s.dst = d.src
+)""")
+    return (
+        "WITH " + knn_edges + "," + ",".join(iters)
+        + "\nSELECT src AS vec_id, round(rank, 9) AS pagerank FROM r5"
+    )
 
 
 def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6117,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "discount_revenue": q_discount_revenue,
         "ann_tuning_report": q_ann_tuning_report,
+        "pagerank_knn": q_pagerank_knn,
     }
 
 
@@ -6253,6 +6350,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_stream": _oracle_incremental_dedup(),
         "discount_revenue": _ORACLE_DISCOUNT_REVENUE,
         "ann_tuning_report": _oracle_ann_tuning(),
+        "pagerank_knn": _oracle_pagerank(),
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

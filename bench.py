@@ -165,6 +165,7 @@ EXTENDED_QUERIES = [
     "incremental_dedup_stream",
     "discount_revenue",
     "ann_tuning_report",
+    "pagerank_knn",
 ]
 
 
