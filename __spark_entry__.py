@@ -1007,7 +1007,10 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = deg.count()
     d = 0.85
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
-    contrib_edges = dirs.join(deg, on="src")
+    # Materialize (src, dst, degree) once — only ranks changes per
+    # iteration; without this every round re-runs the union + degree
+    # aggregate + join from the edges checkpoint.
+    contrib_edges = dirs.join(deg, on="src").localCheckpoint(eager=True)
     for _ in range(5):
         contrib = (
             contrib_edges.join(ranks, on="src")
@@ -4290,18 +4293,65 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells and slices by probe depth). Scale shape: the exact arm is
     the WindowGroupLimit broadcast plan; each IVF arm scans only its
     probed cells; the recall join is queries x k rows."""
+    from pyspark.sql.window import Window
+
+    from cs6300_vectordbs_spark.functions.vector import cosine_sim
+
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_batch(emb)
     exact = similarity_topk(
         emb, q, TOPK, exclude_self=True, dim=EMB_DIM
     ).select("query_id", "vec_id").localCheckpoint(eager=True)
     n_exact = exact.count()
+
+    # Cell assignment and full probe ranking are computed ONCE and
+    # sliced per probe depth — the per-arm work is only the probed-cell
+    # scan + window (the oracle is structured identically). Re-running
+    # ivf_topk per arm would redo the corpus-side argmax three times.
+    cent = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(_IVF_CELLS)
+        .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cvec"))
+    )
+    sim_to_cent = cosine_sim("embedding", "__cvec", EMB_DIM)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cid").alias("cell"), F.col("embedding").alias("vec")),
+                F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.cell").alias("cell"), F.col("best.vec").alias("vec"))
+        .localCheckpoint(eager=True)
+    )
+    qsim = cosine_sim("query_vec", "__cvec", EMB_DIM)
+    qw = Window.partitionBy("query_id").orderBy(
+        qsim.desc(), F.col("__cid").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("__rn", F.row_number().over(qw))
+        .filter(F.col("__rn") <= max(_TUNE_PROBES))
+        .select("query_id", "query_vec", F.col("__cid").alias("cell"), "__rn")
+        .localCheckpoint(eager=True)
+    )
+
     parts = []
     for p in _TUNE_PROBES:
-        approx = ivf_topk(
-            emb, q, TOPK, dim=EMB_DIM,
-            n_cells=_IVF_CELLS, n_probe=p, exclude_self=True,
-        ).select("query_id", "vec_id")
+        cand = assigned.join(
+            F.broadcast(probes.filter(F.col("__rn") <= p)), on="cell"
+        ).filter(F.col("vec_id") != F.col("query_id"))
+        rw = Window.partitionBy("query_id").orderBy(
+            cosine_sim("query_vec", "vec", EMB_DIM).desc(),
+            F.col("vec_id").asc(),
+        )
+        approx = (
+            cand.withColumn("__r", F.row_number().over(rw))
+            .filter(F.col("__r") <= TOPK)
+            .select("query_id", "vec_id")
+        )
         hits = exact.join(approx, on=["query_id", "vec_id"], how="inner")
         parts.append(
             hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
@@ -4365,13 +4415,17 @@ approx AS (
             WHERE rn <= s.n_probe) c2
       JOIN cells e ON e.cell = c2.cell AND e.vec_id != c2.query_id)
     WHERE rank <= {TOPK}) r
+),
+hits AS (
+  SELECT a.n_probe, count(*) AS c
+  FROM approx a JOIN exact x
+    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY a.n_probe
 )
-SELECT a.n_probe::BIGINT AS n_probe,
-       count(*)::BIGINT AS n_hits,
-       round(count(*) / (SELECT n FROM n_exact), 9) AS recall_at_k
-FROM approx a JOIN exact x
-  ON a.query_id = x.query_id AND a.vec_id = x.vec_id
-GROUP BY a.n_probe
+SELECT s.n_probe::BIGINT AS n_probe,
+       coalesce(h.c, 0)::BIGINT AS n_hits,
+       round(coalesce(h.c, 0) / (SELECT n FROM n_exact), 9) AS recall_at_k
+FROM sweep s LEFT JOIN hits h ON s.n_probe = h.n_probe
 """
 
 
@@ -5470,9 +5524,11 @@ LIMIT 20
 def q_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-revenue-change query (TPC-H Q6 shape): a single
     scan-heavy conditional sum with NO join — the purest predicate-
-    pushdown benchmark. All three predicates (ship year, discount
-    band, quantity cap) reach the parquet scan as PushedFilters, so
-    row groups prune before any row is materialized; the aggregate is
+    pushdown benchmark. The ship-year and quantity predicates reach
+    the parquet scan as PushedFilters (row groups prune before any row
+    materializes); the discount band compares through a DECIMAL cast,
+    which parquet filter translation cannot push — it evaluates in the
+    first codegen stage on already-pruned rows; the aggregate is
     a one-row partial+final sum in exact DECIMAL. The discount-band
     comparison runs on DECIMAL(4,2) (values are exact hundredths;
     comparing the raw doubles to 0.05/0.07 literals would be a

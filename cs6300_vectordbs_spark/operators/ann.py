@@ -215,35 +215,31 @@ def ivf_topk_kmeans(
 
     # Train on a BOUNDED, ORDER-DECORRELATED sample (FAISS practice:
     # the coarse quantizer needs ~O(100) vectors per centroid, not the
-    # corpus). A plain limit() would take a file-order PREFIX — on a
-    # corpus laid out by source/date the centroids would only ever see
-    # the leading slice — so rows are first thinned by a deterministic
-    # hash gate (spread across the whole corpus regardless of layout),
-    # THEN bounded by limit() as a hard cap. repartition(4) restores
-    # parallel training (a global limit collapses to one partition)
-    # while keeping per-iteration scheduler overhead small, and cache()
-    # keeps KMeans' per-iteration scans off the parquet source.
+    # corpus). A plain limit() takes a file-order PREFIX — on a corpus
+    # laid out by source/date the centroids would only see the leading
+    # slice — and a fixed hash gate merely widens that prefix. The
+    # sample here is the sample_n LOWEST-HASH rows of the whole corpus
+    # (orderBy(hash).limit compiles to TakeOrderedAndProject: a
+    # per-partition heap of sample_n + one merge — a full scan but no
+    # full sort, and uniform over the corpus regardless of layout).
+    # repartition(4) restores parallel training (a global limit
+    # collapses to one partition) while keeping per-iteration
+    # scheduler overhead small; cache() keeps KMeans' iteration scans
+    # off the parquet source.
     sample_n = max(10_000, 256 * n_cells)
-
-    def featurize(df):
-        return (
-            df.select(
-                array_to_vector(
-                    F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
-                ).alias("features")
-            )
-            .limit(sample_n)
-            .repartition(4)
-            .cache()
+    train = (
+        corpus.orderBy(
+            F.hash(F.col(corpus_id)).asc(), F.col(corpus_id).asc()
         )
-
-    gate = F.pmod(F.hash(F.col(corpus_id)), F.lit(8)) == 0
-    train = featurize(corpus.filter(gate))
-    if train.count() < 4 * n_cells:
-        # Tiny corpus: the 1/8 gate would starve the quantizer of
-        # points — train on the (bounded) whole corpus instead.
-        train.unpersist()
-        train = featurize(corpus)
+        .limit(sample_n)
+        .select(
+            array_to_vector(
+                F.transform(F.col(corpus_vec), lambda x: x.cast("double"))
+            ).alias("features")
+        )
+        .repartition(4)
+        .cache()
+    )
     try:
         model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     finally:

@@ -196,6 +196,14 @@ def load_corpus_jsonl(
         # scan, not to from_json) and one code path for the split.
         inferred = spark.read.option("mode", "PERMISSIVE").json(path)
         fields = [f for f in inferred.schema.fields if f.name != corrupt_col]
+        if not fields:
+            # Empty or all-corrupt file: nothing parseable to infer —
+            # every non-blank line is a reject.
+            raw = spark.read.text(path).filter(F.trim("value") != "")
+            return (
+                raw.limit(0).select(F.col("value")),
+                raw.select(F.col("value").alias("raw_line")),
+            )
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in fields
         )

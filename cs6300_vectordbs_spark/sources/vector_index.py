@@ -34,6 +34,11 @@ from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_sim
 from ..operators.util import spread
+from .index_common import (
+    corpus_fingerprint,
+    read_fingerprint,
+    write_fingerprint,
+)
 
 
 def _centroids(corpus: DataFrame, corpus_id: str, corpus_vec: str,
@@ -88,31 +93,6 @@ def ivf_index_exists(path: str) -> bool:
     )
 
 
-def corpus_fingerprint(corpus: DataFrame, corpus_id: str,
-                       corpus_vec: str) -> str:
-    """Order-independent corpus identity: row count + sum of per-row
-    Murmur3 hashes over (id, vector). One map-side-combined aggregate
-    over the corpus — cheap relative to an index build, and it changes
-    whenever any row is added, dropped, or mutated."""
-    row = corpus.select(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.hash(F.col(corpus_id), F.col(corpus_vec)).cast("bigint")
-        ).alias("chk"),
-    ).collect()[0]
-    return f"{row['n']}:{row['chk']}"
-
-
-def _fingerprint_path(path: str) -> str:
-    return f"{path}/FINGERPRINT"
-
-
-def _read_fingerprint(path: str) -> str | None:
-    try:
-        with open(_fingerprint_path(path), "r", encoding="utf-8") as f:
-            return f.read().strip()
-    except OSError:
-        return None
 
 
 def ensure_ivf_index(
@@ -134,18 +114,17 @@ def ensure_ivf_index(
     changing the cell count over an unchanged corpus must rebuild —
     a stale-geometry index would serve different cells than the
     caller's probe math assumes."""
-    fp = (
-        corpus_fingerprint(corpus, corpus_id, corpus_vec)
-        + f":dim={dim},n_cells={n_cells}"
+    fp = corpus_fingerprint(
+        corpus, [corpus_id, corpus_vec],
+        {"dim": dim, "n_cells": n_cells},
     )
-    if ivf_index_exists(path) and _read_fingerprint(path) == fp:
+    if ivf_index_exists(path) and read_fingerprint(path) == fp:
         return
     build_ivf_index(
         corpus, path, dim=dim, n_cells=n_cells,
         corpus_id=corpus_id, corpus_vec=corpus_vec,
     )
-    with open(_fingerprint_path(path), "w", encoding="utf-8") as f:
-        f.write(fp)
+    write_fingerprint(path, fp)
 
 
 def search_ivf_index(

@@ -88,6 +88,8 @@ def serve_query_stream(
     out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
     ckpt = tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
 
+    wrote = {"any": False}
+
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
@@ -96,6 +98,7 @@ def serve_query_stream(
             dim=dim, n_probe=n_probe, exclude_self=exclude_self,
         )
         res.write.mode("append").parquet(out)
+        wrote["any"] = True
 
     q = (
         queries_stream.writeStream.foreachBatch(_serve)
@@ -108,4 +111,11 @@ def serve_query_stream(
     finally:
         # Per-drain scratch (each call is a fresh run); never leak it.
         shutil.rmtree(ckpt, ignore_errors=True)
+    if not wrote["any"]:
+        # No micro-batch produced rows: no parquet footer exists to
+        # read. Any OTHER read failure must propagate.
+        return spark.createDataFrame(
+            [],
+            "query_id bigint, rank int, id bigint, sim double, dist double",
+        )
     return spark.read.parquet(out)

@@ -327,3 +327,15 @@ def test_write_corpus_shards_bounds_file_sizes(spark, tmp_path):
     )
     assert all(r["count"] <= 300 for r in per_file)
     assert len(per_file) >= 4
+
+
+def test_load_corpus_jsonl_all_corrupt_inference(spark, tmp_path):
+    """schema=None on a file with no parseable line must quarantine
+    every line rather than crash on an empty inferred schema."""
+    from cs6300_vectordbs_spark.sources.ingest import load_corpus_jsonl
+
+    p = tmp_path / "broken.jsonl"
+    p.write_text("NOPE\nALSO NOPE\n")
+    good, bad = load_corpus_jsonl(spark, str(p))
+    assert good.count() == 0
+    assert sorted(r.raw_line for r in bad.collect()) == ["ALSO NOPE", "NOPE"]

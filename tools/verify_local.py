@@ -19,7 +19,11 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+# Default matches the driver's gate (sf0.01); override to cross-check
+# other scales: SPARK_GRAFT_VERIFY_SF=/root/testdata/sf0.001 python ...
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
