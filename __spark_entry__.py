@@ -1964,6 +1964,89 @@ FROM idx
 """
 
 
+def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the sampled-frame stream: a frame
+    is a CUT when its fingerprint agrees with the previous frame's in
+    fewer than 4 of the first 8 md5 hex chars (the deterministic
+    stand-in for a perceptual-hash distance; the real phash plugs in at
+    the decode hook). Per video: frame count, cut count, and the first
+    cut's frame index. Scale shape: the frame explode is map-side; the
+    only shuffle is the per-video window (lag over frame_idx) followed
+    by one groupBy on the same key — Catalyst reuses the partitioning,
+    one exchange total."""
+    from pyspark.sql.window import Window
+
+    frames = q_frame_samples(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("chunk_md5").over(w)
+    match_terms = [
+        F.when(
+            F.substring("chunk_md5", i + 1, 1)
+            == F.substring(prev, i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(8)
+    ]
+    n_match = match_terms[0]
+    for t in match_terms[1:]:
+        n_match = n_match + t
+    is_cut = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(n_match < 4, 1).otherwise(0)
+    )
+    per_frame = frames.select(
+        "doc_id", "frame_idx", is_cut.alias("cut")
+    )
+    return (
+        per_frame.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("cut").cast("bigint").alias("n_cuts"),
+            F.min(
+                F.when(F.col("cut") == 1, F.col("frame_idx"))
+            ).cast("bigint").alias("first_cut_idx"),
+        )
+        .select(
+            F.col("doc_id").cast("bigint"),
+            "n_frames",
+            "n_cuts",
+            "first_cut_idx",
+        )
+    )
+
+
+_ORACLE_SCENES = """
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, ((n_chars - 1) // 30)::INT)) AS j
+  FROM documents WHERE n_chars > 0
+), fr AS (
+  SELECT doc_id, 30 * j AS frame_idx,
+         md5(substr(text, 30 * j + 1, 32)) AS h,
+         lag(md5(substr(text, 30 * j + 1, 32))) OVER (
+           PARTITION BY doc_id ORDER BY 30 * j) AS ph
+  FROM idx
+), flags AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN ph IS NULL THEN 0
+              WHEN (CASE WHEN substr(h,1,1)=substr(ph,1,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,2,1)=substr(ph,2,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,3,1)=substr(ph,3,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,4,1)=substr(ph,4,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,5,1)=substr(ph,5,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,6,1)=substr(ph,6,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,7,1)=substr(ph,7,1) THEN 1 ELSE 0 END
+                  + CASE WHEN substr(h,8,1)=substr(ph,8,1) THEN 1 ELSE 0 END
+                   ) < 4 THEN 1 ELSE 0 END AS cut
+  FROM fr
+)
+SELECT doc_id, count(*)::BIGINT AS n_frames,
+       sum(cut)::BIGINT AS n_cuts,
+       min(CASE WHEN cut = 1 THEN frame_idx END)::BIGINT AS first_cut_idx
+FROM flags
+GROUP BY doc_id
+"""
+
+
 def q_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event stats through the SALTED two-stage aggregation
     (operators/skew.py) — the hot-key-resistant plan; values match the
@@ -6270,6 +6353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue": q_discount_revenue,
         "ann_tuning_report": q_ann_tuning_report,
         "pagerank_knn": q_pagerank_knn,
+        "scene_changes": q_scene_changes,
     }
 
 
@@ -6407,6 +6491,7 @@ def oracle_sql() -> dict[str, str]:
         "discount_revenue": _ORACLE_DISCOUNT_REVENUE,
         "ann_tuning_report": _oracle_ann_tuning(),
         "pagerank_knn": _oracle_pagerank(),
+        "scene_changes": _ORACLE_SCENES,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

@@ -166,6 +166,7 @@ EXTENDED_QUERIES = [
     "discount_revenue",
     "ann_tuning_report",
     "pagerank_knn",
+    "scene_changes",
 ]
 
 
