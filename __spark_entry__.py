@@ -5649,6 +5649,62 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority served from BUCKETED catalog tables —
+    the stored-layout path for repeated big-to-big joins: lineitem and
+    orders are both bucketed on the order key (create-if-absent with
+    content-addressed invalidation, sources/ingest.ensure_bucketed_
+    table), so the join reads co-located buckets with NO Exchange on
+    either side — at 100 TB the shuffle being skipped is the dominant
+    join cost, paid once at layout time and amortized over every
+    subsequent query. The only exchange in the plan is the final
+    6-row priority aggregate. Values are identical to the plain-scan
+    join (shared SQL oracle over the raw tables)."""
+    from cs6300_vectordbs_spark.sources.ingest import ensure_bucketed_table
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_t, ord_t = f"li_bkt_{tag}", f"ord_bkt_{tag}"
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    ensure_bucketed_table(
+        spark, li, li_t, "l_orderkey", 16,
+        fingerprint_cols=["l_orderkey", "l_extendedprice"],
+    )
+    ensure_bucketed_table(
+        spark, orders, ord_t, "o_orderkey", 16,
+        fingerprint_cols=["o_orderkey", "o_orderpriority"],
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        spark.table(li_t)
+        .join(
+            spark.table(ord_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(price * (F.lit(1).cast("decimal(3,0)") - disc))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_BUCKETED_REVENUE = """
+SELECT o_orderpriority,
+       sum(l_extendedprice::DECIMAL(12,2)
+           * (1 - l_discount::DECIMAL(4,2)))::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost-supplier lookup (TPC-H Q2 shape, adapted: this
     schema has no partsupp, so the supply relation is derived as the
@@ -6354,6 +6410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_tuning_report": q_ann_tuning_report,
         "pagerank_knn": q_pagerank_knn,
         "scene_changes": q_scene_changes,
+        "bucketed_revenue": q_bucketed_revenue,
     }
 
 
@@ -6492,6 +6549,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_tuning_report": _oracle_ann_tuning(),
         "pagerank_knn": _oracle_pagerank(),
         "scene_changes": _ORACLE_SCENES,
+        "bucketed_revenue": _ORACLE_BUCKETED_REVENUE,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

@@ -167,6 +167,7 @@ EXTENDED_QUERIES = [
     "ann_tuning_report",
     "pagerank_knn",
     "scene_changes",
+    "bucketed_revenue",
 ]
 
 

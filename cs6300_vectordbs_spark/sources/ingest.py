@@ -251,3 +251,56 @@ def write_corpus_shards(
         .parquet(path)
     )
     return shards
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    by: str,
+    n_buckets: int = 16,
+    *,
+    sort_by: str | None = None,
+    fingerprint_cols: list[str] | None = None,
+) -> None:
+    """Create-if-absent bucketed catalog table with content-addressed
+    invalidation (the S9 lifecycle applied to the bucketed-layout
+    copy): reuse only when the stored fingerprint of the SOURCE frame
+    (+ bucket spec) matches; rebuild on any source or spec change.
+    The fingerprint lives in the table's TBLPROPERTIES — no side
+    files, dropped atomically with the table."""
+    from .index_common import corpus_fingerprint
+
+    cols = fingerprint_cols or [by]
+    fp = corpus_fingerprint(
+        df, cols, {"by": by, "n_buckets": n_buckets, "sort": sort_by or ""}
+    )
+    if spark.catalog.tableExists(table):
+        stored = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if stored.get("fingerprint") == fp:
+            return
+        spark.sql(f"DROP TABLE {table}")
+    else:
+        # In-memory catalog + persistent warehouse: a dead session may
+        # have left the managed table's directory behind with no
+        # catalog entry. That orphan data is unreachable (bucketing
+        # metadata lived only in the catalog) — clear it or
+        # saveAsTable fails with LOCATION_ALREADY_EXISTS. A persistent
+        # metastore deployment never hits this branch.
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    w = df.write.format("parquet").mode("overwrite").bucketBy(n_buckets, by)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+    fp_sql = fp.replace("'", "''")
+    spark.sql(
+        f"ALTER TABLE {table} SET TBLPROPERTIES ('fingerprint'='{fp_sql}')"
+    )

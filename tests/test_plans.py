@@ -504,3 +504,45 @@ def test_rerank_pipeline_plan(spark):
     # compiles to a partial top-k; no cartesian anywhere
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_revenue_join_has_no_exchange_on_fact_sides(spark):
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # forbid broadcast so the join MUST co-locate via buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(m.q_bucketed_revenue(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the bucketed join itself is exchange-free: the ONLY exchange in
+    # the plan is the final tiny priority aggregate (count operator
+    # entries "(n) Exchange" — the tree and detail sections both
+    # mention each operator)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ensure_bucketed_table_reuses_then_invalidates(spark, tmp_path):
+    from cs6300_vectordbs_spark.sources.ingest import ensure_bucketed_table
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    try:
+        ensure_bucketed_table(spark, df, "tb_ensure", "k", 4)
+        t0 = spark.table("tb_ensure").count()
+        # same source + spec -> reused (fingerprint match)
+        ensure_bucketed_table(spark, df, "tb_ensure", "k", 4)
+        assert spark.table("tb_ensure").count() == t0 == 100
+        # changed source -> rebuilt
+        ensure_bucketed_table(spark, df.limit(50), "tb_ensure", "k", 4)
+        assert spark.table("tb_ensure").count() == 50
+        # changed spec (bucket count) -> rebuilt even with same source
+        ensure_bucketed_table(spark, df.limit(50), "tb_ensure", "k", 8)
+        assert spark.table("tb_ensure").count() == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_ensure")
