@@ -215,6 +215,33 @@ MIN aggregate (partial+final HashAggregate, map-side combine); the
 per-part window min then runs over the aggregated pair set, which is
 |distinct (part,supp)| — orders of magnitude below lineitem — so the
 second exchange moves reduced data only.""",
+    "bucketed_revenue": """\
+Load-bearing properties: BOTH fact sides read from bucketed catalog
+tables co-partitioned on the order key, so the SortMergeJoin has NO
+Exchange under either input — the single Exchange in the plan is the
+final 6-row priority aggregate. This is the layout-amortization story
+at 100 TB: the bucket write pays the shuffle once; every subsequent
+join on the key skips it. (Audit plan is generated with broadcast
+enabled, so AQE may show a broadcast variant at sf0.001 — the
+bucketed-join form is asserted with broadcast disabled in
+tests/test_plans.py.)""",
+    "discount_revenue": """\
+Load-bearing properties (Q6 shape): joinless single-pass conditional
+sum. Ship-year and quantity predicates are PushedFilters on the
+lineitem scan (row groups prune before materialization); the DECIMAL
+discount band evaluates in the first codegen stage; the aggregate is
+partial+final over one row per partition.""",
+    "scene_changes": """\
+Load-bearing properties: the frame explode is map-side (generator in
+whole-stage codegen); the lag window and the per-video rollup both
+key on doc_id, so Catalyst plans ONE exchange reused by the window
+sort and the aggregate.""",
+    "ann_tuning_report": """\
+Load-bearing properties: corpus cell-assignment argmax runs ONCE
+(checkpointed) and each probe-width arm only re-scans its probed
+cells + window top-k — the sweep's marginal cost is serving, not
+indexing; probes are broadcast; the recall join is queries x k rows
+per arm.""",
     "waiting_suppliers": """\
 Load-bearing properties (Q21 shape): both correlated subqueries
 (EXISTS other-supplier, NOT EXISTS other-returning-supplier) compile
