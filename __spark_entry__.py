@@ -4676,6 +4676,96 @@ def q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-after-upsert from the stored IVF index — the LSM
+    lifecycle as one driver-checked row: build the index, UPSERT
+    modified vectors (every vec_id % 10 == 7 halved — exact in
+    float32) as gen=1 appends into their re-assigned cells against the
+    STALE stored centroids, then serve top-k with read-time
+    latest-wins dedup. The oracle recomputes the post-upsert corpus
+    directly (original centroids, modified vectors), so a dedup or
+    reassignment bug value-hash-fails. Hermetic: builds into a fresh
+    temp dir per run (the create-if-absent persistence story is
+    ivf_persisted_topk's row)."""
+    import shutil
+    import tempfile
+
+    from cs6300_vectordbs_spark.sources.vector_index import (
+        build_ivf_index,
+        search_ivf_index,
+        upsert_ivf_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_upsert_")
+    shutil.rmtree(path, ignore_errors=True)
+    build_ivf_index(emb, path, dim=EMB_DIM, n_cells=_IVF_CELLS)
+    halved = emb.filter(F.col("vec_id") % 10 == 7).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")
+        ).alias("embedding"),
+    )
+    upsert_ivf_index(spark, halved, path, dim=EMB_DIM, gen=1)
+    out = search_ivf_index(
+        spark, path, _query_batch(emb), TOPK,
+        dim=EMB_DIM, n_probe=_IVF_PROBE, exclude_self=True,
+    )
+    res = out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(path, ignore_errors=True)
+    return res
+
+
+_ORACLE_IVF_UPSERT = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+mod AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 7
+              THEN list_transform(embedding, x -> (x * 0.5)::FLOAT)
+              ELSE embedding END AS embedding
+  FROM embeddings
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM mod e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, p.qvec, e.vec_id, e.embedding
+  FROM (SELECT query_id, qvec, cell FROM probes WHERE rn <= {_IVF_PROBE}) p
+  JOIN cells e ON e.cell = p.cell AND e.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, {_sql_cos('qvec', 'embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat with the MLlib-KMeans-trained quantizer (the production
     coarse index; BASELINE.json north star: 'MLlib for batch indexing').
@@ -6411,6 +6501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_knn": q_pagerank_knn,
         "scene_changes": q_scene_changes,
         "bucketed_revenue": q_bucketed_revenue,
+        "ivf_upsert_topk": q_ivf_upsert_topk,
     }
 
 
@@ -6550,6 +6641,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_knn": _oracle_pagerank(),
         "scene_changes": _ORACLE_SCENES,
         "bucketed_revenue": _ORACLE_BUCKETED_REVENUE,
+        "ivf_upsert_topk": _ORACLE_IVF_UPSERT,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

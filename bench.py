@@ -168,6 +168,7 @@ EXTENDED_QUERIES = [
     "pagerank_knn",
     "scene_changes",
     "bucketed_revenue",
+    "ivf_upsert_topk",
 ]
 
 
