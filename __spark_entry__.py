@@ -4677,49 +4677,55 @@ def q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Serve-after-upsert from the stored IVF index — the LSM
-    lifecycle as one driver-checked row: build the index, UPSERT
-    modified vectors (every vec_id % 10 == 7 halved — exact in
-    float32) as gen=1 appends into their re-assigned cells against the
-    STALE stored centroids, then serve top-k with read-time
-    latest-wins dedup. The oracle recomputes the post-upsert corpus
-    directly (original centroids, modified vectors), so a dedup or
-    reassignment bug value-hash-fails. Hermetic: builds into a fresh
-    temp dir per run (the create-if-absent persistence story is
-    ivf_persisted_topk's row)."""
+    """The full LSM index lifecycle as one driver-checked row: build
+    the index, UPSERT modified vectors (every vec_id % 10 == 7 gets
+    its FIRST COORDINATE NEGATED — IEEE-exact, and cosine-VISIBLE, so
+    sims/ranks/cells genuinely change; a uniform scale would be
+    invisible to cosine and make this check vacuous) as gen=1 appends
+    re-assigned against the STALE stored centroids, COMPACT (resolve
+    generations, restore one-row-per-id — without it a vector whose
+    new version changed cells could still be served from its stale
+    old-cell copy, the documented pre-compaction LSM contract), then
+    serve top-k. The oracle recomputes the post-upsert corpus directly
+    (original centroids, modified vectors), so a broken upsert,
+    compaction, or reassignment value-hash-fails. Hermetic: fresh temp
+    dir per run (persistence is ivf_persisted_topk's row)."""
     import shutil
     import tempfile
 
     from cs6300_vectordbs_spark.sources.vector_index import (
         build_ivf_index,
+        compact_ivf_index,
         search_ivf_index,
         upsert_ivf_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     path = tempfile.mkdtemp(prefix="ivf_upsert_")
-    shutil.rmtree(path, ignore_errors=True)
-    build_ivf_index(emb, path, dim=EMB_DIM, n_cells=_IVF_CELLS)
-    halved = emb.filter(F.col("vec_id") % 10 == 7).select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"), lambda x: (x * F.lit(0.5)).cast("float")
-        ).alias("embedding"),
-    )
-    upsert_ivf_index(spark, halved, path, dim=EMB_DIM, gen=1)
-    out = search_ivf_index(
-        spark, path, _query_batch(emb), TOPK,
-        dim=EMB_DIM, n_probe=_IVF_PROBE, exclude_self=True,
-    )
-    res = out.select(
-        F.col("query_id").cast("bigint").alias("query_id"),
-        F.col("rank").cast("bigint").alias("rank"),
-        F.col("id").cast("bigint").alias("vec_id"),
-        F.col("sim"),
-        F.col("dist"),
-    ).localCheckpoint(eager=True)
-    shutil.rmtree(path, ignore_errors=True)
-    return res
+    try:
+        build_ivf_index(emb, path, dim=EMB_DIM, n_cells=_IVF_CELLS)
+        flipped = emb.filter(F.col("vec_id") % 10 == 7).select(
+            "vec_id",
+            F.concat(
+                F.array(-F.col("embedding")[0]),
+                F.slice(F.col("embedding"), 2, EMB_DIM - 1),
+            ).alias("embedding"),
+        )
+        upsert_ivf_index(spark, flipped, path, dim=EMB_DIM, gen=1)
+        compact_ivf_index(spark, path)
+        out = search_ivf_index(
+            spark, path, _query_batch(emb), TOPK,
+            dim=EMB_DIM, n_probe=_IVF_PROBE, exclude_self=True,
+        )
+        return out.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("id").cast("bigint").alias("vec_id"),
+            F.col("sim"),
+            F.col("dist"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 _ORACLE_IVF_UPSERT = f"""
@@ -4730,7 +4736,7 @@ WITH cent AS (
 mod AS (
   SELECT vec_id,
          CASE WHEN vec_id % 10 = 7
-              THEN list_transform(embedding, x -> (x * 0.5)::FLOAT)
+              THEN list_concat([(-embedding[1])::FLOAT], embedding[2:])
               ELSE embedding END AS embedding
   FROM embeddings
 ),
@@ -5760,9 +5766,12 @@ def q_bucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
+    # Fingerprint EVERY served column: omitting l_discount would let a
+    # discount-only regeneration reuse the stale layout and serve
+    # revenue computed from old discounts.
     ensure_bucketed_table(
         spark, li, li_t, "l_orderkey", 16,
-        fingerprint_cols=["l_orderkey", "l_extendedprice"],
+        fingerprint_cols=["l_orderkey", "l_extendedprice", "l_discount"],
     )
     ensure_bucketed_table(
         spark, orders, ord_t, "o_orderkey", 16,

@@ -532,17 +532,34 @@ def test_ensure_bucketed_table_reuses_then_invalidates(spark, tmp_path):
     from cs6300_vectordbs_spark.sources.ingest import ensure_bucketed_table
 
     df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+
+    def mark():
+        # sentinel property: survives reuse, vanishes on rebuild (a
+        # rebuild drops + recreates the table) — row counts can't tell
+        # reuse from an identical rebuild.
+        spark.sql(
+            "ALTER TABLE tb_ensure SET TBLPROPERTIES ('sentinel'='1')"
+        )
+
+    def marked() -> bool:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES tb_ensure").collect()
+        }
+        return props.get("sentinel") == "1"
+
     try:
         ensure_bucketed_table(spark, df, "tb_ensure", "k", 4)
-        t0 = spark.table("tb_ensure").count()
-        # same source + spec -> reused (fingerprint match)
+        mark()
+        # same source + spec -> reused (sentinel survives)
         ensure_bucketed_table(spark, df, "tb_ensure", "k", 4)
-        assert spark.table("tb_ensure").count() == t0 == 100
-        # changed source -> rebuilt
+        assert marked() and spark.table("tb_ensure").count() == 100
+        # changed source -> rebuilt (sentinel gone)
         ensure_bucketed_table(spark, df.limit(50), "tb_ensure", "k", 4)
-        assert spark.table("tb_ensure").count() == 50
+        assert not marked() and spark.table("tb_ensure").count() == 50
+        mark()
         # changed spec (bucket count) -> rebuilt even with same source
         ensure_bucketed_table(spark, df.limit(50), "tb_ensure", "k", 8)
-        assert spark.table("tb_ensure").count() == 50
+        assert not marked() and spark.table("tb_ensure").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_ensure")
