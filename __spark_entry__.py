@@ -664,6 +664,46 @@ def q_incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate-vs-threshold curve — the tuning diagnostic a
+    dedup pipeline runs before choosing its Jaccard cutoff: for each
+    candidate threshold, how many pairs and how many distinct docs
+    would be dropped. One MinHash pair-gen pass (threshold 0.3 floor),
+    then a tiny conditional aggregate per threshold — the sweep costs
+    one extra map over the pair set, not one LSH job per threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    ).localCheckpoint(eager=True)
+    rows = []
+    for thr in (0.3, 0.5, 0.7, 0.9):
+        sel = pairs.filter(F.col("est_jaccard") >= thr)
+        dropped = (
+            sel.select(
+                F.greatest("id_a", "id_b").alias("v")
+            ).distinct().count()
+        )
+        n_pairs = sel.count()
+        rows.append((thr, n_pairs, dropped))
+    return spark.createDataFrame(
+        rows, "threshold double, n_pairs bigint, n_docs_dropped bigint"
+    )
+
+
+def _oracle_dedup_sweep() -> str:
+    return f"""WITH {_minhash_ctes()},
+sweep AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]) AS threshold)
+SELECT s.threshold,
+       count(p.id_a)::BIGINT AS n_pairs,
+       count(DISTINCT CASE WHEN p.id_a IS NOT NULL
+                           THEN greatest(p.id_a, p.id_b) END)::BIGINT
+         AS n_docs_dropped
+FROM sweep s LEFT JOIN pairs p ON p.est_jaccard >= s.threshold
+GROUP BY s.threshold
+"""
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus contamination surface: near-duplicate pairs whose
     two documents come from DIFFERENT sources (the train-set vs
@@ -4676,6 +4716,58 @@ def q_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance diagnostics — the operational health check a
+    serving team watches: per-cell vector counts summarized as
+    min/max/avg plus the imbalance factor (max/avg). A skewed cell
+    means one probe scans far more than its share (the latency tail at
+    100 TB); the fix is more cells or a trained quantizer. One
+    corpus-side argmax (same assignment plan as ivf_topk) + a 16-row
+    aggregate."""
+    from cs6300_vectordbs_spark.operators.ann import assign_cells
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = assign_cells(
+        emb, dim=EMB_DIM, n_cells=_IVF_CELLS,
+    )
+    per_cell = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min("n_vecs").cast("bigint").alias("min_cell"),
+        F.max("n_vecs").cast("bigint").alias("max_cell"),
+        F.round(F.avg("n_vecs"), 9).alias("avg_cell"),
+        F.round(
+            F.max("n_vecs") / F.avg("n_vecs"), 9
+        ).alias("imbalance"),
+    )
+
+
+_ORACLE_IVF_CELLS = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+per_cell AS (
+  SELECT cid, count(*) AS n_vecs FROM assign WHERE rn = 1 GROUP BY cid
+)
+SELECT count(*)::BIGINT AS n_cells,
+       min(n_vecs)::BIGINT AS min_cell,
+       max(n_vecs)::BIGINT AS max_cell,
+       round(avg(n_vecs), 9) AS avg_cell,
+       round(max(n_vecs)::DOUBLE / avg(n_vecs), 9) AS imbalance
+FROM per_cell
+"""
+
+
 def q_ivf_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LSM index lifecycle as one driver-checked row: build
     the index, UPSERT modified vectors (every vec_id % 10 == 7 gets
@@ -6511,6 +6603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_changes": q_scene_changes,
         "bucketed_revenue": q_bucketed_revenue,
         "ivf_upsert_topk": q_ivf_upsert_topk,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "ivf_cell_stats": q_ivf_cell_stats,
     }
 
 
@@ -6651,6 +6745,8 @@ def oracle_sql() -> dict[str, str]:
         "scene_changes": _ORACLE_SCENES,
         "bucketed_revenue": _ORACLE_BUCKETED_REVENUE,
         "ivf_upsert_topk": _ORACLE_IVF_UPSERT,
+        "dedup_threshold_sweep": _oracle_dedup_sweep(),
+        "ivf_cell_stats": _ORACLE_IVF_CELLS,
         # search_latency: rows-only (wall-clock latency column).
         # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
         # (approximate / engine-seeded paths;

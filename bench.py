@@ -169,6 +169,8 @@ EXTENDED_QUERIES = [
     "scene_changes",
     "bucketed_revenue",
     "ivf_upsert_topk",
+    "dedup_threshold_sweep",
+    "ivf_cell_stats",
 ]
 
 

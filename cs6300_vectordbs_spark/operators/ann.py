@@ -183,6 +183,39 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Sampled-quantizer cell assignment as a standalone diagnostic:
+    (id, cell) for every corpus vector, using the identical centroid
+    choice (n_cells lowest ids) and argmax tie rule (max cosine, ties
+    to lowest centroid id) as :func:`ivf_topk` — so balance statistics
+    computed from it describe exactly the cells the search path scans.
+    One broadcast cross-join + map-side-combined groupBy."""
+    cent = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
+    )
+    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    return (
+        spread(corpus).crossJoin(F.broadcast(cent))
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.col("__cid"),
+                F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+            ).alias("cell")
+        )
+        .select(corpus_id, "cell")
+    )
+
+
 def ivf_topk_kmeans(
     corpus: DataFrame,
     queries: DataFrame,
