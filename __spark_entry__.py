@@ -4885,10 +4885,76 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return srp_lsh_topk(
+    out = srp_lsh_topk(
         emb, _query_batch(emb), TOPK, dim=dim, n_bits=16, bands=8,
         exclude_self=True,
     )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+        "dist",
+    )
+
+
+def _oracle_srp() -> str:
+    """Full value-hash twin for the SRP-LSH path. The seeded
+    hyperplanes are deterministic Python constants baked into the
+    Spark plan as literals, so the SAME literals are embedded here —
+    the oracle does not need to re-derive them in SQL, only to apply
+    the identical sign/band/candidate/re-rank pipeline. Each sign dot
+    is written as an explicit LEFT-ASSOCIATED sum starting at 0.0,
+    matching Spark's aggregate() fold order bit-for-bit; a sign flip
+    would need |dot| < ~1e-15, far below any real margin."""
+    from cs6300_vectordbs_spark.operators.ann import _hyperplanes
+
+    n_bits, bands, seed = 16, 8, 42
+    planes = _hyperplanes(EMB_DIM, n_bits, seed)
+    rows = n_bits // bands
+
+    def bit_sql(alias: str, p: list[float]) -> str:
+        terms = " + ".join(
+            f"{alias}.embedding[{i + 1}]::DOUBLE * {w!r}"
+            for i, w in enumerate(p)
+        )
+        return f"CAST((0.0 + {terms}) > 0.0 AS VARCHAR)"
+
+    def keys_sql(alias: str) -> str:
+        ks = []
+        for b in range(bands):
+            bits = ", ".join(
+                bit_sql(alias, planes[i])
+                for i in range(b * rows, (b + 1) * rows)
+            )
+            ks.append(f"concat_ws(',', '{b}', {bits})")
+        return "[" + ", ".join(ks) + "]"
+
+    return f"""
+WITH csig AS (
+  SELECT e.vec_id, e.embedding, unnest({keys_sql('e')}) AS band_key
+  FROM embeddings e
+),
+qsig AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec,
+         unnest({keys_sql('q')}) AS band_key
+  FROM embeddings q WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT s.query_id, s.qvec, c.vec_id, c.embedding
+  FROM qsig s JOIN csig c ON s.band_key = c.band_key
+  WHERE c.vec_id != s.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, {_sql_cos('qvec', 'embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
 
 
 def q_brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6448,6 +6514,123 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_ivfpq() -> str:
+    """Full value-hash twin for IVF-PQ: sampled centroids + sampled
+    codebook (both = the 16 lowest-id vectors), argmax-cosine cell
+    assignment, per-subspace argmin-L2 PQ codes, 8-probe candidate
+    generation, ADC scoring (sum of per-subspace codebook dots — the
+    engine computes these driver-side with an explicit sequential
+    fold, so the left-associated SQL sums here are bit-identical),
+    ADC shortlist of 20, exact-cosine re-rank to top-5. Spark array
+    indexing in d2/dot slices is 0-based; DuckDB's is 1-based (+1s
+    below)."""
+    m, sub, n_cells, n_probe, cand_n = 8, EMB_DIM // 8, 16, 8, 4 * TOPK
+
+    def d2(mi: int) -> str:
+        o = mi * sub
+        return " + ".join(
+            f"((e.embedding[{o + i + 1}]::DOUBLE - c.cvec[{o + i + 1}]::DOUBLE)"
+            f" * (e.embedding[{o + i + 1}]::DOUBLE - c.cvec[{o + i + 1}]::DOUBLE))"
+            for i in range(sub)
+        )
+
+    enc_ctes = ",\n".join(
+        f"""enc{mi} AS (
+  SELECT vec_id, cid AS code{mi} FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ({d2(mi)}) ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1
+)"""
+        for mi in range(m)
+    )
+    enc_joins = " ".join(
+        f"JOIN enc{mi} USING (vec_id)" for mi in range(m)
+    )
+    cb_joins = " ".join(
+        f"JOIN cb b{mi} ON b{mi}.cid = cd.code{mi}" for mi in range(m)
+    )
+
+    def tab(mi: int) -> str:
+        o = mi * sub
+        terms = " + ".join(
+            f"cd.qvec[{o + i + 1}]::DOUBLE * b{mi}.cvec[{o + i + 1}]::DOUBLE"
+            for i in range(sub)
+        )
+        return f"(0.0 + {terms})"
+
+    adc = " + ".join(tab(mi) for mi in range(m))
+    code_cols = ", ".join(f"cd.code{mi}" for mi in range(m))
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {n_cells}
+),
+cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {n_cells})
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1
+),
+{enc_ctes},
+codes AS (
+  SELECT e.vec_id, e.embedding, a.cell,
+         {", ".join(f"enc{mi}.code{mi}" for mi in range(m))}
+  FROM embeddings e
+  JOIN assign a USING (vec_id) {enc_joins}
+),
+probes AS (
+  SELECT query_id, qvec, cell FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cos('q.embedding', 'c.cvec')} DESC,
+                      c.cid ASC) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES})
+  WHERE rn <= {n_probe}
+),
+cand AS (
+  SELECT p.query_id, p.qvec, e.vec_id, e.embedding,
+         {", ".join(f"e.code{mi}" for mi in range(m))}
+  FROM probes p
+  JOIN codes e ON e.cell = p.cell AND e.vec_id != p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.qvec, cd.vec_id, cd.embedding,
+         {adc} AS adc
+  FROM cand cd {cb_joins}
+),
+shortlist AS (
+  SELECT query_id, qvec, vec_id, embedding, adc FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS crn
+    FROM scored) WHERE crn <= {cand_n}
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         {_sql_cos('qvec', 'embedding')} AS sim, adc,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC)
+           AS rank
+  FROM shortlist
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, adc
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. Round 2's window covered the 48
@@ -6726,6 +6909,8 @@ def oracle_sql() -> dict[str, str]:
         "cumulative_users": _ORACLE_CUMULATIVE_USERS,
         "weighted_sample": _ORACLE_WEIGHTED_SAMPLE,
         "dim_stats": _ORACLE_DIM_STATS,
+        "srp_lsh_topk": _oracle_srp(),
+        "ivfpq_topk": _oracle_ivfpq(),
         "min_cost_supplier": _ORACLE_MIN_COST,
         "volume_shipping": _ORACLE_VOLUME_SHIP,
         "product_profit": _ORACLE_PRODUCT_PROFIT,

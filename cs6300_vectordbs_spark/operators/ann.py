@@ -820,9 +820,19 @@ def ivfpq_topk(
         sims = np.where(denom_c == 0.0, 0.0, C @ qv / np.where(denom_c == 0.0, 1.0, denom_c))
         # (sim desc, cid asc) probe order — same tie rule as the JVM path
         order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
+        # Sequential left-associated accumulation, NOT np.dot: the ADC
+        # value appears in the OUTPUT (and in the shortlist ordering),
+        # and BLAS dot kernels reassociate (SIMD lanes) — the explicit
+        # fold makes the value bit-identical to a SQL "t1 + t2 + ..."
+        # twin. 8-element dots on the driver: cost is noise.
+        def seq_dot(a, b, o: int, n: int) -> float:
+            acc = 0.0
+            for i in range(n):
+                acc += float(a[o + i]) * float(b[o + i])
+            return acc
+
         tabs = [
-            [float(np.dot(qv[mi * sub:(mi + 1) * sub], B[c, mi * sub:(mi + 1) * sub]))
-             for c in range(len(cb_rows))]
+            [seq_dot(qv, B[c], mi * sub, sub) for c in range(len(cb_rows))]
             for mi in range(m)
         ]
         for i in order[:n_probe]:
