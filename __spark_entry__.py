@@ -6670,7 +6670,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "above_average_customers": q_above_average_customers,
         "events_pivot": q_events_pivot,
         "fresh_fingerprints": q_fresh_fingerprints,
-        "latency_percentiles_approx": q_latency_percentiles_approx,
         "judge_scores": q_judge_scores,
         "user_sessions": q_user_sessions,
         "session_windows": q_session_windows,
@@ -6689,11 +6688,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_report": q_pipeline_report,
         "ivf_topk": q_ivf_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "filtered_topk": q_filtered_topk,
+        "srp_lsh_topk": q_srp_lsh_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         # -- beyond the 50-window: driver-green in r02 (see
         #    DRIVER_COVERAGE.md) or deferred to the r04 window --
-        "srp_lsh_topk": q_srp_lsh_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "search_latency": q_search_latency,
         "pack_sequences": q_pack_sequences,
@@ -6701,7 +6700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": q_source_mixture,
         "large_orders": q_large_orders,
         "returned_revenue": q_returned_revenue,
-        "ivfpq_topk": q_ivfpq_topk,
         "tfidf_keywords": q_tfidf_keywords,
         "user_state_history": q_user_state_history,
         "rp_projection": q_rp_projection,
@@ -6788,6 +6786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_upsert_topk": q_ivf_upsert_topk,
         "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "ivf_cell_stats": q_ivf_cell_stats,
+        "latency_percentiles_approx": q_latency_percentiles_approx,
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
     }
 
 
