@@ -524,7 +524,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_SQL_NORM_TEXT = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 _ORACLE_DEDUP = f"""
 SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count,
@@ -1237,7 +1237,7 @@ SELECT doc_id, ntok::BIGINT AS n_tokens,
       WHEN n_de THEN 'de' WHEN n_en THEN 'en'
       WHEN n_es THEN 'es' ELSE 'fr' END
   ELSE 'und' END AS lang_guess,
-  substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+  substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
     AS fingerprint
 FROM counts
 """
@@ -2584,7 +2584,7 @@ def q_dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DUP_RATIO = """
 WITH fp AS (
   SELECT doc_id, source,
-         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
            AS fp
   FROM documents
 ),
@@ -2823,7 +2823,7 @@ def q_fresh_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_FRESH = f"""
 WITH fp AS (
   SELECT {_SQL_SAMPLE10} AS in_sample,
-         substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 16)
+         substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16)
            AS fingerprint
   FROM documents
 )
@@ -5293,7 +5293,7 @@ chunks AS (
 ),
 fp AS (
   SELECT doc_id,
-         substr(md5(regexp_replace(lower(trim(chunk_text)), '\\s+', ' ', 'g')),
+         substr(md5(trim(regexp_replace(lower(chunk_text), '\\s+', ' ', 'g'))),
                 1, 16) AS chunk_fp
   FROM chunks
 )

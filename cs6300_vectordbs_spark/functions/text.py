@@ -89,7 +89,12 @@ def doc_fingerprint(text: ColumnOrName) -> Column:
     lowercased text, first 16 hex chars. Identical content (modulo
     whitespace/case) → identical fingerprint; portable to any SQL engine
     with md5()."""
-    norm = F.regexp_replace(F.lower(F.trim(_col(text))), r"\s+", " ")
+    # Collapse runs FIRST, then trim: Spark/SQL trim() strips only
+    # 0x20 spaces, so trim-then-collapse would fingerprint "\t" and
+    # "  " differently despite both being empty content. Collapsing
+    # turns every whitespace run into a single space, which trim then
+    # removes at the edges — whitespace-only text canonicalizes to "".
+    norm = F.trim(F.regexp_replace(F.lower(_col(text)), r"\s+", " "))
     return F.substring(F.md5(norm), 1, 16)
 
 

@@ -123,3 +123,144 @@ def test_range_join_equals_naive(spark):
         and lower_us <= (lt - rt) / dt.timedelta(microseconds=1) <= upper_us
     }
     assert got == want
+
+
+def test_text_functions_equal_python_reference(spark):
+    """token_count / quality_score / lang_id / doc_fingerprint vs a
+    pure-Python reference over adversarial random texts (empty, all
+    whitespace, punctuation-heavy, marker-word mixes)."""
+    import hashlib
+    import re
+
+    from cs6300_vectordbs_spark.functions.text import (
+        LANG_MARKERS,
+        STOPWORDS,
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    rng = random.Random(77)
+    texts = ["", " ", "\t\n", "a", "...!!!", "the the the", "el la de"]
+    for _ in range(60):
+        n = rng.randrange(0, 12)
+        parts = []
+        vocab = WORDS + list(STOPWORDS) + [
+            w for ws in LANG_MARKERS.values() for w in ws
+        ] + ["...", "!?", "x9", "Ab,C"]
+        for _ in range(n):
+            parts.append(rng.choice(vocab) + rng.choice(WS))
+        texts.append(rng.choice(["", " "]) + "".join(parts))
+
+    def py_tokens(t):
+        return [x for x in re.split(r"\s+", t.strip().lower()) if x != ""]
+
+    def py_quality(t):
+        toks = py_tokens(t)
+        ntok = float(len(toks))
+        nchar = float(len(t))
+        npunct = nchar - float(len(re.sub(r"[^\w\s]", "", t)))
+        length_score = min(ntok, 100.0) / 100.0
+        stop = sum(1 for x in toks if x in STOPWORDS)
+        stop_score = min((stop / ntok) * 5.0, 1.0) if ntok > 0 else 0.0
+        punct_ratio = npunct / nchar if nchar > 0 else 0.0
+        return 0.4 * length_score + 0.3 * stop_score + 0.3 * (1.0 - punct_ratio)
+
+    def py_lang(t):
+        toks = py_tokens(t)
+        best, best_n = "und", 0
+        for code in sorted(LANG_MARKERS):
+            n = sum(1 for x in toks if x in LANG_MARKERS[code])
+            if n > best_n:
+                best, best_n = code, n
+        return best
+
+    def py_fp(t):
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        return hashlib.md5(norm.encode()).hexdigest()[:16]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            token_count("text").alias("tc"),
+            F.round(quality_score("text"), 9).alias("q"),
+            lang_id("text").alias("lg"),
+            doc_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        r = got[i]
+        assert r["tc"] == len(py_tokens(t)), (t, r["tc"])
+        assert abs(r["q"] - round(py_quality(t), 9)) < 1e-9, (t, r["q"])
+        assert r["lg"] == py_lang(t), (t, r["lg"])
+        assert r["fp"] == py_fp(t), (t, r["fp"])
+
+
+def test_exact_ntile_equals_global_window(spark):
+    """exact_ntile (range exchange + prefix-sum) must be bit-identical
+    to the single-partition ntile window over random data with heavy
+    ties."""
+    from pyspark.sql.window import Window
+
+    from cs6300_vectordbs_spark.operators.quality import exact_ntile
+
+    rng = random.Random(3)
+    rows = [(i, rng.randrange(0, 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = {
+        (r["id"],): r["tile"]
+        for r in exact_ntile(df, ["v", "id"], 7, out_col="tile").collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["id"],): r["tile"]
+        for r in df.withColumn("tile", F.ntile(7).over(w)).collect()
+    }
+    assert got == want
+
+
+def test_minhash_signatures_equal_python_reference(spark):
+    """The groupBy-min signature pipeline vs a pure-Python MinHash over
+    the same md5 permutations — catches shingle-set or salt drift."""
+    import hashlib
+
+    from cs6300_vectordbs_spark.operators.dedup import (
+        minhash_signature_table,
+    )
+
+    rng = random.Random(9)
+    texts = []
+    for _ in range(25):
+        n = rng.randrange(0, 10)
+        texts.append(
+            " ".join(rng.choice(WORDS) for _ in range(n))
+        )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: list(r["sig"])
+        for r in minhash_signature_table(
+            df, num_hashes=8, shingle_n=3
+        ).collect()
+    }
+
+    def py_h64(s, salt):
+        h = hashlib.md5(f"s{salt}|{s}".encode()).hexdigest()
+        return int(h[:15], 16)
+
+    for i, t in enumerate(texts):
+        toks = [x for x in t.strip().lower().split() if x]
+        sh = {
+            " ".join(toks[j:j + 3]) for j in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        if not sh:
+            assert i not in got  # shingle-less docs emit no signature
+            continue
+        want = [min(py_h64(s, k) for s in sh) for k in range(8)]
+        assert got[i] == want, (t, got[i], want)
