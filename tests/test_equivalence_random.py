@@ -264,3 +264,50 @@ def test_minhash_signatures_equal_python_reference(spark):
             continue
         want = [min(py_h64(s, k) for s in sh) for k in range(8)]
         assert got[i] == want, (t, got[i], want)
+
+
+def test_simhash_fingerprints_equal_python_reference(spark):
+    """The 4x16-bit-chunk decode must produce the EXACT fingerprints
+    of the original per-hex-char definition: bit p of the 64-bit
+    simhash = (md5_hex_char[p//4] >> (p%4)) & 1 voted over shingles,
+    signed via _BIT_WEIGHTS. Locks the bit order against future decode
+    optimizations."""
+    import hashlib
+
+    from cs6300_vectordbs_spark.operators.dedup import (
+        _BIT_WEIGHTS,
+        simhash_fingerprints,
+    )
+
+    rng = random.Random(21)
+    texts = []
+    for _ in range(20):
+        n = rng.randrange(0, 9)
+        texts.append(" ".join(rng.choice(WORDS) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: r["simhash"]
+        for r in simhash_fingerprints(df, n=2).collect()
+    }
+
+    def py_simhash(t):
+        toks = [x for x in t.strip().lower().split() if x]
+        sh = {
+            " ".join(toks[j:j + 2]) for j in range(len(toks) - 1)
+        } if len(toks) >= 2 else set()
+        if not sh:
+            return 0
+        votes = [0] * 64
+        for s in sh:
+            hx = hashlib.md5(s.encode()).hexdigest()[:16]
+            for p in range(64):
+                bit = (int(hx[p // 4], 16) >> (p % 4)) & 1
+                votes[p] += 2 * bit - 1
+        return sum(
+            _BIT_WEIGHTS[p] for p in range(64) if votes[p] > 0
+        )
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_simhash(t), (t, got[i], py_simhash(t))
