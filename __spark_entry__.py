@@ -4884,9 +4884,11 @@ def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # dim MUST be the same constant the oracle generator uses for its
+    # hyperplane literals (deriving it from the data here would let
+    # the two sides silently disagree).
     out = srp_lsh_topk(
-        emb, _query_batch(emb), TOPK, dim=dim, n_bits=16, bands=8,
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM, n_bits=16, bands=8,
         exclude_self=True,
     )
     return out.select(
@@ -6494,9 +6496,9 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite ANN (FAISS IndexIVFPQ shape): coarse-cell
     pruning x PQ compression x exact re-rank — the production 100-TB
     index layout. Deterministic end to end (sampled quantizers, fixed
-    tie rules) but the SQL twin would compound two already-large
-    oracles, so: rows-only driver check + the recall-vs-exact
-    invariant in tests/test_ann_pq.py."""
+    tie rules, sequential driver-side folds) — FULL value-hash oracle
+    (_oracle_ivfpq) plus the recall-vs-exact invariant in
+    tests/test_ann_pq.py."""
     from cs6300_vectordbs_spark.operators.ann import ivfpq_topk
 
     emb = _t(spark, sf_dir, "embeddings")

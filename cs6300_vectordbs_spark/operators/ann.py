@@ -715,10 +715,10 @@ def ivfpq_topk(
     than raw float32 — the two savings multiply.
 
     Fully deterministic (sampled centroids + sampled codebooks, ties
-    to lowest id, fixed subspace fold order) like its ivf_topk /
-    pq_topk parents — registered rows-only with a recall-vs-exact
-    invariant test (the SQL twin exists in principle but compounds
-    two already-large oracles).
+    to lowest id, fixed sequential fold order everywhere — including
+    the driver-side probe/ADC dots) like its ivf_topk / pq_topk
+    parents; registered with a FULL value-hash SQL oracle plus a
+    recall-vs-exact invariant test.
 
     Plan shape: centroids AND codebooks broadcast; the corpus pays
     exactly two shuffles at index-build time (cell-assignment argmax,
@@ -811,15 +811,41 @@ def ivfpq_topk(
     q_rows = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
     ).collect()
-    cn = np.sqrt((C * C).sum(axis=1))
+    import math
+
+    def _seq_dot_full(a, b, n: int) -> float:
+        acc = 0.0
+        for i in range(n):
+            acc += float(a[i]) * float(b[i])
+        return acc
+
     rows = []
     for r in q_rows:
         qv = np.array(r["__qvec"], dtype=np.float64)
-        qn = float(np.sqrt((qv * qv).sum()))
-        denom_c = cn * (qn if qn != 0.0 else 1.0)
-        sims = np.where(denom_c == 0.0, 0.0, C @ qv / np.where(denom_c == 0.0, 1.0, denom_c))
-        # (sim desc, cid asc) probe order — same tie rule as the JVM path
-        order = sorted(range(len(cids)), key=lambda i: (-sims[i], cids[i]))
+        # Probe sims via the SAME sequential fold the SQL cosine uses —
+        # BLAS matvec reassociates, and a reassociation flip at the
+        # n_probe boundary would give the engine and its SQL twin
+        # different candidate sets. Zero-norm denominators yield NaN,
+        # which sorts FIRST under the descending probe order (the SQL
+        # NaN-is-greatest convention).
+        qn = math.sqrt(_seq_dot_full(qv, qv, dim))
+        sims = []
+        for ci in range(len(cids)):
+            denom = qn * math.sqrt(_seq_dot_full(C[ci], C[ci], dim))
+            sims.append(
+                _seq_dot_full(qv, C[ci], dim) / denom
+                if denom != 0.0
+                else float("nan")
+            )
+        # (sim desc, NaN greatest, cid asc) — same rule as the SQL twin
+        order = sorted(
+            range(len(cids)),
+            key=lambda i: (
+                not math.isnan(sims[i]),
+                -sims[i] if not math.isnan(sims[i]) else 0.0,
+                cids[i],
+            ),
+        )
         # Sequential left-associated accumulation, NOT np.dot: the ADC
         # value appears in the OUTPUT (and in the shortlist ordering),
         # and BLAS dot kernels reassociate (SIMD lanes) — the explicit
