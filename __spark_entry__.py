@@ -586,6 +586,64 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality evaluation for the MinHash-LSH dedup path —
+    the dedup analog of ann_tuning_report: the banded-LSH candidate
+    pairs (est_jaccard >= 0.3) scored against the EXACT n-gram Jaccard
+    pair set at the same threshold, reported as precision/recall. Both
+    sides are existing verified operators; the report is one pair-set
+    join. Exact ratios of integer counts — no float policy needed
+    beyond the division itself (identical operands both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    est = minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
+    exact = ngram_jaccard_pairs(docs, n=3, min_jaccard=0.3).select(
+        "id_a", "id_b"
+    ).localCheckpoint(eager=True)
+    n_est = est.count()
+    n_exact = exact.count()
+    n_both = est.join(exact, on=["id_a", "id_b"], how="inner").count()
+    precision = (n_both / n_est) if n_est else 0.0
+    recall = (n_both / n_exact) if n_exact else 0.0
+    return spark.createDataFrame(
+        [(n_est, n_exact, n_both, precision, recall)],
+        "n_est bigint, n_exact bigint, n_both bigint,"
+        " precision double, recall double",
+    )
+
+
+def _oracle_dedup_quality() -> str:
+    return f"""WITH {_minhash_ctes()},
+eex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shing),
+einter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_inter
+  FROM eex a JOIN eex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+exact AS (
+  SELECT id_a, id_b FROM einter
+  WHERE n_inter::DOUBLE / (n_a + n_b - n_inter) >= 0.3
+),
+est AS (SELECT id_a, id_b FROM pairs),
+counts AS (
+  SELECT (SELECT count(*) FROM est) AS n_est,
+         (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM est JOIN exact USING (id_a, id_b))
+           AS n_both
+)
+SELECT n_est::BIGINT AS n_est, n_exact::BIGINT AS n_exact,
+       n_both::BIGINT AS n_both,
+       CASE WHEN n_est = 0 THEN 0.0
+            ELSE n_both::DOUBLE / n_est END AS precision,
+       CASE WHEN n_exact = 0 THEN 0.0
+            ELSE n_both::DOUBLE / n_exact END AS recall
+FROM counts
+"""
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (streaming-ingest) dedup: docs with doc_id % 10 == 0
     are the NEW batch; the rest are the already-deduped corpus behind a
@@ -6790,6 +6848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_stats": q_ivf_cell_stats,
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "dedup_quality_report": q_dedup_quality_report,
     }
 
 
@@ -6913,6 +6972,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_stats": _ORACLE_DIM_STATS,
         "srp_lsh_topk": _oracle_srp(),
         "ivfpq_topk": _oracle_ivfpq(),
+        "dedup_quality_report": _oracle_dedup_quality(),
         "min_cost_supplier": _ORACLE_MIN_COST,
         "volume_shipping": _ORACLE_VOLUME_SHIP,
         "product_profit": _ORACLE_PRODUCT_PROFIT,

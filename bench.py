@@ -171,6 +171,7 @@ EXTENDED_QUERIES = [
     "ivf_upsert_topk",
     "dedup_threshold_sweep",
     "ivf_cell_stats",
+    "dedup_quality_report",
 ]
 
 
