@@ -207,6 +207,16 @@ through the corpus-metadata join into the documents parquet scan
 computed, so selectivity multiplies directly into scan+flop cost; the
 query batch is broadcast and per-query top-k compiles to
 WindowGroupLimit, same as the unfiltered exact plan.""",
+    "ivfpq_topk": """\
+Load-bearing properties (FAISS IndexIVFPQ shape): centroids AND
+codebooks broadcast; the corpus pays exactly two shuffles at
+index-build time (cell-assignment argmax, PQ-encoding argmin — both
+map-side-combined groupBys) joined co-keyed on the vector id;
+per-query probes + ADC lookup tables are computed driver-side with
+SEQUENTIAL folds (bit-identical to the SQL twin — BLAS would
+reassociate) and ship as one broadcast literal table; serving shuffle
+volume is O(candidates in probed cells); the ADC shortlist and final
+exact re-rank are WindowGroupLimit windows.""",
     "min_cost_supplier": """\
 Load-bearing properties (Q2 shape): part (size-filtered, pushed to its
 scan) and the supplier->nation->region chain are all BROADCAST onto
