@@ -1746,6 +1746,115 @@ FROM st WHERE start < n
 """
 
 
+def q_passage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level (chunk) retrieval with doc-level MAX-passage
+    aggregation — the standard long-document retrieval pattern (RAG
+    serving shape): documents split into overlapping 32-token chunks,
+    each chunk embedded, queries scored against CHUNKS, and a
+    document's score is its best passage; top-3 docs per query
+    (excluding the query's own document). Scale shape: chunking and
+    chunk-embedding are map-only; the query batch is tiny and
+    broadcast into the scoring join; per-(query, doc) max is one
+    map-side-combined aggregate; the final top-3 compiles to
+    WindowGroupLimit. Whole-doc search can miss a long document whose
+    relevant span is diluted — this is the operator that fixes it."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+        F.col("doc_id").cast("bigint"), "chunk_idx", "chunk_text"
+    )
+    chunk_emb = chunks.select(
+        "doc_id", "chunk_idx", embed_text("chunk_text", dim=8).alias("cvec")
+    )
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        embed_text("text", dim=8).alias("qvec"),
+    )
+    from cs6300_vectordbs_spark.functions.vector import cosine_sim
+
+    scored = (
+        chunk_emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            cosine_sim("qvec", "cvec", 8).alias("sim"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.max("sim").alias("best_passage_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("best_passage_sim").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("query_id").cast("bigint"),
+            F.col("rank").cast("bigint"),
+            "doc_id",
+            "best_passage_sim",
+        )
+    )
+
+
+_SQL_EMBED8_CHUNK = (
+    "list_transform(range(0, 8), j -> "
+    "(('0x' || substr(md5('e' || j || '|' || chunk_text), 1, 15))::BIGINT"
+    " % 2000001) / 1000000.0 - 1.0)"
+)
+_SQL_EMBED8_TEXT = (
+    "list_transform(range(0, 8), j -> "
+    "(('0x' || substr(md5('e' || j || '|' || text), 1, 15))::BIGINT"
+    " % 2000001) / 1000000.0 - 1.0)"
+)
+
+def _oracle_passage() -> str:
+    # built lazily: _sql_cos is defined later in the module
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS tk FROM documents
+),
+st AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         unnest(generate_series(0, greatest(len(tk) - 1, 0), 24)) AS start
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, array_to_string(tk[start + 1 : start + 32], ' ')
+           AS chunk_text
+  FROM st WHERE start < n
+),
+cemb AS (
+  SELECT doc_id, {_SQL_EMBED8_CHUNK} AS cvec FROM chunks
+),
+qemb AS (
+  SELECT doc_id AS query_id, {_SQL_EMBED8_TEXT} AS qvec
+  FROM documents WHERE doc_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.doc_id,
+         {_sql_cos('q.qvec', 'c.cvec')} AS sim
+  FROM cemb c CROSS JOIN qemb q
+  WHERE c.doc_id != q.query_id
+),
+per_doc AS (
+  SELECT query_id, doc_id, max(sim) AS best_passage_sim
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, rank::BIGINT AS rank, doc_id, best_passage_sim
+FROM (
+  SELECT query_id, doc_id, best_passage_sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY best_passage_sim DESC, doc_id ASC) AS rank
+  FROM per_doc)
+WHERE rank <= 3
+"""
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination gate: the 10% hash-sample plays the eval set,
     the complement plays the training corpus; per eval doc, the
@@ -6849,6 +6958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "dedup_quality_report": q_dedup_quality_report,
+        "passage_topk": q_passage_topk,
     }
 
 
@@ -6973,6 +7083,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_lsh_topk": _oracle_srp(),
         "ivfpq_topk": _oracle_ivfpq(),
         "dedup_quality_report": _oracle_dedup_quality(),
+        "passage_topk": _oracle_passage(),
         "min_cost_supplier": _ORACLE_MIN_COST,
         "volume_shipping": _ORACLE_VOLUME_SHIP,
         "product_profit": _ORACLE_PRODUCT_PROFIT,

@@ -172,6 +172,7 @@ EXTENDED_QUERIES = [
     "dedup_threshold_sweep",
     "ivf_cell_stats",
     "dedup_quality_report",
+    "passage_topk",
 ]
 
 
