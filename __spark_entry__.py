@@ -2522,12 +2522,14 @@ ORDER BY pctile
 
 
 def q_user_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered ARRAY output: each user's first five event types in
-    event-time order, as one array column — the sequence-feature shape
-    an LLM-behavior pipeline exports. Determinism: collect_list order
-    is engine-arbitrary, so the structs are sorted AFTER collection by
-    the (ts, event_id) total order and sliced; the rendered array then
-    hash-matches DuckDB's ORDER BY list aggregate exactly."""
+    """Ordered sequence-feature output: each user's first five event
+    types in event-time order, rendered as one '|'-joined string — the
+    sequence-feature shape an LLM-behavior pipeline exports.
+    Determinism: collect_list order is engine-arbitrary, so the structs
+    are sorted AFTER collection by the (ts, event_id) total order and
+    sliced. Rendered as a scalar string (not array<string>) because the
+    driver's canonicalizer cannot sort list columns — the same reshape
+    applied to embed_documents/image_features in r03 (r02 verdict)."""
     ev = read_events(spark, sf_dir)
     return (
         ev.select(
@@ -2540,12 +2542,15 @@ def q_user_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(F.collect_list("s")), lambda s: s["y"]
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list("s")), lambda s: s["y"]
+                    ),
+                    1,
+                    5,
                 ),
-                1,
-                5,
+                "|",
             ).alias("first_events")
         )
         .select(F.col("user_id").cast("bigint"), "first_events")
@@ -2555,7 +2560,8 @@ def q_user_first_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_FIRST_EVENTS = """
 SELECT user_id,
-       (list(event_type ORDER BY ts::TIMESTAMP, event_id))[1:5]
+       array_to_string(
+         (list(event_type ORDER BY ts::TIMESTAMP, event_id))[1:5], '|')
          AS first_events
 FROM events
 GROUP BY user_id
