@@ -43,9 +43,7 @@ from cs6300_vectordbs_spark.functions.text import (
 )
 from cs6300_vectordbs_spark.functions.ids import format_doc_id, sequential_id
 from cs6300_vectordbs_spark.operators.ann import (
-    brp_lsh_pairs,
     ivf_topk,
-    ivf_topk_kmeans,
     sq8_topk,
     srp_lsh_topk,
 )
@@ -5037,21 +5035,107 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+_KM_ITERS = 3
+
+
 def q_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat with the MLlib-KMeans-trained quantizer (the production
-    coarse index; BASELINE.json north star: 'MLlib for batch indexing').
-    Seeded-deterministic within Spark, not SQL-portable -> rows-only
-    driver check; recall vs exact top-k is asserted in tests/."""
+    """IVF-Flat with a TRAINED coarse quantizer (BASELINE.json north
+    star: batch-trained indexing): deterministic Lloyd's k-means —
+    lowest-id init, argmax-cosine assignment with lowest-cid ties,
+    per-iteration centroid means rounded to 9 dp on both engines — so
+    the trained index gets a FULL value-hash oracle (_oracle_ivf_kmeans
+    unrolls the identical three Lloyd iterations as CTEs). The
+    MLlib-KMeans quantizer variant (operators/ann.py ivf_topk_kmeans)
+    remains the MLlib-interop path, recall-tested in
+    tests/test_ann_pq.py rather than driver-oracled, since its
+    projections live in JVM RNG state."""
+    from cs6300_vectordbs_spark.operators.ann import ivf_topk_kmeans_det
+
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_topk_kmeans(
+    return ivf_topk_kmeans_det(
         emb, _query_batch(emb), TOPK, dim=EMB_DIM,
-        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, exclude_self=True,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE, n_iters=_KM_ITERS,
+        exclude_self=True,
     ).select(
         F.col("query_id").cast("bigint"),
         F.col("rank").cast("bigint"),
         F.col("vec_id").cast("bigint"),
         "sim",
         "dist",
+    )
+
+
+def _oracle_ivf_kmeans() -> str:
+    """Value-hash twin for the deterministic-Lloyd IVF: the same init,
+    the same per-iteration (assign -> rounded mean -> empty-cell keep)
+    chain, then the standard IVF serve. Means round to 9 dp on BOTH
+    engines, which pins the one summation-order hazard; every other
+    float op is a fixed left fold shared with the Spark plan."""
+    dims = range(EMB_DIM)
+    mean_cols = ", ".join(
+        f"round(avg(embedding[{d + 1}]::DOUBLE), 9) AS c{d}" for d in dims
+    )
+    mean_list = "[" + ", ".join(f"m.c{d}" for d in dims) + "]"
+    parts = [f"""
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {_IVF_CELLS})
+)"""]
+    for i in range(_KM_ITERS):
+        parts.append(f"""
+assign{i + 1} AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent{i} c
+),
+mean{i + 1} AS (
+  SELECT cid AS cell, {mean_cols}
+  FROM assign{i + 1} WHERE rn = 1 GROUP BY cid
+),
+cent{i + 1} AS (
+  SELECT c.cid,
+         CASE WHEN m.cell IS NULL THEN c.cvec ELSE {mean_list} END AS cvec
+  FROM cent{i} c LEFT JOIN mean{i + 1} m ON m.cell = c.cid
+)""")
+    last = f"cent{_KM_ITERS}"
+    parts.append(f"""
+sassign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN {last} c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM sassign WHERE rn = 1),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cid AS cell,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_sql_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings q CROSS JOIN {last} c WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, p.qvec, e.vec_id, e.embedding
+  FROM (SELECT query_id, qvec, cell FROM probes WHERE rn <= {_IVF_PROBE}) p
+  JOIN cells e ON e.cell = p.cell AND e.vec_id != p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, {_sql_cos('qvec', 'embedding')} AS sim,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC) AS rank
+  FROM cand
+)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
     )
 
 
@@ -5133,8 +5217,72 @@ FROM ranked WHERE rank <= {TOPK}
 
 
 def q_brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-random-projection LSH candidate pairs (Euclidean LSH
+    on implicitly L2-normalized vectors; collision in ANY of 4 tables,
+    exact-cosine filter at 0.2 — on unit vectors identical to MLlib's
+    d <= sqrt(2(1-s)) threshold). Uses the literal-projection variant
+    (operators/ann.py brp_lsh_pairs_det) so the seeded Gaussian
+    projections are plan literals a SQL twin reproduces — giving this
+    path the full value-hash oracle the MLlib-RNG variant
+    (brp_lsh_pairs, still the MLlib-interop path, recall-tested in
+    tests/) cannot have."""
+    from cs6300_vectordbs_spark.operators.ann import brp_lsh_pairs_det
+
     emb = _t(spark, sf_dir, "embeddings")
-    return brp_lsh_pairs(emb, _query_batch(emb, N_QUERIES))
+    out = brp_lsh_pairs_det(emb, _query_batch(emb, N_QUERIES), dim=EMB_DIM)
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_brp() -> str:
+    """Value-hash twin for the deterministic BRP path: the SAME
+    projection literals (ann._hyperplanes, seed 42), the same
+    floor(dot / (norm * L)) bucket rule, the same any-table collision
+    candidate join, the same exact-cosine filter. Dots are explicit
+    left-associated sums matching Spark's unrolled fold bit-for-bit."""
+    from cs6300_vectordbs_spark.operators.ann import _hyperplanes
+
+    n_tables, bucket_length, min_sim, seed = 4, 0.5, 0.2, 42
+    planes = _hyperplanes(EMB_DIM, n_tables, seed)
+
+    def keys_sql(alias: str) -> str:
+        norm = "sqrt(" + " + ".join(
+            f"({alias}.embedding[{i + 1}]::DOUBLE * {alias}.embedding[{i + 1}]::DOUBLE)"
+            for i in range(EMB_DIM)
+        ) + ")"
+        ks = []
+        for t, p in enumerate(planes):
+            dots = " + ".join(
+                f"({alias}.embedding[{i + 1}]::DOUBLE * {w!r})"
+                for i, w in enumerate(p)
+            )
+            ks.append(
+                f"concat_ws(',', '{t}', "
+                f"(floor(({dots}) / ({norm} * {bucket_length!r})))::BIGINT::VARCHAR)"
+            )
+        return "[" + ", ".join(ks) + "]"
+
+    return f"""
+WITH csig AS (
+  SELECT e.vec_id, e.embedding, unnest({keys_sql('e')}) AS bucket_key
+  FROM embeddings e
+),
+qsig AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec,
+         unnest({keys_sql('q')}) AS bucket_key
+  FROM embeddings q WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT s.query_id, s.qvec, c.vec_id, c.embedding
+  FROM qsig s JOIN csig c ON s.bucket_key = c.bucket_key
+)
+SELECT query_id, vec_id, {_sql_cos('qvec', 'embedding')} AS sim
+FROM cand
+WHERE {_sql_cos('qvec', 'embedding')} >= {min_sim!r}
+"""
 
 
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7111,9 +7259,11 @@ def oracle_sql() -> dict[str, str]:
         "ivf_upsert_topk": _ORACLE_IVF_UPSERT,
         "dedup_threshold_sweep": _oracle_dedup_sweep(),
         "ivf_cell_stats": _ORACLE_IVF_CELLS,
-        # search_latency: rows-only (wall-clock latency column).
-        # srp_lsh_topk / brp_lsh_pairs / ivf_kmeans_topk: rows-only
-        # (approximate / engine-seeded paths;
-        # their correctness oracle is the exact topk/pairs queries above
-        # via the recall invariant tested in tests/).
+        "brp_lsh_pairs": _oracle_brp(),
+        "ivf_kmeans_topk": _oracle_ivf_kmeans(),
+        # Rows-only (no oracle_sql entry) by design:
+        #   search_latency          wall-clock latency column
+        #   latency_percentiles_approx  engine-native approx sketch
+        # (their value correctness is anchored by search-result match
+        # vs exact top-k / exact-percentile twins in tests/).
     }

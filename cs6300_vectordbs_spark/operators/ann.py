@@ -289,6 +289,112 @@ def ivf_topk_kmeans(
     )
 
 
+def kmeans_centroids_det(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Cross-engine-reproducible Lloyd's k-means for the IVF coarse
+    quantizer: deterministic init (the ``n_cells`` lowest-id corpus
+    vectors, dense cids 0..n_cells-1), argmax-cosine assignment with
+    ties to the lowest cid, and per-cell per-dimension means ROUNDED
+    to ``round_dp`` decimals after every iteration. The rounding pins
+    the only cross-engine float hazard (a distributed mean's summation
+    order) to a shared canonical value, so a SQL twin that unrolls the
+    same iterations reproduces the centroids — and therefore the whole
+    IVF index — bit-for-bit. Empty cells keep their previous centroid.
+
+    Scale shape per iteration: centroids broadcast into the assignment
+    cross-join; the argmax and the 64-avg mean are both map-side-
+    combined groupBys, so each round is one corpus scan + one
+    n_cells-row shuffle. The n_cells x dim mean table is collected
+    driver-side per round (bounded index metadata, same license as the
+    PQ codebook collects) and re-embedded as a literal frame, keeping
+    the serving plan free of the training lineage.
+
+    Returns a literal DataFrame ``(__cid int, __cvec array<double>)``.
+    """
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(corpus_id, corpus_vec)
+        .collect()
+    )
+    init_rows.sort(key=lambda r: r[corpus_id])
+    cents: list[list[float]] = [
+        [float(x) for x in r[corpus_vec]] for r in init_rows
+    ]
+    for _ in range(n_iters):
+        cent = spark.createDataFrame(
+            list(enumerate(cents)), "__cid int, __cvec array<double>"
+        )
+        sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+        assigned = (
+            spread(corpus).crossJoin(F.broadcast(cent))
+            .groupBy(corpus_id)
+            .agg(
+                F.max_by(
+                    F.struct(
+                        F.col("__cid").alias("cell"),
+                        F.col(corpus_vec).alias("vec"),
+                    ),
+                    F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+                ).alias("best")
+            )
+            .select(F.col("best.cell").alias("cell"), F.col("best.vec").alias("vec"))
+        )
+        means = assigned.groupBy("cell").agg(
+            *[
+                F.round(F.avg(F.col("vec")[d].cast("double")), round_dp).alias(f"c{d}")
+                for d in range(dim)
+            ]
+        )
+        got = {
+            r["cell"]: [float(r[f"c{d}"]) for d in range(dim)]
+            for r in means.collect()
+        }
+        cents = [got.get(cid, cents[cid]) for cid in range(n_cells)]
+    return spark.createDataFrame(
+        list(enumerate(cents)), "__cid int, __cvec array<double>"
+    )
+
+
+def ivf_topk_kmeans_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-Flat with the deterministic-Lloyd's-trained quantizer
+    (:func:`kmeans_centroids_det`): the trained-quantizer quality of
+    :func:`ivf_topk_kmeans` with the full value-hash oracle of
+    :func:`ivf_topk`. The serving plan is the shared IVF shape."""
+    cent = kmeans_centroids_det(
+        corpus, dim=dim, n_cells=n_cells, n_iters=n_iters,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+    return _ivf_from_centroids(
+        corpus, queries, cent, k,
+        dim=dim, n_probe=n_probe, corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec, exclude_self=exclude_self,
+    )
+
+
 def _ivf_from_centroids(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,6 +456,109 @@ def _ivf_from_centroids(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", corpus_id, "sim", (1.0 - F.col("sim")).alias("dist"))
+    )
+
+
+def brp_bucket_keys(
+    vec_col: str,
+    dim: int,
+    *,
+    n_tables: int = 4,
+    bucket_length: float = 0.5,
+    seed: int = 42,
+) -> Column:
+    """Bucketed-random-projection keys as ONE parsed expression per
+    table, with the seeded Gaussian projection vectors embedded as
+    full-precision double literals (the same literal-parameter trick
+    as :func:`_band_keys_from_vec`).
+
+    Key for table ``t``: ``floor(dot(v, p_t) / (l2_norm(v) *
+    bucket_length))`` — the classic Datar-Indyk-Immorlica-Mirrokni
+    Euclidean-LSH bucket computed on the IMPLICITLY L2-normalized
+    vector (dividing the projection by the vector norm instead of
+    materializing a normalized copy). Because the projections are
+    plan literals and every float op is a fixed left-to-right fold,
+    a SQL twin reproduces the exact same buckets — unlike MLlib's
+    BucketedRandomProjectionLSH whose projections live in JVM RNG
+    state (:func:`brp_lsh_pairs` keeps that variant for MLlib
+    interop; it is recall-tested, not value-hash oracled).
+    """
+    planes = _hyperplanes(dim, n_tables, seed)
+    norm = "SQRT(" + " + ".join(
+        f"(CAST(`{vec_col}`[{i}] AS DOUBLE) * CAST(`{vec_col}`[{i}] AS DOUBLE))"
+        for i in range(dim)
+    ) + ")"
+    keys = []
+    for t, p in enumerate(planes):
+        dots = " + ".join(
+            f"(CAST(`{vec_col}`[{i}] AS DOUBLE) * {w!r}D)"
+            for i, w in enumerate(p)
+        )
+        keys.append(
+            F.expr(
+                f"concat_ws(',', '{t}', CAST(FLOOR(({dots}) / "
+                f"({norm} * {bucket_length!r}D)) AS STRING))"
+            )
+        )
+    return F.array(*keys)
+
+
+def brp_lsh_pairs_det(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    dim: int,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    min_sim: float = 0.2,
+    bucket_length: float = 0.5,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic BRP-LSH candidate pairs with exact cosine.
+
+    Same contract as :func:`brp_lsh_pairs` (candidates = bucket
+    collision in ANY of ``n_tables`` tables; survivors filtered by
+    exact cosine >= ``min_sim``, which on unit vectors is EXACTLY
+    MLlib's Euclidean threshold ``d <= sqrt(2 (1 - min_sim))``), but
+    with literal projections so the operator is bit-reproducible by a
+    SQL twin. Plan shape: corpus never shuffles before bucketing; the
+    (small-by-contract) query side's keys broadcast into the bucket
+    equi-join, so shuffle volume is O(candidates).
+    """
+    csig = spread(corpus).select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.explode(
+            brp_bucket_keys(
+                corpus_vec, dim, n_tables=n_tables,
+                bucket_length=bucket_length, seed=seed,
+            )
+        ).alias("bucket_key"),
+    )
+    qsig = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        F.explode(
+            brp_bucket_keys(
+                query_vec, dim, n_tables=n_tables,
+                bucket_length=bucket_length, seed=seed,
+            )
+        ).alias("bucket_key"),
+    )
+    cand = (
+        csig.join(F.broadcast(qsig), on="bucket_key")
+        .dropDuplicates(["__qid", corpus_id])
+    )
+    return (
+        cand.select(
+            F.col("__qid").alias("query_id"),
+            F.col(corpus_id),
+            cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
     )
 
 

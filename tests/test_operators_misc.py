@@ -228,13 +228,13 @@ def test_driver_contract_registration_invariants():
     q, o = m.queries(), m.oracle_sql()
     assert set(o) <= set(q)
     rows_only = set(q) - set(o)
-    # srp_lsh_topk / ivfpq_topk gained full value-hash oracles late in
-    # r03 (literal hyperplanes / sequential ADC folds); the remainder
-    # are genuinely non-SQL-expressible: MLlib-seeded internals,
-    # a sketch, and a wall-clock column.
+    # r03 gave srp_lsh_topk / ivfpq_topk full value-hash oracles
+    # (literal hyperplanes / sequential ADC folds); r04 did the same
+    # for brp_lsh_pairs (literal projections) and ivf_kmeans_topk
+    # (deterministic Lloyd's with rounded per-iteration means). The
+    # remainder are genuinely non-SQL-expressible: an engine-native
+    # approx sketch and a wall-clock column.
     assert rows_only == {
-        "brp_lsh_pairs",
-        "ivf_kmeans_topk",
         "latency_percentiles_approx",
         "search_latency",
     }

@@ -176,6 +176,63 @@ def test_ivf_kmeans_recall_and_seed_determinism(emb):
     }  # seeded training -> bitwise-repeatable results within Spark
 
 
+def test_ivf_kmeans_det_recall_and_convergence(emb):
+    """The deterministic-Lloyd quantizer (the oracle-able trained
+    index) must behave like an ANN index: decent recall vs exact, and
+    training must actually move the centroids off the init (otherwise
+    it would silently degenerate to the sampled quantizer)."""
+    from cs6300_vectordbs_spark.operators.ann import (
+        ivf_topk_kmeans_det,
+        kmeans_centroids_det,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    dim = len(emb.first().embedding)
+    exact = similarity_topk(emb, q, 5, exclude_self=True).collect()
+    approx = ivf_topk_kmeans_det(
+        emb, q, 5, dim=dim, n_cells=16, n_probe=4, exclude_self=True
+    ).collect()
+    exact_set = {(r.query_id, r.vec_id) for r in exact}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"det-KMeans-IVF recall {recall} too low"
+    cents = kmeans_centroids_det(emb, dim=dim, n_cells=16, n_iters=1).collect()
+    init = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.orderBy("vec_id").limit(16).collect()}
+    moved = sum(
+        1 for r in cents
+        if [float(x) for x in r["__cvec"]] != list(init.values())[r["__cid"]]
+    )
+    assert moved > 0, "Lloyd iteration left every centroid at its init"
+
+
+def test_brp_det_matches_cosine_and_threshold(spark, emb):
+    """Literal-projection BRP: every reported pair's sim is the exact
+    cosine, every sim clears the 0.2 floor, and the candidate set is
+    identical across runs (pure function of the plan literals)."""
+    from cs6300_vectordbs_spark.operators.ann import brp_lsh_pairs_det
+
+    dim = len(emb.first().embedding)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brp_lsh_pairs_det(emb, q, dim=dim).collect()
+    assert len(out) > 0
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in out:
+        assert r.sim >= 0.2
+    for r in out[:20]:
+        a, b = vecs[r.query_id], vecs[r.vec_id]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        assert r.sim == pytest.approx(dot / (na * nb), abs=1e-6)
+    again = brp_lsh_pairs_det(emb, q, dim=dim).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_label_centroids_golden(spark):
     from cs6300_vectordbs_spark.operators.similarity import label_centroids
 
