@@ -193,10 +193,12 @@ FROM ranked WHERE rank <= {TOPK}
 
 def q_search_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query latency capture (U3, the reference's
-    QueryResult.latency_ms): each query of the batch is answered and
-    wall-clocked individually inside the mapInPandas serving kernel
-    (operators/latency.py), then per-query latency rows feed the same
-    percentile aggregates as the reference's metrics table. Latency is
+    QueryResult.latency_ms): the query batch broadcasts to a
+    scatter-gather mapInPandas kernel over DISTRIBUTED corpus shards —
+    each shard wall-clocks its local top-k per query, one window merges
+    the global top-k, and latency_ms = max shard time (the straggler
+    bound a scatter-gather serving tier observes). No driver-side
+    corpus collect anywhere (operators/latency.py). Latency is
     wall-clock → nondeterministic → rows-only driver check; the pytest
     twin asserts the RESULT rows equal the exact batch search."""
     from cs6300_vectordbs_spark.operators.latency import search_with_latency
