@@ -1104,6 +1104,11 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
     n = deg.count()
     d = 0.85
+    # Teleport numerator is the LITERAL 0.15, not (1.0 - 0.85): the
+    # Python subtraction yields 0.15000000000000002 while the oracle's
+    # SQL constant parses to double 0.15 — a 1-ulp numerator mismatch
+    # that round(9) only masks (r03 advisory).
+    teleport = 0.15 / n
     ranks = deg.select("src", F.lit(1.0 / n).alias("rank"))
     # Materialize (src, dst, degree) once — only ranks changes per
     # iteration; without this every round re-runs the union + degree
@@ -1120,7 +1125,7 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "src",
                 (
-                    F.lit((1.0 - d) / n)
+                    F.lit(teleport)
                     + F.lit(d) * F.coalesce("c", F.lit(0.0))
                 ).alias("rank"),
             )
@@ -1133,19 +1138,14 @@ def q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_pagerank() -> str:
-    knn_edges = f"""
-knn AS (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
-                    e.vec_id ASC) AS rank
-  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
-),
+    # _SQL_KNN3: memory-lean kNN build (norms factored per vector,
+    # pairs projected to scalars before the QUALIFY window) — the
+    # naive form OOM'd DuckDB at sf0.1 materializing 25M array pairs.
+    knn_edges = f"""{_SQL_KNN3}
 edges AS (
   SELECT DISTINCT least(query_id, vec_id) AS a,
                   greatest(query_id, vec_id) AS b
-  FROM knn WHERE rank <= 3
+  FROM knn
 ),
 dir AS (SELECT a AS src, b AS dst FROM edges
         UNION ALL SELECT b, a FROM edges),
@@ -4822,19 +4822,41 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
-_ORACLE_KNN_GRAPH = f"""
-WITH knn AS (
-  SELECT q.vec_id AS query_id, e.vec_id,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
-                    e.vec_id ASC) AS rank
-  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+# Shared memory-lean exact-kNN(3) CTE chain for the graph oracles.
+# The naive form ordered the window by a cosine computed from the raw
+# embedding columns, which dragged two 64-dim arrays per pair through
+# the window's materialization — at sf0.1 that is 25M pairs x 1 KiB
+# and DuckDB OOMs building it. Factoring the norms per vector and
+# projecting pairs down to (query_id, vec_id, sim) BEFORE the QUALIFY
+# window keeps the materialization at 3 scalars per pair. The float
+# expression is unchanged bit-for-bit: dot / (sqrt(aa) * sqrt(bb))
+# with the same grouping as _sql_cos.
+_SQL_KNN3 = """
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
 ),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM nv q JOIN nv e ON e.vec_id != q.vec_id
+),
+knn AS (
+  SELECT query_id, vec_id FROM sims
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= 3
+),
+"""
+
+_ORACLE_KNN_GRAPH = f"""
+WITH {_SQL_KNN3}
 edges AS (
   SELECT DISTINCT least(query_id, vec_id) AS a,
                   greatest(query_id, vec_id) AS b
-  FROM knn WHERE rank <= 3
+  FROM knn
 ),
 deg AS (
   SELECT v, count(*) AS degree FROM (
