@@ -198,12 +198,22 @@ def load_corpus_jsonl(
         fields = [f for f in inferred.schema.fields if f.name != corrupt_col]
         if not fields:
             # Empty or all-corrupt file: nothing parseable to infer —
-            # every non-blank line is a reject.
+            # every non-blank line is a reject. The empty `good` frame
+            # still carries the CALLER-VISIBLE schema (column_map
+            # targets as strings), not the raw text schema, so
+            # downstream selects on mapped columns behave identically
+            # to every other path (r03 advisory).
             raw = spark.read.text(path).filter(F.trim("value") != "")
-            return (
-                raw.limit(0).select(F.col("value")),
-                raw.select(F.col("value").alias("raw_line")),
-            )
+            if column_map:
+                empty = raw.limit(0).select(
+                    *[
+                        F.col("value").cast("string").alias(dst)
+                        for dst in column_map.values()
+                    ]
+                )
+            else:
+                empty = raw.limit(0).select(F.col("value"))
+            return empty, raw.select(F.col("value").alias("raw_line"))
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in fields
         )
@@ -262,15 +272,33 @@ def ensure_bucketed_table(
     *,
     sort_by: str | None = None,
     fingerprint_cols: list[str] | None = None,
+    assume_unchanged: bool = False,
 ) -> None:
     """Create-if-absent bucketed catalog table with content-addressed
     invalidation (the S9 lifecycle applied to the bucketed-layout
     copy): reuse only when the stored fingerprint of the SOURCE frame
     (+ bucket spec) matches; rebuild on any source or spec change.
     The fingerprint lives in the table's TBLPROPERTIES — no side
-    files, dropped atomically with the table."""
+    files, dropped atomically with the table.
+
+    COST NOTE: the fingerprint is a full-scan aggregate of the source
+    frame, paid on EVERY call — the price of content-addressed safety.
+    A caller that asserts the corpus has not changed since the last
+    build (steady-state serving) passes ``assume_unchanged=True`` to
+    reduce the check to a catalog-existence test; the fingerprint
+    still guards the first build and any call without the assertion.
+    """
+    import re
+
     from .index_common import corpus_fingerprint
 
+    # The table name is interpolated into DDL and joined into a
+    # warehouse path below — reject anything but a plain identifier so
+    # a crafted name cannot smuggle SQL or escape the warehouse dir.
+    if not re.fullmatch(r"[A-Za-z0-9_]+", table):
+        raise ValueError(f"invalid table identifier: {table!r}")
+    if assume_unchanged and spark.catalog.tableExists(table):
+        return
     cols = fingerprint_cols or [by]
     fp = corpus_fingerprint(
         df, cols, {"by": by, "n_buckets": n_buckets, "sort": sort_by or ""}

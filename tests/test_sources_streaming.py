@@ -339,3 +339,35 @@ def test_load_corpus_jsonl_all_corrupt_inference(spark, tmp_path):
     good, bad = load_corpus_jsonl(spark, str(p))
     assert good.count() == 0
     assert sorted(r.raw_line for r in bad.collect()) == ["ALSO NOPE", "NOPE"]
+
+
+def test_load_corpus_jsonl_all_corrupt_keeps_mapped_schema(spark, tmp_path):
+    """With a column_map, the empty `good` frame of the all-corrupt
+    inference branch must expose the MAPPED columns (r03 advisory:
+    it used to leak the raw `value` text schema, so downstream selects
+    on mapped columns failed on the empty frame)."""
+    from cs6300_vectordbs_spark.sources.ingest import load_corpus_jsonl
+
+    p = tmp_path / "broken.jsonl"
+    p.write_text("NOPE\n")
+    good, bad = load_corpus_jsonl(
+        spark, str(p), column_map={"a": "doc_id", "b": "text"}
+    )
+    assert good.columns == ["doc_id", "text"]
+    assert good.select("doc_id", "text").count() == 0
+    assert bad.count() == 1
+
+
+def test_ensure_bucketed_table_rejects_bad_identifier(spark, docs):
+    """Table names are interpolated into DDL and a warehouse path —
+    anything but a plain identifier must be rejected."""
+    import pytest
+
+    from cs6300_vectordbs_spark.sources.ingest import ensure_bucketed_table
+
+    with pytest.raises(ValueError, match="invalid table identifier"):
+        ensure_bucketed_table(
+            spark, docs, "t; DROP TABLE x--", by="doc_id"
+        )
+    with pytest.raises(ValueError, match="invalid table identifier"):
+        ensure_bucketed_table(spark, docs, "../escape", by="doc_id")
