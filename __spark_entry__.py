@@ -144,6 +144,30 @@ _SQL_COSINE = (
 )
 
 
+def q_auto_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call search facade with automatic strategy dispatch
+    (operators/search.py — SURVEY §4.3 item 2, 'the library does the
+    planning' like the reference's collection.query). At every test
+    scale the counts land in the exact-JVM regime, so the result — and
+    the oracle — are identical to topk_cosine_exact; the dispatch rule
+    itself (exact vs blocked vs grid vs ivf by corpus/query counts)
+    and the bit-equality of the exact strategies are pinned in
+    tests/test_plans.py."""
+    from cs6300_vectordbs_spark.operators.search import search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = search(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM, exclude_self=True
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
 def q_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered top-k search (V6) — the ``where=``/``filter=``
     surface the reference stores advertise (/root/reference/src/
@@ -7206,6 +7230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_lsh_topk": q_srp_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "topk_cosine_exact": q_topk_cosine_exact,
+        # new in r04 but outside the (full) window: first in the r05
+        # rotation queue alongside any further additions.
+        "auto_search": q_auto_search,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7259,6 +7286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "topk_cosine_exact": _ORACLE_TOPK,
+        "auto_search": _ORACLE_TOPK,
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

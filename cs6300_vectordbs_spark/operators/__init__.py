@@ -4,6 +4,7 @@ from .similarity import (  # noqa: F401
     pairwise_similarity,
     pairwise_similarity_blocked,
 )
+from .search import choose_strategy, search  # noqa: F401
 from .metrics_ir import (  # noqa: F401
     latency_percentiles,
     latency_summary,

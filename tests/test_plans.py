@@ -563,3 +563,76 @@ def test_ensure_bucketed_table_reuses_then_invalidates(spark, tmp_path):
         assert not marked() and spark.table("tb_ensure").count() == 50
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_ensure")
+
+
+def test_search_dispatch_thresholds():
+    """The auto-strategy rule (operators/search.py): exact while the
+    pair count fits the JVM budget, blocked at BLAS scale, ivf beyond
+    the exact budget, grid whenever the query side outgrows a
+    broadcast — these THRESHOLD SEMANTICS are the contract."""
+    from cs6300_vectordbs_spark.operators.search import (
+        BLOCKED_MAX_PAIRS,
+        BROADCAST_MAX_QUERIES,
+        EXACT_MAX_PAIRS,
+        choose_strategy,
+    )
+
+    assert choose_strategy(4_000, 10) == "exact"
+    assert choose_strategy(EXACT_MAX_PAIRS // 100, 100) == "exact"
+    assert choose_strategy(EXACT_MAX_PAIRS // 100 + 1, 100) == "blocked"
+    assert choose_strategy(BLOCKED_MAX_PAIRS // 100, 100) == "blocked"
+    assert choose_strategy(BLOCKED_MAX_PAIRS // 100 + 1, 100) == "ivf"
+    # Query side too big to broadcast -> both-sides-sharded grid,
+    # regardless of corpus size.
+    assert choose_strategy(50, BROADCAST_MAX_QUERIES + 1) == "grid"
+    assert choose_strategy(10_000_000, 5_000_000) == "grid"
+
+
+def test_search_auto_picks_exact_plan_and_matches_brute_force(spark, emb):
+    """At test scale auto dispatch must land on the exact JVM plan
+    (WindowGroupLimit + broadcast queries), and every forced exact
+    strategy must return BIT-identical rows."""
+    from cs6300_vectordbs_spark.operators.search import search
+
+    q = _queries(emb)
+    auto = search(emb, q, 5, dim=64, exclude_self=True)
+    plan = plan_of(auto)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+    base = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim) for r in auto.collect()
+    )
+    for strat in ("blocked", "grid"):
+        rows = search(
+            emb, q, 5, dim=64, exclude_self=True, strategy=strat
+        ).collect()
+        got = sorted((r.query_id, r.rank, r.vec_id, r.sim) for r in rows)
+        assert got == base, f"strategy {strat} diverged from exact"
+    # ivf is approximate: its hits are a subset-quality check, not
+    # bit-equality — every reported sim must still be the exact cosine.
+    ivf_rows = search(
+        emb, q, 5, dim=64, exclude_self=True, strategy="ivf"
+    ).collect()
+    exact_sims = {
+        (r.query_id, r.vec_id): r.sim
+        for r in search(
+            emb, q, 500, dim=64, exclude_self=True, strategy="exact"
+        ).collect()
+    }
+    for r in ivf_rows:
+        assert exact_sims[(r.query_id, r.vec_id)] == r.sim
+
+
+def test_search_filter_applies_to_every_strategy(spark, emb):
+    """filter_expr must constrain the searched corpus identically
+    under each strategy (pre-join / pre-index-build)."""
+    from cs6300_vectordbs_spark.operators.search import search
+
+    q = _queries(emb)
+    for strat in ("exact", "blocked", "ivf"):
+        rows = search(
+            emb, q, 5, dim=64, strategy=strat,
+            filter_expr="vec_id % 2 = 0",
+        ).collect()
+        assert rows and all(r.vec_id % 2 == 0 for r in rows)
