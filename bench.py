@@ -173,6 +173,10 @@ EXTENDED_QUERIES = [
     "ivf_cell_stats",
     "dedup_quality_report",
     "passage_topk",
+    # round-4 additions
+    "csv_ingest",
+    "jsonl_ingest",
+    "auto_search",
 ]
 
 

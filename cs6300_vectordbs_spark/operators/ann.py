@@ -295,6 +295,7 @@ def kmeans_centroids_det(
     dim: int,
     n_cells: int = 16,
     n_iters: int = 3,
+    train_n: int | None = 1024,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     round_dp: int = 9,
@@ -309,16 +310,28 @@ def kmeans_centroids_det(
     same iterations reproduces the centroids — and therefore the whole
     IVF index — bit-for-bit. Empty cells keep their previous centroid.
 
+    Training runs on a BOUNDED DETERMINISTIC sample (the ``train_n``
+    lowest-md5(vec_id) rows — FAISS practice: the coarse quantizer
+    needs ~O(100) vectors per centroid, not the corpus; an md5 order
+    is layout-independent AND reproducible in SQL, unlike the MLlib
+    variant's RNG). ``train_n=None`` trains on everything.
+
     Scale shape per iteration: centroids broadcast into the assignment
-    cross-join; the argmax and the 64-avg mean are both map-side-
-    combined groupBys, so each round is one corpus scan + one
-    n_cells-row shuffle. The n_cells x dim mean table is collected
-    driver-side per round (bounded index metadata, same license as the
-    PQ codebook collects) and re-embedded as a literal frame, keeping
-    the serving plan free of the training lineage.
+    cross-join over the cached sample; corpus-side norms are computed
+    ONCE per sample row (factored under the join, cosine_from_parts),
+    centroid norms once per centroid in plain Python — per-pair work
+    is the dot product alone. The argmax and the per-cell mean are
+    both map-side-combined groupBys; the n_cells x dim mean table is
+    collected driver-side per round (bounded index metadata, the PQ
+    codebook license) and re-embedded as a literal frame, keeping the
+    serving plan free of the training lineage.
 
     Returns a literal DataFrame ``(__cid int, __cvec array<double>)``.
     """
+    import math
+
+    from ..functions.vector import cosine_from_parts, l2_norm
+
     spark = corpus.sparkSession
     init_rows = (
         corpus.orderBy(F.col(corpus_id).asc())
@@ -330,36 +343,93 @@ def kmeans_centroids_det(
     cents: list[list[float]] = [
         [float(x) for x in r[corpus_vec]] for r in init_rows
     ]
-    for _ in range(n_iters):
-        cent = spark.createDataFrame(
-            list(enumerate(cents)), "__cid int, __cvec array<double>"
-        )
-        sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
-        assigned = (
-            spread(corpus).crossJoin(F.broadcast(cent))
-            .groupBy(corpus_id)
-            .agg(
-                F.max_by(
-                    F.struct(
-                        F.col("__cid").alias("cell"),
-                        F.col(corpus_vec).alias("vec"),
-                    ),
-                    F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
-                ).alias("best")
+
+    train = corpus
+    if train_n is not None:
+        train = (
+            corpus.orderBy(
+                F.md5(F.col(corpus_id).cast("string")).asc(),
+                F.col(corpus_id).asc(),
             )
-            .select(F.col("best.cell").alias("cell"), F.col("best.vec").alias("vec"))
+            .limit(train_n)
         )
-        means = assigned.groupBy("cell").agg(
-            *[
-                F.round(F.avg(F.col("vec")[d].cast("double")), round_dp).alias(f"c{d}")
-                for d in range(dim)
-            ]
+    # repartition(8), not spread(): the global limit collapses the
+    # sample to ONE partition (serializing the pair loop) while the
+    # full 32-way spread pays 3 x 2 stages of task scheduling on ~1k
+    # rows; 8 ways is parallel enough for a bounded sample and keeps
+    # per-iteration latency scheduler-light.
+    train = (
+        train
+        .select(
+            F.col(corpus_id).alias("__tid"),
+            F.col(corpus_vec).alias("vec"),
+            l2_norm(corpus_vec, dim).alias("__vnorm"),
         )
-        got = {
-            r["cell"]: [float(r[f"c{d}"]) for d in range(dim)]
-            for r in means.collect()
-        }
-        cents = [got.get(cid, cents[cid]) for cid in range(n_cells)]
+        .repartition(8)
+        .cache()
+    )
+
+    def _pynorm(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:  # sequential left fold — matches the SQL twin
+            acc += x * x
+        return math.sqrt(acc)
+
+    try:
+        for _ in range(n_iters):
+            cent = spark.createDataFrame(
+                [(i, c, _pynorm(c)) for i, c in enumerate(cents)],
+                "__cid int, __cvec array<double>, __cnorm double",
+            )
+            # HOF dot, not the unrolled form: the training loop's pair
+            # count is bounded (sample x n_cells), so interpreted fold
+            # cost is noise, while the unrolled 64-term expression paid
+            # seconds of codegen compile on the first run. Bit-identical
+            # (left fold from 0.0 — functions/vector.py docstring).
+            sim_to_cent = cosine_from_parts(
+                dot("vec", "__cvec"), F.col("__vnorm"), F.col("__cnorm")
+            )
+            assigned = (
+                train.crossJoin(F.broadcast(cent))
+                .select(
+                    F.col("__tid"),
+                    F.col("vec"),
+                    F.col("__cid"),
+                    sim_to_cent.alias("__s"),
+                )
+                .groupBy("__tid")
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            F.col("__cid").alias("cell"),
+                            F.col("vec").alias("v"),
+                        ),
+                        F.struct(
+                            F.col("__s").alias("s"),
+                            (-F.col("__cid")).alias("nc"),
+                        ),
+                    ).alias("best")
+                )
+                .select(
+                    F.col("best.cell").alias("cell"),
+                    F.col("best.v").alias("vec"),
+                )
+            )
+            means = assigned.groupBy("cell").agg(
+                *[
+                    F.round(
+                        F.avg(F.col("vec")[d].cast("double")), round_dp
+                    ).alias(f"c{d}")
+                    for d in range(dim)
+                ]
+            )
+            got = {
+                r["cell"]: [float(r[f"c{d}"]) for d in range(dim)]
+                for r in means.collect()
+            }
+            cents = [got.get(cid, cents[cid]) for cid in range(n_cells)]
+    finally:
+        train.unpersist()
     return spark.createDataFrame(
         list(enumerate(cents)), "__cid int, __cvec array<double>"
     )
@@ -374,6 +444,7 @@ def ivf_topk_kmeans_det(
     n_cells: int = 16,
     n_probe: int = 4,
     n_iters: int = 3,
+    train_n: int | None = 1024,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -386,7 +457,7 @@ def ivf_topk_kmeans_det(
     :func:`ivf_topk`. The serving plan is the shared IVF shape."""
     cent = kmeans_centroids_det(
         corpus, dim=dim, n_cells=n_cells, n_iters=n_iters,
-        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        train_n=train_n, corpus_id=corpus_id, corpus_vec=corpus_vec,
     )
     return _ivf_from_centroids(
         corpus, queries, cent, k,
@@ -483,16 +554,26 @@ def brp_bucket_keys(
     state (:func:`brp_lsh_pairs` keeps that variant for MLlib
     interop; it is recall-tested, not value-hash oracled).
     """
+    # HOF zip_with/aggregate folds, NOT unrolled term chains: one
+    # Project evaluating 4 keys x (dot + norm) unrolled is ~500 term
+    # subexpressions — past Janino's method-size limit, so codegen
+    # bails out with an exception retry that costs seconds (the exact
+    # failure mode _band_keys_from_vec documents for SRP). The HOF
+    # fold is bit-identical (left fold from 0.0) and compiles
+    # trivially; per-row interpreted cost is noise at any corpus size
+    # because this is a single map-side pass.
     planes = _hyperplanes(dim, n_tables, seed)
-    norm = "SQRT(" + " + ".join(
-        f"(CAST(`{vec_col}`[{i}] AS DOUBLE) * CAST(`{vec_col}`[{i}] AS DOUBLE))"
-        for i in range(dim)
-    ) + ")"
+    norm = (
+        "SQRT(aggregate(zip_with(`%s`, `%s`, (x, y) ->"
+        " CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D,"
+        " (acc, v) -> acc + v))" % (vec_col, vec_col)
+    )
     keys = []
     for t, p in enumerate(planes):
-        dots = " + ".join(
-            f"(CAST(`{vec_col}`[{i}] AS DOUBLE) * {w!r}D)"
-            for i, w in enumerate(p)
+        dots = (
+            "aggregate(zip_with(`%s`, array(%s), (x, y) ->"
+            " CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+            % (vec_col, ", ".join(f"{w!r}D" for w in p))
         )
         keys.append(
             F.expr(

@@ -260,6 +260,32 @@ a residual join condition — never a nested-loop or cartesian; all
 three lineitem derivatives hash-partition on orderkey so AQE reuses
 one exchange layout; o_orderstatus and l_returnflag push to the
 scans; the final top-10 is TakeOrderedAndProject (heap merge).""",
+    "brp_lsh_pairs": """\
+Load-bearing properties (literal-projection Euclidean LSH): bucket
+keys are pure codegen'd expressions over plan-literal projections (no
+MLlib fit pass, no UDF); candidates come from an EQUI-join of corpus
+bucket keys against the BROADCAST query keys — shuffle volume is
+O(collisions), never all-pairs; the exact-cosine filter runs only on
+survivors. The same literals are baked into the SQL oracle, which is
+what bought this path its full value-hash check.""",
+    "ivf_kmeans_topk": """\
+Load-bearing properties (deterministic-Lloyd trained quantizer): each
+training round is one corpus scan — centroids BROADCAST into the
+assignment cross-join, argmax collapses map-side (partial+final
+HashAggregate), and the per-cell 64-avg mean is a second map-side-
+combined aggregate of n_cells rows; the trained centroids re-embed as
+a literal frame so the SERVE plan below is exactly ivf_topk's
+(broadcast centroids + probes, re-rank only probed cells) with no
+training lineage attached. Rounded per-iteration means are what make
+the whole index reproducible by the SQL twin.""",
+    "auto_search": """\
+Load-bearing properties (strategy dispatch, SURVEY §4.3): search()
+resolved counts -> 'exact' at this scale, so the plan IS
+topk_cosine_exact's (broadcast queries, WindowGroupLimit partial
+top-k) — dispatch changes plans, never answers (the exact strategies
+are bit-identical, tests/test_plans.py). At larger counts the same
+call routes to the Arrow blocked kernel, the both-sides-sharded grid,
+or IVF.""",
 }
 
 
