@@ -978,6 +978,50 @@ WHERE {_SQL_COSINE} >= 0.35
 """
 
 
+_NEARDUP_IVF_SIM = 0.35
+
+
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via IVF-cell blocking — the SCALE path
+    for semantic dedup (operators/ann.py ivf_neardup_pairs). The
+    all-pairs grid kernel behind embedding_neardup computes O(N^2)
+    cosines; here only same-cell pairs are scored, ~N^2/n_cells for
+    balanced cells — the embedding-space analogue of MinHash banding.
+    Same threshold as embedding_neardup so the two registrations
+    bracket the recall story (tests assert the IVF pair set is a
+    subset of the exact set with high recall at high thresholds);
+    fully deterministic -> full value-hash oracle."""
+    from cs6300_vectordbs_spark.operators.ann import ivf_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_neardup_pairs(
+        emb, dim=EMB_DIM, n_cells=_IVF_CELLS, min_sim=_NEARDUP_IVF_SIM
+    ).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "sim"
+    )
+
+
+def _oracle_neardup_ivf() -> str:
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_sql_cos('a.embedding', 'b.embedding')} AS sim
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_NEARDUP_IVF_SIM!r}
+"""
+
+
 # ---------------------------------------------------------------------------
 # V5 — upsert; T3 — sampling
 # ---------------------------------------------------------------------------
@@ -7251,6 +7295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r04 but outside the (full) window: first in the r05
         # rotation queue alongside any further additions.
         "auto_search": q_auto_search,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7305,6 +7350,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "topk_cosine_exact": _ORACLE_TOPK,
         "auto_search": _ORACLE_TOPK,
+        "embedding_neardup_ivf": _oracle_neardup_ivf(),
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

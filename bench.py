@@ -177,6 +177,7 @@ EXTENDED_QUERIES = [
     "csv_ingest",
     "jsonl_ingest",
     "auto_search",
+    "embedding_neardup_ivf",
 ]
 
 

@@ -530,6 +530,84 @@ def _ivf_from_centroids(
     )
 
 
+def ivf_neardup_pairs(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    n_cells: int = 16,
+    min_sim: float = 0.9,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via IVF-cell blocking —
+    the SCALE path for semantic dedup. The all-pairs kernels
+    (operators/similarity.pairwise_similarity[_blocked]) compute
+    O(N^2) cosines; at 100 TB that is the thing that cannot run. Here
+    the deterministic sampled quantizer (same centroids/ties as
+    :func:`ivf_topk`) blocks the corpus into cells and only SAME-CELL
+    pairs are scored — O(sum_c |cell_c|^2) ~ N^2/n_cells for balanced
+    cells, with the n_cells knob trading recall for cost exactly like
+    MinHash band count does for text near-dup.
+
+    Semantics: candidate pair <=> both vectors quantize to the same
+    cell; survivors filtered by exact cosine >= ``min_sim``. True
+    near-duplicates (cosine ~ 1) quantize together unless they
+    straddle a cell boundary, so recall is high at high thresholds
+    (asserted vs the exact all-pairs kernel in tests/) and the
+    operator is fully deterministic -> full value-hash SQL oracle.
+
+    Plan shape: ONE corpus-wide shuffle (the cell-assignment argmax
+    groupBy, map-side combined, centroids broadcast), then a same-cell
+    self-equi-join whose shuffle volume is O(candidates) — no
+    cartesian node anywhere. Returns (id_a, id_b, sim) with id_a <
+    id_b.
+    """
+    # Assignment carries the vector through the argmax (the
+    # _ivf_from_centroids trick) instead of joining it back on — one
+    # groupBy instead of groupBy + id-join.
+    cent = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(n_cells)
+        .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
+    )
+    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    cells = (
+        spread(corpus).crossJoin(F.broadcast(cent))
+        .groupBy(corpus_id)
+        .agg(
+            F.max_by(
+                F.struct(F.col("__cid").alias("cell"), F.col(corpus_vec).alias("vec")),
+                F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+            ).alias("best")
+        )
+        .select(
+            corpus_id,
+            F.col("best.cell").alias("cell"),
+            F.col("best.vec").alias(corpus_vec),
+        )
+    )
+    a = cells.select(
+        F.col("cell"),
+        F.col(corpus_id).alias("id_a"),
+        F.col(corpus_vec).alias("__va"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col(corpus_id).alias("id_b"),
+        F.col(corpus_vec).alias("__vb"),
+    )
+    return (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_sim("__va", "__vb", dim).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )
+
+
 def brp_bucket_keys(
     vec_col: str,
     dim: int,
