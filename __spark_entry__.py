@@ -2166,6 +2166,50 @@ FROM documents GROUP BY source
 """
 
 
+def q_jsonl_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of jsonl_ingest: the same export (documents as
+    JSONL + two planted corrupt lines), ingested as a FILE-SOURCE
+    STREAM (streaming/ingest.jsonl_corpus_stream — the shared
+    split_jsonl_lines parse, availableNow trigger). Good rows run the
+    per-source aggregation as a complete-mode STREAMING aggregation;
+    quarantined lines drain to a second memory sink and their count
+    stamps every row. Unified-API contract: the batch query's oracle
+    is the exact bar for this stream."""
+    from cs6300_vectordbs_spark.streaming.events import run_stream_to_memory
+    from cs6300_vectordbs_spark.streaming.ingest import jsonl_corpus_stream
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/jsonl_corpus_stream_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "text", "lang", "source")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    with open(f"{path}/zz-corrupt.json", "w", encoding="utf-8") as f:
+        f.write('{"doc_id": broken,,,\nnot json at all\n')
+    good, bad = jsonl_corpus_stream(
+        spark, path, "doc_id bigint, text string, lang string, source string"
+    )
+    agg = good.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    run_stream_to_memory(
+        agg, query_name="jsonl_ingest_stream_agg", output_mode="complete"
+    )
+    run_stream_to_memory(
+        bad, query_name="jsonl_ingest_stream_bad", output_mode="append"
+    )
+    n_bad = spark.table("jsonl_ingest_stream_bad").count()
+    return spark.table("jsonl_ingest_stream_agg").select(
+        "source",
+        F.col("n_docs").cast("bigint"),
+        F.col("total_chars").cast("bigint"),
+        F.lit(n_bad).cast("bigint").alias("n_quarantined"),
+    )
+
+
 def q_template_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return generate_queries(docs).select(
@@ -7296,6 +7340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation queue alongside any further additions.
         "auto_search": q_auto_search,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "jsonl_ingest_stream": q_jsonl_ingest_stream,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7495,6 +7540,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_kmeans_topk": _oracle_ivf_kmeans(),
         "csv_ingest": _ORACLE_CSV_INGEST,
         "jsonl_ingest": _ORACLE_JSONL_INGEST,
+        "jsonl_ingest_stream": _ORACLE_JSONL_INGEST,
         # Rows-only (no oracle_sql entry) by design:
         #   search_latency          wall-clock latency column
         #   latency_percentiles_approx  engine-native approx sketch

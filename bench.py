@@ -178,6 +178,7 @@ EXTENDED_QUERIES = [
     "jsonl_ingest",
     "auto_search",
     "embedding_neardup_ivf",
+    "jsonl_ingest_stream",
 ]
 
 

@@ -175,19 +175,7 @@ def load_corpus_jsonl(
         # corrupt-record column from a raw scan (which would force a
         # cache of the whole parse).
         raw = spark.read.text(path).filter(F.trim("value") != "")
-        parsed = raw.select(
-            "value",
-            F.from_json(
-                "value",
-                f"{schema}, {corrupt_col} string",
-                {"columnNameOfCorruptRecord": corrupt_col},
-            ).alias("j"),
-        )
-        is_bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
-        bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
-        good = (
-            parsed.filter(~is_bad).select("j.*").drop(corrupt_col)
-        )
+        good, bad = split_jsonl_lines(raw, schema, corrupt_col=corrupt_col)
     else:
         # Inference path (full extra read — small/interactive use
         # only): infer the schema, then run the SAME text+from_json
@@ -229,6 +217,31 @@ def load_corpus_jsonl(
         good = good.select(
             *[F.col(src).alias(dst) for src, dst in column_map.items()]
         )
+    return good, bad
+
+
+def split_jsonl_lines(
+    raw: DataFrame,
+    schema: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """The one-pass from_json good/bad split, factored so BATCH
+    (:func:`load_corpus_jsonl`) and STREAMING
+    (streaming/ingest.jsonl_corpus_stream) ingestion share the exact
+    same parse semantics — ``raw`` is a one-column ``value`` frame,
+    static or streaming (every op here is stateless)."""
+    parsed = raw.select(
+        "value",
+        F.from_json(
+            "value",
+            f"{schema}, {corrupt_col} string",
+            {"columnNameOfCorruptRecord": corrupt_col},
+        ).alias("j"),
+    )
+    is_bad = F.col("j").isNull() | F.col(f"j.{corrupt_col}").isNotNull()
+    bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
+    good = parsed.filter(~is_bad).select("j.*").drop(corrupt_col)
     return good, bad
 
 
