@@ -636,3 +636,18 @@ def test_search_filter_applies_to_every_strategy(spark, emb):
             filter_expr="vec_id % 2 = 0",
         ).collect()
         assert rows and all(r.vec_id % 2 == 0 for r in rows)
+
+
+def test_ivf_neardup_plan_no_cartesian(spark, emb):
+    """The IVF-blocked near-dup's candidates must come from the
+    same-cell EQUI self-join — never a cartesian — and the centroid
+    fan-out must be a broadcast."""
+    from cs6300_vectordbs_spark.operators.ann import ivf_neardup_pairs
+
+    plan = plan_of(ivf_neardup_pairs(emb, dim=64))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 16-row centroid fan-out
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )  # cell equi-join
