@@ -586,24 +586,38 @@ def ivf_neardup_pairs(
             F.col("best.vec").alias(corpus_vec),
         )
     )
-    a = cells.select(
+    # Norms factored UNDER the self-join (once per row, not per pair —
+    # the cosine_from_parts discipline): the pair loop pays one dot,
+    # not one dot plus two norm folds. Bit-identical to the per-pair
+    # cosine: same sqrt values, same dot/(norm_a * norm_b) grouping as
+    # the SQL twin's _sql_cos.
+    from ..functions.vector import cosine_from_parts, l2_norm
+
+    # Materialize the assigned+norm table ONCE before the self-join
+    # (the minhash-signature checkpoint discipline): without it both
+    # join inputs re-run the centroid fan-out + argmax groupBy.
+    with_norm = cells.withColumn(
+        "__n", l2_norm(corpus_vec, dim)
+    ).localCheckpoint(eager=True)
+    a = with_norm.select(
         F.col("cell"),
         F.col(corpus_id).alias("id_a"),
         F.col(corpus_vec).alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    b = cells.select(
+    b = with_norm.select(
         F.col("cell"),
         F.col(corpus_id).alias("id_b"),
         F.col(corpus_vec).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    sim = cosine_from_parts(
+        dot("__va", "__vb", dim), F.col("__na"), F.col("__nb")
     )
     return (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_sim("__va", "__vb", dim).alias("sim"),
-        )
+        .select("id_a", "id_b", sim.alias("sim"))
         .filter(F.col("sim") >= min_sim)
     )
 

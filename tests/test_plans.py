@@ -645,8 +645,10 @@ def test_ivf_neardup_plan_no_cartesian(spark, emb):
     from cs6300_vectordbs_spark.operators.ann import ivf_neardup_pairs
 
     plan = plan_of(ivf_neardup_pairs(emb, dim=64))
+    # The assignment table is checkpointed before the self-join (so
+    # the centroid fan-out runs once, at build time); the serving plan
+    # is just the same-cell EQUI self-join over that scan.
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # 16-row centroid fan-out
     assert any(
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
