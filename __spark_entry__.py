@@ -6177,8 +6177,12 @@ GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_topk_cosine_exact(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Routed through the auto-dispatch search() facade — identical rows
+    to q_topk_cosine_exact (the exact strategies are bit-identical and
+    the dispatch lands on 'exact' at this scale), so the smoke test
+    exercises the engine's one-call entry point end-to-end."""
+    return q_auto_search(spark, "/root/testdata/sf0.001")
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

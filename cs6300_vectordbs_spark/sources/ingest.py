@@ -46,6 +46,8 @@ def load_corpus_csv(
     path: str,
     column_map: dict[str, str] | None = None,
     id_prefix: str = "movie",
+    *,
+    multi_line: bool = True,
 ) -> DataFrame:
     """S1-S3: header CSV scan + projection/rename + dense row id.
 
@@ -54,11 +56,20 @@ def load_corpus_csv(
     distributed meaning — a stable sort key replaces it). The global
     row_number sort is a one-off ingest cost; steady-state reads hit the
     parquet copy written by ``write_table``.
+
+    SCALE NOTE on ``multi_line``: True (the default, and the lossless
+    choice for RFC-4180 corpora whose quoted fields may embed
+    newlines — the Wikipedia plots file does) makes each CSV FILE a
+    single split, so read parallelism = file count, not byte ranges.
+    A corpus known to be one-record-per-line should pass
+    ``multi_line=False`` to restore splittable byte-range reads — at
+    100 TB that is the difference between one task per 128 MB and one
+    task per (possibly huge) file.
     """
     cmap = column_map or MOVIE_COLUMN_MAP
     df = (
         spark.read.option("header", True)
-        .option("multiLine", True)
+        .option("multiLine", multi_line)
         .option("escape", '"')
         .csv(path)
     )
