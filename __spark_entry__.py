@@ -4945,6 +4945,205 @@ FROM sweep s LEFT JOIN hits h ON s.n_probe = h.n_probe
 """
 
 
+_TUNE_BANDS = (2, 4, 8)
+_SRP_BITS = 16
+_SRP_SEED = 42
+
+
+def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning sweep — the band-count knob of the SRP-LSH index
+    measured against exact top-k (recall@k per band count), the
+    companion of ann_tuning_report's n_probe sweep: together they
+    cover both approximate-index families' recall/cost dials, the
+    measurement loop the reference assignment runs across store
+    configs. More bands = fewer sign bits per band key = easier
+    collisions = more candidates = higher recall — the sweep makes the
+    monotone trade-off a verifiable result. The 16 sign BITS are
+    computed once per vector (checkpointed) and regrouped into band
+    keys per config; the seeded hyperplanes are plan literals, so the
+    whole report — candidates, re-rank, recall — is value-hash
+    oracled. Scale shape per arm: candidates from an equi-join on
+    band keys vs the broadcast query keys, O(collisions) shuffle,
+    WindowGroupLimit re-rank, then a queries x k recall join."""
+    from pyspark.sql.window import Window
+
+    from cs6300_vectordbs_spark.functions.vector import cosine_sim
+    from cs6300_vectordbs_spark.operators.ann import srp_bits
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_batch(emb)
+    exact = similarity_topk(
+        emb, q, TOPK, exclude_self=True, dim=EMB_DIM
+    ).select("query_id", "vec_id").localCheckpoint(eager=True)
+    n_exact = exact.count()
+
+    cbits = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            b.alias(f"b{i}")
+            for i, b in enumerate(
+                srp_bits("embedding", EMB_DIM, _SRP_BITS, _SRP_SEED)
+            )
+        ],
+    ).localCheckpoint(eager=True)
+    qbits = q.select(
+        "query_id",
+        "query_vec",
+        *[
+            b.alias(f"b{i}")
+            for i, b in enumerate(
+                srp_bits("query_vec", EMB_DIM, _SRP_BITS, _SRP_SEED)
+            )
+        ],
+    ).localCheckpoint(eager=True)
+
+    def keys(bands: int, bit_prefix: str = "b") -> F.Column:
+        rows = _SRP_BITS // bands
+        return F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    F.lit(str(t)),
+                    *[
+                        F.col(f"{bit_prefix}{i}")
+                        for i in range(t * rows, (t + 1) * rows)
+                    ],
+                )
+                for t in range(bands)
+            ]
+        )
+
+    parts = []
+    for bands in _TUNE_BANDS:
+        ck = cbits.select(
+            "vec_id", "embedding", F.explode(keys(bands)).alias("bk")
+        )
+        qk = qbits.select(
+            "query_id", "query_vec", F.explode(keys(bands)).alias("bk")
+        )
+        cand = (
+            ck.join(F.broadcast(qk), on="bk")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .dropDuplicates(["query_id", "vec_id"])
+        )
+        rw = Window.partitionBy("query_id").orderBy(
+            cosine_sim("query_vec", "embedding", EMB_DIM).desc(),
+            F.col("vec_id").asc(),
+        )
+        approx = (
+            cand.withColumn("__r", F.row_number().over(rw))
+            .filter(F.col("__r") <= TOPK)
+            .select("query_id", "vec_id")
+        )
+        hits = exact.join(approx, on=["query_id", "vec_id"], how="inner")
+        parts.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit(bands).cast("bigint").alias("bands"),
+                F.col("n_hits").cast("bigint"),
+                F.round(
+                    F.col("n_hits") / F.lit(float(n_exact)), 9
+                ).alias("recall_at_k"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _oracle_lsh_tuning() -> str:
+    """Value-hash twin for the band-count sweep: the SAME hyperplane
+    literals produce 16 shared bit columns; each arm regroups them
+    into band keys, joins candidates, exact-cosine re-ranks, and
+    counts hits against the exact top-k."""
+    from cs6300_vectordbs_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, _SRP_BITS, _SRP_SEED)
+
+    def bit_sql(alias: str, p: list[float]) -> str:
+        terms = " + ".join(
+            f"{alias}.embedding[{i + 1}]::DOUBLE * {w!r}"
+            for i, w in enumerate(p)
+        )
+        return f"CAST((0.0 + {terms}) > 0.0 AS VARCHAR)"
+
+    cbit_cols = ", ".join(
+        f"{bit_sql('e', p)} AS b{i}" for i, p in enumerate(planes)
+    )
+    qbit_cols = ", ".join(
+        f"{bit_sql('q', p)} AS b{i}" for i, p in enumerate(planes)
+    )
+
+    arms = []
+    finals = []
+    for bands in _TUNE_BANDS:
+        rows = _SRP_BITS // bands
+        def key_list(prefix: str) -> str:
+            ks = []
+            for t in range(bands):
+                bs = ", ".join(
+                    f"{prefix}b{i}" for i in range(t * rows, (t + 1) * rows)
+                )
+                ks.append(f"concat_ws(',', '{t}', {bs})")
+            return "[" + ", ".join(ks) + "]"
+
+        arms.append(f"""
+ck{bands} AS (
+  SELECT vec_id, embedding, unnest({key_list('')}) AS bk FROM cbits
+),
+qk{bands} AS (
+  SELECT query_id, qvec, unnest({key_list('')}) AS bk FROM qbits
+),
+cand{bands} AS (
+  SELECT DISTINCT s.query_id, s.qvec, c.vec_id, c.embedding
+  FROM qk{bands} s JOIN ck{bands} c ON s.bk = c.bk
+  WHERE c.vec_id != s.query_id
+),
+approx{bands} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY {_sql_cos('qvec', 'embedding')} DESC, vec_id ASC
+           ) AS rank
+    FROM cand{bands})
+  WHERE rank <= {TOPK}
+),
+hits{bands} AS (
+  SELECT count(*) AS c FROM approx{bands} a
+  JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+)""")
+        finals.append(
+            f"SELECT {bands}::BIGINT AS bands,"
+            f" (SELECT c FROM hits{bands})::BIGINT AS n_hits,"
+            f" round((SELECT c FROM hits{bands})"
+            f" / (SELECT n FROM n_exact), 9) AS recall_at_k"
+        )
+    return f"""
+WITH cbits AS (
+  SELECT e.vec_id, e.embedding, {cbit_cols} FROM embeddings e
+),
+qbits AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, {qbit_cols}
+  FROM embeddings q WHERE q.vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_cos('q.embedding', 'e.embedding')} DESC,
+                      e.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {TOPK}
+),
+n_exact AS (SELECT count(*)::DOUBLE AS n FROM exact),{",".join(arms)}
+{" UNION ALL ".join(finals)}
+"""
+
+
 _PQ_M = 8
 _PQ_KSUB = 16
 _PQ_SUB = EMB_DIM // _PQ_M
@@ -7345,6 +7544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_search": q_auto_search,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "jsonl_ingest_stream": q_jsonl_ingest_stream,
+        "lsh_tuning_report": q_lsh_tuning_report,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7400,6 +7600,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_cosine_exact": _ORACLE_TOPK,
         "auto_search": _ORACLE_TOPK,
         "embedding_neardup_ivf": _oracle_neardup_ivf(),
+        "lsh_tuning_report": _oracle_lsh_tuning(),
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

@@ -179,6 +179,7 @@ EXTENDED_QUERIES = [
     "auto_search",
     "embedding_neardup_ivf",
     "jsonl_ingest_stream",
+    "lsh_tuning_report",
 ]
 
 

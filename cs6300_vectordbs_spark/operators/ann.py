@@ -110,14 +110,29 @@ def _band_keys_from_vec(
     Only corpus/query self-consistency matters for bucketing (the
     operator is rows-only + recall-tested), and both sides share this
     expression."""
+    bits = srp_bits(vec_col, dim, n_bits, seed)
+    rows = n_bits // bands
+    keys = [
+        F.concat_ws(",", F.lit(str(b)), *bits[b * rows : (b + 1) * rows])
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def srp_bits(
+    vec_col: str, dim: int, n_bits: int, seed: int
+) -> list[Column]:
+    """The raw SRP sign bits ('true'/'false' strings) as one parsed
+    expression per bit: aggregate/zip_with over a literal weight array.
+    The weight arrays are embedded in the SQL string (full-precision
+    repr + D suffix) so building all bits is a handful of driver
+    calls, and the HOF form keeps the per-row evaluation shallow (a
+    64-term unrolled tree here triggered codegen bailout and ran 2x
+    slower interpreted). Shared by the banded-key builder and the
+    band-count tuning sweep (which groups the SAME bits into keys at
+    several band widths — bits are computed once, not per config)."""
     planes = _hyperplanes(dim, n_bits, seed)
-    # One parsed expression per bit: aggregate/zip_with over a literal
-    # weight array. The weight arrays are embedded in the SQL string
-    # (full-precision repr + D suffix) so building all 16 bits is a
-    # handful of driver calls, and the HOF form keeps the per-row
-    # evaluation shallow (a 64-term unrolled tree here triggered
-    # codegen bailout and ran 2x slower interpreted).
-    bits = [
+    return [
         F.expr(
             "CAST(aggregate(zip_with(`%s`, array(%s), (x, y) ->"
             " CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
@@ -126,12 +141,6 @@ def _band_keys_from_vec(
         )
         for p in planes
     ]
-    rows = n_bits // bands
-    keys = [
-        F.concat_ws(",", F.lit(str(b)), *bits[b * rows : (b + 1) * rows])
-        for b in range(bands)
-    ]
-    return F.array(*keys)
 
 
 def ivf_topk(

@@ -653,3 +653,20 @@ def test_ivf_neardup_plan_no_cartesian(spark, emb):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )  # cell equi-join
+
+
+def test_lsh_tuning_recall_monotone(spark):
+    """The band-count sweep's defining property: more bands (fewer
+    bits per key) can only ADD candidates, so recall@k is monotone
+    non-decreasing in the band count — and the widest arm must
+    actually recover a usable fraction of the exact top-k."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.bands: r.recall_at_k
+        for r in m.queries()["lsh_tuning_report"](spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == [2, 4, 8]
+    assert rows[2] <= rows[4] <= rows[8]
+    assert rows[8] >= 0.5
