@@ -2607,6 +2607,59 @@ GROUP BY 1, 2
 """
 
 
+def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned storage layout as a VERIFIED query (the
+    bucketed_revenue of partitioning): events are laid out once as a
+    Hive-partitioned table on event_type (create-if-absent,
+    sources/ingest.write_table partition_by), then a per-type serve
+    reads ONLY the matching directories — at 100 TB, partition pruning
+    on a low-cardinality serving column is the first and cheapest scan
+    reducer, ahead of row-group stats and bucketing. The pruning is
+    asserted mechanically in tests/test_plans.py (PartitionFilters on
+    the scan); the values hash against the raw-table oracle, proving
+    the layout changes I/O, never answers. Daily per-user stats for
+    the two hottest interaction types."""
+    from cs6300_vectordbs_spark.sources.ingest import (
+        table_exists,
+        write_table,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/events_by_type_{tag}"
+    ev = read_events(spark, sf_dir)
+    if not table_exists(spark, path):
+        write_table(ev, path, partition_by=["event_type"])
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 9).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_events").cast("bigint"),
+            F.col("n_users").cast("bigint"),
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_PARTITIONED_EVENTS = """
+SELECT event_type,
+       strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 9) AS sum_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY 1, 2
+"""
+
+
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling-window aggregation as events_hourly, executed as
     a Structured Streaming query (file source, availableNow trigger,
@@ -7545,6 +7598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "jsonl_ingest_stream": q_jsonl_ingest_stream,
         "lsh_tuning_report": q_lsh_tuning_report,
+        "partitioned_events": q_partitioned_events,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7601,6 +7655,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_search": _ORACLE_TOPK,
         "embedding_neardup_ivf": _oracle_neardup_ivf(),
         "lsh_tuning_report": _oracle_lsh_tuning(),
+        "partitioned_events": _ORACLE_PARTITIONED_EVENTS,
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

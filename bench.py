@@ -180,6 +180,7 @@ EXTENDED_QUERIES = [
     "embedding_neardup_ivf",
     "jsonl_ingest_stream",
     "lsh_tuning_report",
+    "partitioned_events",
 ]
 
 

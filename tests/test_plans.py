@@ -670,3 +670,19 @@ def test_lsh_tuning_recall_monotone(spark):
     assert sorted(rows) == [2, 4, 8]
     assert rows[2] <= rows[4] <= rows[8]
     assert rows[8] >= 0.5
+
+
+def test_partitioned_events_prunes_partitions(spark):
+    """The Hive-partitioned events layout must prune at the DIRECTORY
+    level: the event_type filter appears as a PartitionFilter on the
+    scan (not a post-scan Filter), so non-matching types are never
+    read."""
+    import __spark_entry__ as m
+    from tests.conftest import SF_DIR
+
+    plan = plan_of(m.q_partitioned_events(spark, SF_DIR))
+    part_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert part_lines, plan
+    assert any("event_type" in ln for ln in part_lines), part_lines
