@@ -2619,16 +2619,33 @@ def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan); the values hash against the raw-table oracle, proving
     the layout changes I/O, never answers. Daily per-user stats for
     the two hottest interaction types."""
-    from cs6300_vectordbs_spark.sources.ingest import (
-        table_exists,
-        write_table,
+    from cs6300_vectordbs_spark.sources.index_common import (
+        corpus_fingerprint,
+        read_fingerprint,
+        write_fingerprint,
     )
+    from cs6300_vectordbs_spark.sources.ingest import write_table
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/root/repo/spark-warehouse/events_by_type_{tag}"
     ev = read_events(spark, sf_dir)
-    if not table_exists(spark, path):
+    # Content-addressed reuse (the persisted-index discipline): a
+    # regenerated source under the same path must rebuild the layout,
+    # not silently serve stale partitions. The fingerprint is one agg
+    # scan per serve — the price of create-if-absent safety.
+    fp = corpus_fingerprint(
+        ev, ["event_id", "ts", "event_type", "value"],
+        {"layout": "hive-partition", "by": "event_type"},
+    )
+    # Fingerprint lives in a SIBLING meta dir: a stray non-parquet
+    # file at the dataset root breaks Hive partition discovery.
+    meta = f"{path}__meta"
+    if read_fingerprint(meta) != fp:
         write_table(ev, path, partition_by=["event_type"])
+        import os
+
+        os.makedirs(meta, exist_ok=True)
+        write_fingerprint(meta, fp)
     part = spark.read.parquet(path)
     return (
         part.filter(F.col("event_type").isin("click", "purchase"))
