@@ -1444,6 +1444,59 @@ LEFT JOIN bi_stats b USING (doc_id)
 """
 
 
+def q_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup scrub (functions/text.strip_markup): the corpus text is
+    plain, so wrap each document in deterministic HTML — tags keyed to
+    doc_id, entity-encoded punctuation, a tag split mid-text — then
+    strip. Proves tag removal, entity decoding (order-sensitive:
+    entities AFTER tags, '&amp;' last), whitespace collapse, and that
+    tag boundaries never glue words. Map-only plan, parquet-scan
+    speed; the oracle builds the identical dirty text and runs the
+    same Java-and-RE2-compatible patterns."""
+    from cs6300_vectordbs_spark.functions.text import strip_markup
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit('<html><body><p id="'), F.col("doc_id"), F.lit('">'),
+        F.substring("text", 1, 80),
+        F.lit("</p><p>"),
+        F.substring("text", 81, 80),
+        F.lit(' &amp; <b class="x">tail</b> &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>'),
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint"),
+        strip_markup(dirty).alias("clean_text"),
+        (F.length(dirty) - F.length(strip_markup(dirty)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
+_ORACLE_CLEAN_MARKUP = r"""
+WITH dirty AS (
+  SELECT doc_id,
+         '<html><body><p id="' || doc_id || '">'
+         || substr(text, 1, 80) || '</p><p>' || substr(text, 81, 80)
+         || ' &amp; <b class="x">tail</b> &lt;raw&gt; &quot;q&quot;&nbsp;end</body></html>'
+           AS d
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id, d,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(d, '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM dirty
+)
+SELECT doc_id, clean_text,
+       (len(d) - len(clean_text))::BIGINT AS n_removed
+FROM stripped
+"""
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: the corpus text is clean, so inject deterministic PII
     (an email, a URL carrying the doc_id, a 9-digit run) per document,
@@ -7616,6 +7669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest_stream": q_jsonl_ingest_stream,
         "lsh_tuning_report": q_lsh_tuning_report,
         "partitioned_events": q_partitioned_events,
+        "clean_markup": q_clean_markup,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7673,6 +7727,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_ivf": _oracle_neardup_ivf(),
         "lsh_tuning_report": _oracle_lsh_tuning(),
         "partitioned_events": _ORACLE_PARTITIONED_EVENTS,
+        "clean_markup": _ORACLE_CLEAN_MARKUP,
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

@@ -181,6 +181,7 @@ EXTENDED_QUERIES = [
     "jsonl_ingest_stream",
     "lsh_tuning_report",
     "partitioned_events",
+    "clean_markup",
 ]
 
 

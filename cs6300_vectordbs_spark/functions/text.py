@@ -98,6 +98,33 @@ def doc_fingerprint(text: ColumnOrName) -> Column:
     return F.substring(F.md5(norm), 1, 16)
 
 
+# Entities decoded AFTER tag stripping (so '&lt;b&gt;' decodes to the
+# literal text '<b>' instead of becoming a strippable tag) and with
+# '&amp;' LAST (decoding it first would double-decode '&amp;lt;').
+# Both orderings are load-bearing and mirrored verbatim in the oracle.
+MARKUP_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_markup(text: ColumnOrName) -> Column:
+    """Web-corpus markup scrub — the first normalization pass of every
+    HTML-sourced training pipeline: drop tags, decode the common
+    entities, collapse whitespace. Pure codegen expressions (regex in
+    the Java∩RE2 subset, like redact_pii, so the DuckDB oracle runs
+    the identical patterns); tags are replaced with a SPACE, not
+    nothing, so '</p><p>' never glues adjacent words together."""
+    x = F.regexp_replace(_col(text), r"<[^>]*>", " ")
+    for ent, ch in MARKUP_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
 def truncate(text: ColumnOrName, n: int = 500) -> Column:
     """Reference F1: text[:n] (/root/reference/src/queries.py:450)."""
     return F.substring(_col(text), 1, n)

@@ -48,3 +48,27 @@ def test_bpe_token_count_golden(spark):
     got = [r[0] for r in df.select(bpe_token_count("t")).collect()]
     # it | 's | " a" | " big" | 2 | " test" | ! -> 7
     assert got == [7, 0]
+
+
+def test_strip_markup_golden(spark):
+    """Tags drop (replaced by spaces so boundaries never glue words),
+    entities decode AFTER tag removal ('&lt;b&gt;' survives as literal
+    text), '&amp;' decodes last, whitespace collapses."""
+    from cs6300_vectordbs_spark.functions.text import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            ('<p>a</p><p>b</p>',),
+            ('x &amp;lt; y',),
+            ('<div   class="z">hi &nbsp; there</div>',),
+            ('keep &lt;b&gt;this&lt;/b&gt; literal',),
+        ],
+        ["t"],
+    )
+    got = [r.c for r in df.select(strip_markup("t").alias("c")).collect()]
+    assert got == [
+        "a b",
+        "x &lt; y",          # &amp; decodes last: '&amp;lt;' -> '&lt;'
+        "hi there",
+        "keep <b>this</b> literal",
+    ]
