@@ -4549,6 +4549,110 @@ WHERE quality >= 0.5 AND lang_guess = 'en'
 """
 
 
+def q_curation_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end training-data pipeline as ONE oracle-able query:
+    quality floor + lang gate + exact-dup drop + MinHash-LSH near-dup
+    clustering (clean_corpus) feeding the distributed concat-and-chunk
+    packer (pack_sequences, 256-token budget), aggregated to the
+    training-batch manifest a loader consumes: per sequence, how many
+    document spans it packs, its token fill, and its first document.
+    Every stage is individually oracled elsewhere; this query proves
+    the COMPOSITION — gates, dedup survivors, token counts, and the
+    global prefix-sum all agree end-to-end with the SQL twin. Scale
+    shape: clean_corpus's candidate equi-joins + component rounds,
+    then the range-exchange prefix sum; the final manifest aggregate
+    is map-side combined on seq_id."""
+    from cs6300_vectordbs_spark.operators.packing import pack_sequences
+
+    cleaned = q_clean_corpus(spark, sf_dir).select("doc_id", "n_tokens")
+    manifest = pack_sequences(cleaned, budget=256)
+    return (
+        manifest.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tok"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .select(
+            F.col("seq_id").cast("bigint"),
+            F.col("n_docs").cast("bigint"),
+            F.col("n_tok").cast("bigint"),
+            F.col("first_doc").cast("bigint"),
+        )
+    )
+
+
+def _oracle_curation_batches() -> str:
+    """The clean_corpus oracle's survivor set piped through the
+    pack_sequences oracle's span arithmetic, grouped to the manifest."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_SQL_CLOSURE},
+drop_near AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING least(min(b), a) != a
+),
+fp AS (
+  SELECT doc_id, substr(md5({_SQL_NORM_TEXT}), 1, 16) AS f FROM documents
+),
+drop_exact AS (
+  SELECT doc_id FROM fp
+  QUALIFY doc_id != min(doc_id) OVER (PARTITION BY f)
+),
+base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS tk,
+         len(text) AS nchar,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS npunct
+  FROM documents
+), counts AS (
+  SELECT doc_id, nchar, npunct, len(tk) AS ntok,
+    len(list_filter(tk, t -> list_contains(
+      ['the','a','an','and','or','of','to','in','is','it'], t))) AS nstop,
+    len(list_filter(tk, t -> list_contains(['the','and','of','to','is'], t))) AS n_en,
+    len(list_filter(tk, t -> list_contains(['el','la','de','que','los'], t))) AS n_es,
+    len(list_filter(tk, t -> list_contains(['der','die','und','das','ist'], t))) AS n_de,
+    len(list_filter(tk, t -> list_contains(['le','la','les','des','est'], t))) AS n_fr
+  FROM base
+), stats AS (
+  SELECT doc_id, ntok,
+    round(
+      0.4 * (least(ntok, 100)::DOUBLE / 100.0)
+      + 0.3 * least((CASE WHEN ntok > 0 THEN nstop::DOUBLE / ntok ELSE 0.0 END) * 5.0, 1.0)
+      + 0.3 * (1.0 - (CASE WHEN nchar > 0 THEN npunct::DOUBLE / nchar ELSE 0.0 END)),
+    9) AS quality,
+    CASE WHEN greatest(n_de, n_en, n_es, n_fr) > 0 THEN
+      CASE greatest(n_de, n_en, n_es, n_fr)
+        WHEN n_de THEN 'de' WHEN n_en THEN 'en'
+        WHEN n_es THEN 'es' ELSE 'fr' END
+    ELSE 'und' END AS lang_guess
+  FROM counts
+), cleaned AS (
+  SELECT doc_id, ntok FROM stats
+  WHERE quality >= 0.5 AND lang_guess = 'en'
+    AND doc_id NOT IN (
+      SELECT doc_id FROM drop_near UNION SELECT doc_id FROM drop_exact
+    )
+), pk_pos AS (
+  SELECT doc_id, ntok,
+         sum(ntok) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS e
+  FROM cleaned
+), pk_spans AS (
+  SELECT doc_id, ntok, e - ntok AS s, e FROM pk_pos WHERE ntok > 0
+), pk_ex AS (
+  SELECT doc_id, s, e, (s // 256 + g.i) AS seq_id
+  FROM pk_spans CROSS JOIN generate_series(0, 64) AS g(i)
+  WHERE (s // 256 + g.i) <= (e - 1) // 256
+), pk_mani AS (
+  SELECT seq_id, doc_id,
+         least(e, (seq_id + 1) * 256) - greatest(s, seq_id * 256) AS n_tok
+  FROM pk_ex
+)
+SELECT seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS n_tok, min(doc_id)::BIGINT AS first_doc
+FROM pk_mani GROUP BY seq_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language downsampling (training-data mix rebalancing): keep
     20% of English, 60% of the rarer languages, drop unlisted — a pure
@@ -7670,6 +7774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_tuning_report": q_lsh_tuning_report,
         "partitioned_events": q_partitioned_events,
         "clean_markup": q_clean_markup,
+        "curation_batches": q_curation_batches,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7728,6 +7833,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_tuning_report": _oracle_lsh_tuning(),
         "partitioned_events": _ORACLE_PARTITIONED_EVENTS,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
+        "curation_batches": _oracle_curation_batches(),
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

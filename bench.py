@@ -182,6 +182,7 @@ EXTENDED_QUERIES = [
     "lsh_tuning_report",
     "partitioned_events",
     "clean_markup",
+    "curation_batches",
 ]
 
 
