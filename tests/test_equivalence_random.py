@@ -311,3 +311,105 @@ def test_simhash_fingerprints_equal_python_reference(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == py_simhash(t), (t, got[i], py_simhash(t))
+
+
+def test_brp_bucket_keys_equal_python_reference(spark):
+    """The deterministic BRP bucket rule — floor(seq-fold dot /
+    (seq-fold norm * L)) per table over the seeded Gaussian
+    projections — recomputed in pure Python must match the Spark
+    column bit-for-bit. The SQL oracle locks Spark vs DuckDB; this
+    locks the RULE itself, so a refactor cannot silently change both
+    engines in step."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cs6300_vectordbs_spark.operators.ann import (
+        _hyperplanes,
+        brp_bucket_keys,
+    )
+
+    rng = random.Random(11)
+    dim, n_tables, L, seed = 16, 4, 0.5, 42
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r.id: list(r.keys)
+        for r in df.select(
+            "id",
+            brp_bucket_keys(
+                "v", dim, n_tables=n_tables, bucket_length=L, seed=seed
+            ).alias("keys"),
+        ).collect()
+    }
+    planes = _hyperplanes(dim, n_tables, seed)
+    for i, v in rows:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        nrm = math.sqrt(acc)
+        expect = []
+        for t, p in enumerate(planes):
+            d = 0.0
+            for x, w in zip(v, p):
+                d += x * w
+            expect.append(f"{t},{math.floor(d / (nrm * L))}")
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_det_kmeans_centroids_equal_python_reference(spark):
+    """kmeans_centroids_det's whole training loop — lowest-id init,
+    argmax-cosine assignment with lowest-cid ties, per-cell means
+    rounded HALF_UP to 9 dp, empty cells keeping their previous
+    centroid — recomputed in pure Python must match exactly."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cs6300_vectordbs_spark.operators.ann import kmeans_centroids_det
+
+    rng = random.Random(23)
+    dim, k, iters = 8, 3, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["__cid"]: [float(x) for x in r["__cvec"]]
+        for r in kmeans_centroids_det(
+            df, dim=dim, n_cells=k, n_iters=iters, train_n=None
+        ).collect()
+    }
+
+    def seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return seq_dot(a, b) / (math.sqrt(seq_dot(a, a)) * math.sqrt(seq_dot(b, b)))
+
+    def r9(x):
+        # Spark F.round = BigDecimal HALF_UP on the double's shortest
+        # decimal repr — Decimal(repr(x)) reproduces it.
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
+        )
+
+    cents = [list(v) for _, v in sorted(rows)[:k]]
+    for _ in range(iters):
+        members = {c: [] for c in range(k)}
+        for _, v in rows:
+            sims = [cos(v, c) for c in cents]
+            best = max(range(k), key=lambda c: (sims[c], -c))
+            members[best].append(v)
+        for c in range(k):
+            if members[c]:
+                n = len(members[c])
+                cents[c] = [
+                    r9(sum(v[d] for v in members[c]) / n) for d in range(dim)
+                ]
+    for c in range(k):
+        assert got[c] == cents[c], (c, got[c], cents[c])
