@@ -2219,6 +2219,62 @@ FROM documents GROUP BY source
 """
 
 
+def q_csv_ingest_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-CSV quarantine ingestion (sources/ingest.split_csv_lines)
+    — the splittable, corrupt-tolerant CSV path next to csv_ingest's
+    multiLine-lossless one: export the typed document columns as CSV,
+    plant two malformed lines (an unparseable bigint, a wrong-arity
+    row), ingest via text + from_csv under PERMISSIVE. The value hash
+    proves typed parsing of every clean line AND exact rejection of
+    the two corrupt ones — one broken line in a billion quarantines,
+    never kills the ingest."""
+    from cs6300_vectordbs_spark.sources.ingest import split_csv_lines
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/csv_checked_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    hdr = "doc_id,lang,source,n_chars"
+    with open(f"{path}/zz-corrupt.csv", "w", encoding="utf-8") as f:
+        f.write(f"{hdr}\nnotanumber,en,src0,10\nbad,row\n")
+    raw = spark.read.text(path).filter(F.trim("value") != "")
+    good, bad = split_csv_lines(
+        raw,
+        "doc_id bigint, lang string, source string, n_chars bigint",
+        header=hdr,
+    )
+    n_bad = bad.count()
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.col("total_chars").cast("bigint"),
+            F.col("n_langs").cast("bigint"),
+            F.lit(n_bad).cast("bigint").alias("n_quarantined"),
+        )
+    )
+
+
+_ORACLE_CSV_CHECKED = """
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       2::BIGINT AS n_quarantined
+FROM documents GROUP BY source
+"""
+
+
 def q_jsonl_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of jsonl_ingest: the same export (documents as
     JSONL + two planted corrupt lines), ingested as a FILE-SOURCE
@@ -7775,6 +7831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_events": q_partitioned_events,
         "clean_markup": q_clean_markup,
         "curation_batches": q_curation_batches,
+        "csv_ingest_checked": q_csv_ingest_checked,
         "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
@@ -7834,6 +7891,7 @@ def oracle_sql() -> dict[str, str]:
         "partitioned_events": _ORACLE_PARTITIONED_EVENTS,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
+        "csv_ingest_checked": _ORACLE_CSV_CHECKED,
         "cosine_pairs": _ORACLE_PAIRS,
         "latency_percentiles": _ORACLE_PCT,
         "latency_percentiles_by_type": _ORACLE_PCT_TYPE,

@@ -183,6 +183,7 @@ EXTENDED_QUERIES = [
     "partitioned_events",
     "clean_markup",
     "curation_batches",
+    "csv_ingest_checked",
 ]
 
 

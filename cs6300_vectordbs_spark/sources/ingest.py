@@ -256,6 +256,40 @@ def split_jsonl_lines(
     return good, bad
 
 
+def split_csv_lines(
+    raw: DataFrame,
+    schema: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+    header: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Typed-CSV good/bad split — the CSV counterpart of
+    :func:`split_jsonl_lines`: a one-column ``value`` frame (static or
+    streaming) parsed with ``from_csv`` under PERMISSIVE, malformed
+    lines (bad typed fields, wrong arity) quarantined instead of
+    failing the job. ``header`` drops the exact header line each CSV
+    file repeats (the text source cannot skip per-file headers
+    itself). Line-based, so it keeps SPLITTABLE byte-range reads —
+    the quarantining scale path next to load_corpus_csv's
+    multiLine-lossless path (see that docstring's trade-off note).
+    The raw-CSV-source restriction on selecting only the corrupt
+    column does not apply to from_csv, same as the JSONL path."""
+    if header is not None:
+        raw = raw.filter(F.col("value") != header)
+    parsed = raw.select(
+        "value",
+        F.from_csv(
+            "value",
+            f"{schema}, {corrupt_col} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("c"),
+    )
+    is_bad = F.col("c").isNull() | F.col(f"c.{corrupt_col}").isNotNull()
+    bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
+    good = parsed.filter(~is_bad).select("c.*").drop(corrupt_col)
+    return good, bad
+
+
 def write_corpus_shards(
     df: DataFrame,
     path: str,

@@ -371,3 +371,27 @@ def test_ensure_bucketed_table_rejects_bad_identifier(spark, docs):
         )
     with pytest.raises(ValueError, match="invalid table identifier"):
         ensure_bucketed_table(spark, docs, "../escape", by="doc_id")
+
+
+def test_split_csv_lines_quarantines_malformed(spark, tmp_path):
+    """Typed-CSV PERMISSIVE split: bad typed fields and wrong-arity
+    rows quarantine; clean rows parse with their types; the repeated
+    per-file header line is dropped."""
+    from cs6300_vectordbs_spark.sources.ingest import split_csv_lines
+
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "c.csv"
+    p.write_text(
+        "id,name,n\n1,a,10\nxx,b,20\n2,c,30\nshort\n3,d,40,extra\n"
+    )
+    raw = spark.read.text(str(p)).filter(F.trim("value") != "")
+    good, bad = split_csv_lines(
+        raw, "id bigint, name string, n bigint", header="id,name,n"
+    )
+    rows = sorted((r.id, r.name, r.n) for r in good.collect())
+    assert rows == [(1, "a", 10), (2, "c", 30)] or rows == [
+        (1, "a", 10), (2, "c", 30), (3, "d", 40)
+    ]  # extra-token handling differs by parser mode; bad-type/arity-short must quarantine
+    badlines = sorted(r.raw_line for r in bad.collect())
+    assert "xx,b,20" in badlines and "short" in badlines
