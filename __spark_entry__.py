@@ -6464,21 +6464,32 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's first-seen day (one groupBy min), then daily new-user
     counts, then a prefix sum over the DAY GRID, whose cardinality is
     bounded by the calendar (~365 rows/year), not the corpus — so the
-    one ordered window is over a provably tiny frame."""
+    one ordered window is over a provably tiny frame.
+
+    Output shape (r05 driver-red fix): ``day`` is a 'yyyy-MM-dd'
+    STRING, not a DATE — a DATE here is derived through the session-tz
+    LTZ cast and shifts day boundaries if the gate's session runs
+    non-UTC (read_events now also pins UTC); the string of the UTC
+    wall-clock is canonical in both engines. The oracle's running sum
+    is cast ::BIGINT because DuckDB widens windowed SUM(BIGINT) to
+    HUGEINT, which a dtype-sensitive canonicalizer hashes differently
+    even when the values are equal."""
     ev = read_events(spark, sf_dir)
     from pyspark.sql.window import Window
 
     first = ev.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("first_date")
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("first_day")
     )
-    daily = first.groupBy("first_date").agg(
+    daily = first.groupBy("first_day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("first_date").rowsBetween(
+    # 'yyyy-MM-dd' strings sort chronologically, so the string ORDER BY
+    # is the date ORDER BY.
+    w = Window.orderBy("first_day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return daily.select(
-        F.col("first_date").alias("day"),
+        F.col("first_day").alias("day"),
         F.col("new_users").cast("bigint"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
@@ -6486,15 +6497,16 @@ def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CUMULATIVE_USERS = """
 WITH first AS (
-  SELECT user_id, min(ts::TIMESTAMP::DATE) AS first_date
+  SELECT user_id, min(strftime(ts::TIMESTAMP, '%Y-%m-%d')) AS first_day
   FROM events GROUP BY user_id
 ),
 daily AS (
-  SELECT first_date, count(*) AS new_users FROM first GROUP BY first_date
+  SELECT first_day, count(*) AS new_users FROM first GROUP BY first_day
 )
-SELECT first_date AS day, new_users,
-       sum(new_users) OVER (ORDER BY first_date
-                            ROWS UNBOUNDED PRECEDING) AS cumulative_users
+SELECT first_day AS day, new_users::BIGINT AS new_users,
+       (sum(new_users) OVER (ORDER BY first_day
+                             ROWS UNBOUNDED PRECEDING))::BIGINT
+         AS cumulative_users
 FROM daily
 """
 

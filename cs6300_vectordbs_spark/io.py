@@ -61,6 +61,17 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events table with ``ts`` normalized to a microsecond TIMESTAMP."""
+    """Events table with ``ts`` normalized to a microsecond TIMESTAMP.
+
+    Pins the session timezone to UTC: the gate harness hands us ITS
+    SparkSession, whose tz we don't control, and every downstream
+    ``cast('date')`` / ``date_trunc`` / ``date_format`` on the
+    normalized LTZ column shifts with session tz. DuckDB oracles read
+    the same file as a NAIVE timestamp (tz-free), so UTC is the one
+    setting under which both engines see identical wall-clock — without
+    the pin, a driver running in any other tz flips day/hour boundaries
+    on every date-derived output (the r04 ``cumulative_users`` red).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))

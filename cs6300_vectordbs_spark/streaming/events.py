@@ -63,6 +63,7 @@ def read_events_stream(
     """File-source streaming read of the events table, with the same
     ``ts`` normalization as io.read_events (nanos-as-bigint or NTZ
     micros, depending on how the testdata was written)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a DIRECTORY; select just the

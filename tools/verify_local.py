@@ -63,6 +63,13 @@ def main() -> None:
     only = set(sys.argv[1:])
     spark = get_spark(cpus=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # Driver-environment simulation: the gate hands queries a session
+    # whose tz we don't control. SPARK_GRAFT_VERIFY_TZ=America/New_York
+    # reproduces a non-UTC gate; queries must pass regardless (io.py
+    # read_events re-pins UTC per call).
+    tz = os.environ.get("SPARK_GRAFT_VERIFY_TZ")
+    if tz:
+        spark.conf.set("spark.sql.session.timeZone", tz)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +84,10 @@ def main() -> None:
         if only and name not in only:
             continue
         t0 = time.time()
+        if tz:
+            # re-set before every query — read_events re-pins UTC, so a
+            # single set at startup would only test the first query.
+            spark.conf.set("spark.sql.session.timeZone", tz)
         try:
             df = fn(spark, SF_DIR)
             cols = df.columns
