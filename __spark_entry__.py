@@ -216,15 +216,15 @@ FROM ranked WHERE rank <= {TOPK}
 
 
 def q_search_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query latency capture (U3, the reference's
-    QueryResult.latency_ms): the query batch broadcasts to a
-    scatter-gather mapInPandas kernel over DISTRIBUTED corpus shards —
-    each shard wall-clocks its local top-k per query, one window merges
-    the global top-k, and latency_ms = max shard time (the straggler
-    bound a scatter-gather serving tier observes). No driver-side
-    corpus collect anywhere (operators/latency.py). Latency is
-    wall-clock → nondeterministic → rows-only driver check; the pytest
-    twin asserts the RESULT rows equal the exact batch search."""
+    """Deterministic half of the U3 latency capture (r05 split): the
+    scatter-gather mapInPandas serving kernel's RESULT rows
+    ``(query_id, rank, vec_id, sim)`` — now under a FULL value-hash
+    oracle instead of the former rows-only check. The wall-clock
+    column (the nondeterministic half) moved to the companion
+    ``search_latency_wallclock``. ``sim`` is round(9) on both sides:
+    the kernel's BLAS dot is pairwise-summed and can differ from the
+    oracle's sequential SQL fold in the last ulp (the documented
+    shuffled-aggregate float policy)."""
     from cs6300_vectordbs_spark.operators.latency import search_with_latency
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -235,8 +235,28 @@ def q_search_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").cast("bigint"),
         F.col("rank").cast("bigint"),
         F.col("vec_id").cast("bigint"),
-        "sim",
-        "latency_ms",
+        F.round("sim", 9).alias("sim"),
+    )
+
+
+def q_search_latency_wallclock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nondeterministic half of the U3 latency capture (the reference's
+    QueryResult.latency_ms, /root/reference/src/chroma.py:96-102): one
+    row per query with the straggler-bound scatter-gather latency.
+    Wall-clock → rows-only driver check BY DESIGN; the deterministic
+    result rows are value-hash-checked via ``search_latency``."""
+    from cs6300_vectordbs_spark.operators.latency import search_with_latency
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = search_with_latency(
+        emb, _query_batch(emb), TOPK, exclude_self=True
+    )
+    return (
+        out.groupBy(F.col("query_id").cast("bigint").alias("query_id"))
+        .agg(
+            F.max("latency_ms").alias("latency_ms"),
+            F.count(F.lit(1)).cast("bigint").alias("n_results"),
+        )
     )
 
 _ORACLE_TOPK = f"""
@@ -251,6 +271,24 @@ WITH scored AS (
   FROM scored
 )
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+# search_latency's deterministic result rows: same ranking as the exact
+# top-k oracle, minus dist, sim rounded (BLAS pairwise sum vs SQL
+# sequential fold differ in the last ulp).
+_ORACLE_SEARCH_LATENCY = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_SQL_COSINE} AS sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, round(sim, 9) AS sim
 FROM ranked WHERE rank <= {TOPK}
 """
 
@@ -5799,14 +5837,19 @@ def _oracle_ivf_kmeans() -> str:
     """Value-hash twin for the deterministic-Lloyd IVF: the same init,
     the same bounded lowest-md5 training sample, the same per-iteration
     (assign -> rounded mean -> empty-cell keep) chain, then the
-    standard IVF serve. Means round to 9 dp on BOTH engines, which
-    pins the one summation-order hazard; every other float op is a
-    fixed left fold shared with the Spark plan (the Spark side factors
-    norms out of the pair loop, which changes WHERE the identical
-    sqrt values are computed, not their bits)."""
+    standard IVF serve. Means are the ORDER-INDEPENDENT quantized
+    form on BOTH engines (round(x*1e12)::BIGINT, exact integer sum,
+    divide by count, round 9 dp) — no float accumulation anywhere in
+    the mean, so partial-aggregate merge order cannot flip a digit;
+    every other float op is a fixed left fold shared with the Spark
+    plan (the Spark side factors norms out of the pair loop, which
+    changes WHERE the identical sqrt values are computed, not their
+    bits)."""
     dims = range(EMB_DIM)
     mean_cols = ", ".join(
-        f"round(avg(embedding[{d + 1}]::DOUBLE), 9) AS c{d}" for d in dims
+        f"round((sum(round(embedding[{d + 1}]::DOUBLE * 1e12)::BIGINT)::DOUBLE"
+        f" / count(*)) / 1e12, 9) AS c{d}"
+        for d in dims
     )
     mean_list = "[" + ", ".join(f"m.c{d}" for d in dims) + "]"
     parts = [f"""
@@ -5996,9 +6039,10 @@ def _oracle_brp() -> str:
                 f"({alias}.embedding[{i + 1}]::DOUBLE * {w!r})"
                 for i, w in enumerate(p)
             )
+            # zero-norm sentinel mirrored from brp_bucket_keys
             ks.append(
-                f"concat_ws(',', '{t}', "
-                f"(floor(({dots}) / ({norm} * {bucket_length!r})))::BIGINT::VARCHAR)"
+                f"concat_ws(',', '{t}', CASE WHEN {norm} = 0.0 THEN 'z' "
+                f"ELSE (floor(({dots}) / ({norm} * {bucket_length!r})))::BIGINT::VARCHAR END)"
             )
         return "[" + ", ".join(ks) + "]"
 
@@ -7734,6 +7778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "search_latency": q_search_latency,
+        "search_latency_wallclock": q_search_latency_wallclock,
         # -- r04 window: registered 51+ in r03, never driver-checked --
         "pack_sequences": q_pack_sequences,
         "lm_doc_scores": q_lm_doc_scores,
@@ -8049,8 +8094,12 @@ def oracle_sql() -> dict[str, str]:
         "csv_ingest": _ORACLE_CSV_INGEST,
         "jsonl_ingest": _ORACLE_JSONL_INGEST,
         "jsonl_ingest_stream": _ORACLE_JSONL_INGEST,
+        # r05 split: the serving kernel's deterministic result rows now
+        # carry a full oracle; only the wall-clock companion stays
+        # rows-only.
+        "search_latency": _ORACLE_SEARCH_LATENCY,
         # Rows-only (no oracle_sql entry) by design:
-        #   search_latency          wall-clock latency column
+        #   search_latency_wallclock  wall-clock latency column
         #   latency_percentiles_approx  engine-native approx sketch
         # (their value correctness is anchored by search-result match
         # vs exact top-k / exact-percentile twins in tests/).

@@ -21,6 +21,16 @@ Two formulations, selected by the optional ``dim`` argument:
   x`` in IEEE double for every x, including -0.0 whose sign flip is
   unobservable through subsequent additions).
 
+Unrolling is capped at ``UNROLL_MAX_DIM``: above it, ``dim=N`` calls
+silently take the HOF form instead. Measured on this host (r05): the
+unrolled chain is the win at 64-d on all-pairs workloads (whole-stage
+codegen, py4j-construction collapse), but at 1024-d one cosine blows
+Janino's 64 KB method limit — codegen throws, Spark retries
+interpreted, and the query pays ~40 s of compile-and-fail for a 0.4 s
+job; at 384-d it still compiles but burns ~6 s of parse+codegen per
+query. Since the two forms are bit-identical, the switch is purely a
+physical-plan choice — oracles and results are unaffected.
+
 All math is done in DOUBLE regardless of the storage type (testdata
 stores float32 arrays) so results are bit-comparable with the DuckDB
 oracle, which also computes in double.
@@ -34,6 +44,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 ColumnOrName = Column | str
+
+# Above this dimension, dim=N calls use the HOF form (see module
+# docstring: Janino 64 KB method cliff at 1024-d, multi-second codegen
+# at 384-d; bit-identical results either way). 256 is the highest dim
+# where a full cosine (dot + two norms in one projection) still
+# compiles fast on the probe workload.
+UNROLL_MAX_DIM = 256
 
 
 def _col(c: ColumnOrName) -> Column:
@@ -58,6 +75,8 @@ def dot(a: ColumnOrName, b: ColumnOrName, dim: int | None = None) -> Column:
     CONSTRUCTION, not execution); one parsed string is milliseconds.
     The parsed tree is identical — same casts, same left-assoc adds.
     """
+    if dim is not None and dim > UNROLL_MAX_DIM:
+        dim = None  # HOF form — bit-identical, codegen-safe (module doc)
     if dim is not None:
         if isinstance(a, str) and isinstance(b, str):
             return F.expr(
@@ -77,6 +96,8 @@ def dot(a: ColumnOrName, b: ColumnOrName, dim: int | None = None) -> Column:
 
 def l2_norm(v: ColumnOrName, dim: int | None = None) -> Column:
     """Euclidean norm of a numeric array (double)."""
+    if dim is not None and dim > UNROLL_MAX_DIM:
+        dim = None  # HOF form — bit-identical, codegen-safe (module doc)
     if dim is not None:
         if isinstance(v, str):
             return F.sqrt(

@@ -298,6 +298,14 @@ def ivf_topk_kmeans(
     )
 
 
+# Quantization scale for the order-independent k-means mean: each
+# coordinate becomes round(x * 1e12)::bigint before the (exact,
+# order-free) integer sum. 1e12 keeps |sum| << 2^53 for the bounded
+# training sample while leaving the 9-dp rounded mean unchanged at
+# double precision.
+_MEAN_SCALE = 1e12
+
+
 def kmeans_centroids_det(
     corpus: DataFrame,
     *,
@@ -312,12 +320,15 @@ def kmeans_centroids_det(
     """Cross-engine-reproducible Lloyd's k-means for the IVF coarse
     quantizer: deterministic init (the ``n_cells`` lowest-id corpus
     vectors, dense cids 0..n_cells-1), argmax-cosine assignment with
-    ties to the lowest cid, and per-cell per-dimension means ROUNDED
-    to ``round_dp`` decimals after every iteration. The rounding pins
-    the only cross-engine float hazard (a distributed mean's summation
-    order) to a shared canonical value, so a SQL twin that unrolls the
-    same iterations reproduces the centroids — and therefore the whole
-    IVF index — bit-for-bit. Empty cells keep their previous centroid.
+    ties to the lowest cid, and per-cell per-dimension means computed
+    as an EXACT integer sum of 1e-12-quantized coordinates divided by
+    the count, ROUNDED to ``round_dp`` decimals after every iteration.
+    The integer sum is order-independent, so the mean carries no
+    summation-order hazard at all (a float avg + round would still
+    flake when a mean lands within an ulp of a rounding boundary);
+    a SQL twin applying the same quantize-sum-divide-round chain
+    reproduces the centroids — and therefore the whole IVF index —
+    bit-for-bit. Empty cells keep their previous centroid.
 
     Training runs on a BOUNDED DETERMINISTIC sample (the ``train_n``
     lowest-md5(vec_id) rows — FAISS practice: the coarse quantizer
@@ -424,13 +435,43 @@ def kmeans_centroids_det(
                     F.col("best.v").alias("vec"),
                 )
             )
-            means = assigned.groupBy("cell").agg(
-                *[
-                    F.round(
-                        F.avg(F.col("vec")[d].cast("double")), round_dp
-                    ).alias(f"c{d}")
-                    for d in range(dim)
-                ]
+            # Order-independent mean (r05): F.avg accumulates doubles,
+            # and Spark's partial-aggregate merge order is
+            # nondeterministic run-to-run — a mean landing within an
+            # ulp of a 0.5e-9 rounding boundary could flip the 9th
+            # decimal between runs/engines. Quantize each coordinate
+            # to an integer (x 1e12, HALF_UP — elementwise, so
+            # deterministic), sum EXACTLY as bigint (order-free), then
+            # divide. Magnitude check: |coord| <= ~few, train_n <= 1024
+            # by contract, so |sum| << 2^53 and the ::double cast is
+            # exact. The oracle and the python-reference test apply
+            # the identical quantize-sum-divide chain.
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(
+                            F.round(
+                                F.col("vec")[d].cast("double")
+                                * _MEAN_SCALE
+                            ).cast("bigint")
+                        ).alias(f"__s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                .select(
+                    "cell",
+                    *[
+                        F.round(
+                            F.col(f"__s{d}").cast("double")
+                            / F.col("__n")
+                            / _MEAN_SCALE,
+                            round_dp,
+                        ).alias(f"c{d}")
+                        for d in range(dim)
+                    ],
+                )
             )
             got = {
                 r["cell"]: [float(r[f"c{d}"]) for d in range(dim)]
@@ -676,10 +717,17 @@ def brp_bucket_keys(
             " CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
             % (vec_col, ", ".join(f"{w!r}D" for w in p))
         )
+        # Zero-norm guard: for an all-zero vector the divisor is 0 and
+        # Spark's Divide yields NULL (key would collapse to 't,')
+        # while a SQL twin's double division yields inf — the engines
+        # would disagree on the key. Emit an explicit sentinel bucket
+        # instead (zero vectors collide only with each other; the
+        # exact-cosine filter downstream already zero-guards sim).
         keys.append(
             F.expr(
-                f"concat_ws(',', '{t}', CAST(FLOOR(({dots}) / "
-                f"({norm} * {bucket_length!r}D)) AS STRING))"
+                f"concat_ws(',', '{t}', CASE WHEN {norm} = 0.0D THEN 'z' "
+                f"ELSE CAST(FLOOR(({dots}) / "
+                f"({norm} * {bucket_length!r}D)) AS STRING) END)"
             )
         )
     return F.array(*keys)

@@ -266,14 +266,24 @@ def split_csv_lines(
     """Typed-CSV good/bad split — the CSV counterpart of
     :func:`split_jsonl_lines`: a one-column ``value`` frame (static or
     streaming) parsed with ``from_csv`` under PERMISSIVE, malformed
-    lines (bad typed fields, wrong arity) quarantined instead of
-    failing the job. ``header`` drops the exact header line each CSV
-    file repeats (the text source cannot skip per-file headers
-    itself). Line-based, so it keeps SPLITTABLE byte-range reads —
-    the quarantining scale path next to load_corpus_csv's
+    lines quarantined instead of failing the job. Quarantine covers
+    bad typed fields and under-abundant rows (via from_csv's corrupt
+    column) AND over-long rows (via an explicit token-arity check —
+    PERMISSIVE alone silently DROPS extra tokens, which would hide a
+    delimiter bug as truncated data). The arity check applies only to
+    QUOTE-FREE lines: a quoted field may legitimately contain commas,
+    so quoted lines defer entirely to the parser. ``header`` drops
+    ANY line equal to the exact header string — a legitimate data row
+    that happens to equal the header text is lost (acceptable here:
+    a data row can only equal the header if every typed column parses
+    from the header's own labels, which a schema with any non-string
+    column precludes). Line-based, so it keeps SPLITTABLE byte-range
+    reads — the quarantining scale path next to load_corpus_csv's
     multiLine-lossless path (see that docstring's trade-off note).
     The raw-CSV-source restriction on selecting only the corrupt
     column does not apply to from_csv, same as the JSONL path."""
+    from pyspark.sql.types import StructType
+
     if header is not None:
         raw = raw.filter(F.col("value") != header)
     parsed = raw.select(
@@ -284,7 +294,16 @@ def split_csv_lines(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
         ).alias("c"),
     )
-    is_bad = F.col("c").isNull() | F.col(f"c.{corrupt_col}").isNotNull()
+    n_fields = len(StructType.fromDDL(schema).fields)
+    # limit=-1 keeps trailing empty tokens so "1,a," counts 3, not 2.
+    arity_bad = (~F.col("value").contains('"')) & (
+        F.size(F.split(F.col("value"), ",", -1)) != F.lit(n_fields)
+    )
+    is_bad = (
+        F.col("c").isNull()
+        | F.col(f"c.{corrupt_col}").isNotNull()
+        | arity_bad
+    )
     bad = parsed.filter(is_bad).select(F.col("value").alias("raw_line"))
     good = parsed.filter(~is_bad).select("c.*").drop(corrupt_col)
     return good, bad

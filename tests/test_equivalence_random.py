@@ -359,11 +359,32 @@ def test_brp_bucket_keys_equal_python_reference(spark):
         assert got[i] == expect, (i, got[i], expect)
 
 
+def test_brp_bucket_keys_zero_vector_sentinel(spark):
+    """A zero vector must land in the explicit 'z' sentinel bucket in
+    every table — not a NULL-collapsed key (Spark 0/0 -> NULL) or an
+    inf floor (SQL double division) that the two engines would
+    disagree on."""
+    from cs6300_vectordbs_spark.operators.ann import brp_bucket_keys
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] + [0.0] * 7)], "id long, v array<double>"
+    )
+    got = {
+        r.id: list(r.keys)
+        for r in df.select(
+            "id", brp_bucket_keys("v", 8, n_tables=2).alias("keys")
+        ).collect()
+    }
+    assert got[0] == ["0,z", "1,z"]
+    assert all("," in k and not k.endswith("z") for k in got[1])
+
+
 def test_det_kmeans_centroids_equal_python_reference(spark):
     """kmeans_centroids_det's whole training loop — lowest-id init,
-    argmax-cosine assignment with lowest-cid ties, per-cell means
-    rounded HALF_UP to 9 dp, empty cells keeping their previous
-    centroid — recomputed in pure Python must match exactly."""
+    argmax-cosine assignment with lowest-cid ties, per-cell means as
+    the ORDER-INDEPENDENT quantize(1e12)-int-sum-divide chain rounded
+    HALF_UP to 9 dp, empty cells keeping their previous centroid —
+    recomputed in pure Python must match exactly."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -391,12 +412,14 @@ def test_det_kmeans_centroids_equal_python_reference(spark):
     def cos(a, b):
         return seq_dot(a, b) / (math.sqrt(seq_dot(a, a)) * math.sqrt(seq_dot(b, b)))
 
-    def r9(x):
+    def half_up(x, exp):
         # Spark F.round = BigDecimal HALF_UP on the double's shortest
         # decimal repr — Decimal(repr(x)) reproduces it.
-        return float(
-            Decimal(repr(x)).quantize(Decimal("1E-9"), rounding=ROUND_HALF_UP)
-        )
+        return Decimal(repr(x)).quantize(Decimal(exp), rounding=ROUND_HALF_UP)
+
+    def q12(x):
+        # round(x * 1e12)::bigint — the elementwise quantization.
+        return int(half_up(x * 1e12, "1"))
 
     cents = [list(v) for _, v in sorted(rows)[:k]]
     for _ in range(iters):
@@ -409,7 +432,13 @@ def test_det_kmeans_centroids_equal_python_reference(spark):
             if members[c]:
                 n = len(members[c])
                 cents[c] = [
-                    r9(sum(v[d] for v in members[c]) / n) for d in range(dim)
+                    # exact int sum (order-free), double divide by n,
+                    # then /1e12, then round 9 — the engine chain.
+                    float(half_up(
+                        float(sum(q12(v[d]) for v in members[c])) / n / 1e12,
+                        "1E-9",
+                    ))
+                    for d in range(dim)
                 ]
     for c in range(k):
         assert got[c] == cents[c], (c, got[c], cents[c])

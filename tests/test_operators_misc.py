@@ -231,12 +231,14 @@ def test_driver_contract_registration_invariants():
     # r03 gave srp_lsh_topk / ivfpq_topk full value-hash oracles
     # (literal hyperplanes / sequential ADC folds); r04 did the same
     # for brp_lsh_pairs (literal projections) and ivf_kmeans_topk
-    # (deterministic Lloyd's with rounded per-iteration means). The
-    # remainder are genuinely non-SQL-expressible: an engine-native
-    # approx sketch and a wall-clock column.
+    # (deterministic Lloyd's with rounded per-iteration means); r05
+    # split search_latency so its deterministic result rows are
+    # oracle-checked and only the wall-clock companion stays
+    # rows-only. The remainder are genuinely non-SQL-expressible: an
+    # engine-native approx sketch and a wall-clock column.
     assert rows_only == {
         "latency_percentiles_approx",
-        "search_latency",
+        "search_latency_wallclock",
     }
     assert all(callable(f) for f in q.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in o.values())

@@ -390,8 +390,8 @@ def test_split_csv_lines_quarantines_malformed(spark, tmp_path):
         raw, "id bigint, name string, n bigint", header="id,name,n"
     )
     rows = sorted((r.id, r.name, r.n) for r in good.collect())
-    assert rows == [(1, "a", 10), (2, "c", 30)] or rows == [
-        (1, "a", 10), (2, "c", 30), (3, "d", 40)
-    ]  # extra-token handling differs by parser mode; bad-type/arity-short must quarantine
+    # r05: the explicit arity check quarantines OVER-LONG rows too
+    # (PERMISSIVE alone silently drops the extra tokens).
+    assert rows == [(1, "a", 10), (2, "c", 30)]
     badlines = sorted(r.raw_line for r in bad.collect())
-    assert "xx,b,20" in badlines and "short" in badlines
+    assert badlines == ["3,d,40,extra", "short", "xx,b,20"]
