@@ -184,6 +184,8 @@ EXTENDED_QUERIES = [
     "clean_markup",
     "curation_batches",
     "csv_ingest_checked",
+    # round-5 additions
+    "search_latency_wallclock",
 ]
 
 
@@ -206,28 +208,36 @@ def main() -> None:
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    rep_detail: dict[str, list[float]] = {}
     for name in BENCH_QUERIES + EXTENDED_QUERIES:
         if name not in qs:
             # Never let a drifted name zero out the whole bench run.
             print(f"bench: skipping unknown query {name!r}", file=sys.stderr)
             continue
-        # Headline queries are timed as min-of-2 full re-executions:
+        # Headline queries are timed as min-of-3 full re-executions:
         # the host shows 2-3x run-to-run noise (shared hypervisor), and
-        # the min of two genuine cold-plan runs is a far more stable
-        # estimator than one sample. Extended queries get one run.
-        reps = 2 if name in BENCH_QUERIES else 1
+        # single-run numbers produced three false regression signals in
+        # r04 (all noise on idle re-measure) — the min of three genuine
+        # cold-plan runs is the stable estimator. Per-rep times are
+        # persisted in BENCH_DETAIL.json ("reps") so variance is
+        # visible, not inferred. Extended queries get one run.
+        reps = 3 if name in BENCH_QUERIES else 1
         best = None
+        rep_times: list[float] = []
         try:
             for _ in range(reps):
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
                 el = time.time() - t0
+                rep_times.append(round(el, 3))
                 best = el if best is None else min(best, el)
         except Exception as exc:  # noqa: BLE001 — record, keep benching
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
             continue
         timings[name] = round(best, 3)
+        if reps > 1:
+            rep_detail[name] = rep_times
 
     failed = sorted(n for n, t in timings.items() if t < 0)
     # A failed headline query makes the total meaningless — emit null
@@ -249,6 +259,7 @@ def main() -> None:
         "value": headline,
         "unit": "sec",
         "queries": timings,
+        "reps": rep_detail,
         "extended_total": extended_total,
         "failed": failed,
         "sf": sf,
