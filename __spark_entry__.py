@@ -215,6 +215,65 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_topk_cosine_384d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k at the REFERENCE's real dimensionality — 384-d
+    (all-MiniLM-L6-v2, /root/reference/src/pineconeDB.py:81): embed
+    `documents` with the 384-d hash-projection embedder and serve the
+    flagship search. This pins the dim>UNROLL_MAX_DIM kernel path
+    (HOF zip_with/aggregate — functions/vector.py) under the DRIVER
+    gate, not just pytest: at 384-d the unrolled chain would blow
+    Janino's method limit, so the auto-switch MUST hold and MUST stay
+    bit-identical to DuckDB's list_dot_product left fold. Corpus is
+    documents (embed is scan-fused, no shuffle); plan is the same
+    broadcast + WindowGroupLimit shape as topk_cosine_exact."""
+    from cs6300_vectordbs_spark.functions.embed import embed_text
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("bigint").alias("vec_id"),
+        embed_text("text", dim=384).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = similarity_topk(corpus, queries, TOPK, exclude_self=True, dim=384)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
+# 384-d twin of _ORACLE_EMBED's hash-projection rule, in list form;
+# cosine is list_dot_product (left fold — bit-identical to the HOF
+# form the Spark side takes above UNROLL_MAX_DIM).
+_ORACLE_TOPK_384D = f"""
+WITH emb AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, 384), j ->
+           (('0x' || substr(md5('e' || j || '|' || text), 1, 15))::BIGINT
+            % 2000001) / 1000000.0 - 1.0) AS embedding
+  FROM documents
+),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_SQL_COSINE} AS sim
+  FROM emb q JOIN emb e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC)
+           AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 def q_search_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic half of the U3 latency capture (r05 split): the
     scatter-gather mapInPandas serving kernel's RESULT rows
@@ -7761,32 +7820,76 @@ FROM ranked WHERE rank <= {TOPK}
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
-    # cumulative ledger. The r04 window below = the one r03-red row
-    # (user_first_events, output reshaped to a scalar string) + every
-    # name never yet driver-checked (the r04 queue: the two formerly
-    # rows-only entries that now have full oracles, the two that stay
-    # rows-only by design, the 51+-registered r03 names) + the two new
-    # r04 ingestion queries — exactly 50 slots, completing cumulative
-    # driver coverage of the whole surface.
+    # cumulative ledger. The r05 window below = the one r04 red
+    # (cumulative_users, re-fixed tz-proof), the search_latency oracle
+    # split pair, the new 384-d gate pin, the 8 r05-queue names that
+    # were registered 51+ in r04, then RE-VERIFICATION slots for every
+    # query whose code paths this round touched: the kmeans mean rule,
+    # the BRP zero-norm guard, the CSV arity check, the vector-kernel
+    # UNROLL cap, and the read_events UTC re-pin (the whole ts/date
+    # family) — exactly 50 slots.
     return {
-        # -- r04 window slot 1: the r03-red row, re-fixed --
-        "user_first_events": q_user_first_events,
-        # -- r04 window: formerly rows-only; brp/ivf_kmeans now carry
-        #    full value-hash oracles (literal projections /
-        #    deterministic Lloyd's) --
-        "latency_percentiles_approx": q_latency_percentiles_approx,
-        "ivf_kmeans_topk": q_ivf_kmeans_topk,
-        "brp_lsh_pairs": q_brp_lsh_pairs,
+        # -- r05 window: red-fix + split + new + queue --
+        "cumulative_users": q_cumulative_users,
         "search_latency": q_search_latency,
         "search_latency_wallclock": q_search_latency_wallclock,
-        # -- r04 window: registered 51+ in r03, never driver-checked --
+        "topk_cosine_384d": q_topk_cosine_384d,
+        "auto_search": q_auto_search,
+        "embedding_neardup_ivf": q_embedding_neardup_ivf,
+        "jsonl_ingest_stream": q_jsonl_ingest_stream,
+        "lsh_tuning_report": q_lsh_tuning_report,
+        "partitioned_events": q_partitioned_events,
+        "clean_markup": q_clean_markup,
+        "curation_batches": q_curation_batches,
+        "csv_ingest_checked": q_csv_ingest_checked,
+        # -- r05 window: re-verification of changed code paths --
+        "ivf_kmeans_topk": q_ivf_kmeans_topk,
+        "brp_lsh_pairs": q_brp_lsh_pairs,
+        "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
+        "topk_cosine_exact": q_topk_cosine_exact,
+        "cosine_pairs": q_cosine_pairs,
+        "filtered_topk": q_filtered_topk,
+        "srp_lsh_topk": q_srp_lsh_topk,
+        "sq8_topk": q_sq8_topk,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "ivf_topk": q_ivf_topk,
+        "embed_documents": q_embed_documents,
+        "retention_cohorts": q_retention_cohorts,
+        "rolling_events": q_rolling_events,
+        "gap_fill_hourly": q_gap_fill_hourly,
+        "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
+        "events_sliding": q_events_sliding,
+        "events_sliding_stream": q_events_sliding_stream,
+        "events_enriched": q_events_enriched,
+        "events_enriched_stream": q_events_enriched_stream,
+        "props_stats": q_props_stats,
+        "props_map_stats": q_props_map_stats,
+        "user_first_events": q_user_first_events,
+        "user_state_history": q_user_state_history,
+        "salted_event_stats": q_salted_event_stats,
+        "event_transitions": q_event_transitions,
+        "hourly_seasonality": q_hourly_seasonality,
+        "events_pivot": q_events_pivot,
+        "asof_purchase_view": q_asof_purchase_view,
+        "clicks_before_error": q_clicks_before_error,
+        "clicks_before_error_stream": q_clicks_before_error_stream,
+        "dormant_customers": q_dormant_customers,
+        "funnel": q_funnel,
+        "funnel_by_segment": q_funnel_by_segment,
+        "hourly_anomalies": q_hourly_anomalies,
+        "user_sessions": q_user_sessions,
+        # -- beyond the 50-window: driver-green in r02-r04 (see
+        #    DRIVER_COVERAGE.md) --
+        "latency_percentiles_approx": q_latency_percentiles_approx,
         "pack_sequences": q_pack_sequences,
         "lm_doc_scores": q_lm_doc_scores,
         "source_mixture": q_source_mixture,
         "large_orders": q_large_orders,
         "returned_revenue": q_returned_revenue,
         "tfidf_keywords": q_tfidf_keywords,
-        "user_state_history": q_user_state_history,
         "rp_projection": q_rp_projection,
         "split_summary": q_split_summary,
         "embedding_outliers": q_embedding_outliers,
@@ -7794,13 +7897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "top_supplier": q_top_supplier,
         "important_parts": q_important_parts,
-        "cumulative_users": q_cumulative_users,
         "weighted_sample": q_weighted_sample,
         "dim_stats": q_dim_stats,
         "ivf_search_stream": q_ivf_search_stream,
         "bm25_persisted_topk": q_bm25_persisted_topk,
         "integrity_report": q_integrity_report,
-        # -- r04 window: the late-r03 additions --
         "min_cost_supplier": q_min_cost_supplier,
         "volume_shipping": q_volume_shipping,
         "product_profit": q_product_profit,
@@ -7824,72 +7925,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_stats": q_ivf_cell_stats,
         "dedup_quality_report": q_dedup_quality_report,
         "passage_topk": q_passage_topk,
-        # -- r04 window: new this round (S1-S3 ingestion parity) --
-        "csv_ingest": q_csv_ingest,
-        "jsonl_ingest": q_jsonl_ingest,
-        # -- beyond the 50-window: driver-green in r02/r03 (see
-        #    DRIVER_COVERAGE.md) --
-        "embed_documents": q_embed_documents,
         "image_features": q_image_features,
         "order_priority": q_order_priority,
-        "dormant_customers": q_dormant_customers,
         "sales_rollup": q_sales_rollup,
         "bm25_topk": q_bm25_topk,
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
-        "events_hourly": q_events_hourly,
-        "events_hourly_stream": q_events_hourly_stream,
-        "events_sliding": q_events_sliding,
-        "events_sliding_stream": q_events_sliding_stream,
-        "events_enriched": q_events_enriched,
-        "events_enriched_stream": q_events_enriched_stream,
-        "props_stats": q_props_stats,
-        "props_map_stats": q_props_map_stats,
-        "retention_cohorts": q_retention_cohorts,
         "dup_ratio_by_source": q_dup_ratio_by_source,
-        "hourly_seasonality": q_hourly_seasonality,
-        "event_transitions": q_event_transitions,
         "latency_percentiles_long": q_latency_percentiles_long,
         "doc_length_histogram": q_doc_length_histogram,
         "parts_cube": q_parts_cube,
         "embedding_norm_stats": q_embedding_norm_stats,
         "above_average_customers": q_above_average_customers,
-        "events_pivot": q_events_pivot,
         "fresh_fingerprints": q_fresh_fingerprints,
         "judge_scores": q_judge_scores,
-        "user_sessions": q_user_sessions,
         "session_windows": q_session_windows,
         "forecast_revenue": q_forecast_revenue,
         "revenue_momentum": q_revenue_momentum,
         "priority_shipping": q_priority_shipping,
         "user_sessions_stream": q_user_sessions_stream,
-        "asof_purchase_view": q_asof_purchase_view,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
         "stratified_sample": q_stratified_sample,
-        "clicks_before_error": q_clicks_before_error,
-        "clicks_before_error_stream": q_clicks_before_error_stream,
         "kmv_distinct": q_kmv_distinct,
         "cms_user_counts": q_cms_user_counts,
         "pipeline_report": q_pipeline_report,
-        "ivf_topk": q_ivf_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
-        "filtered_topk": q_filtered_topk,
-        "srp_lsh_topk": q_srp_lsh_topk,
-        "ivfpq_topk": q_ivfpq_topk,
-        "topk_cosine_exact": q_topk_cosine_exact,
-        # new in r04 but outside the (full) window: first in the r05
-        # rotation queue alongside any further additions.
-        "auto_search": q_auto_search,
-        "embedding_neardup_ivf": q_embedding_neardup_ivf,
-        "jsonl_ingest_stream": q_jsonl_ingest_stream,
-        "lsh_tuning_report": q_lsh_tuning_report,
-        "partitioned_events": q_partitioned_events,
-        "clean_markup": q_clean_markup,
-        "curation_batches": q_curation_batches,
-        "csv_ingest_checked": q_csv_ingest_checked,
-        "cosine_pairs": q_cosine_pairs,
         "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
         "latency_summary": q_latency_summary,
@@ -7902,7 +7964,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
-        "pq_topk": q_pq_topk,
         "embedding_neardup": q_embedding_neardup,
         "upsert_latest": q_upsert_latest,
         "hash_sample": q_hash_sample,
@@ -7913,15 +7974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "redact_pii": q_redact_pii,
         "heavy_hitters": q_heavy_hitters,
-        "gap_fill_hourly": q_gap_fill_hourly,
-        "sq8_topk": q_sq8_topk,
         "token_counts": q_token_counts,
-        "rolling_events": q_rolling_events,
         "label_centroids": q_label_centroids,
         "events_dedup_stream": q_events_dedup_stream,
-        "funnel": q_funnel,
-        "funnel_by_segment": q_funnel_by_segment,
-        "hourly_anomalies": q_hourly_anomalies,
         "chunk_documents": q_chunk_documents,
         "contamination": q_contamination,
         "balanced_sample": q_balanced_sample,
@@ -7931,7 +7986,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": q_blob_metadata,
         "audio_features": q_audio_features,
         "frame_samples": q_frame_samples,
-        "salted_event_stats": q_salted_event_stats,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "shipping_priority": q_shipping_priority,
@@ -8098,6 +8152,9 @@ def oracle_sql() -> dict[str, str]:
         # carry a full oracle; only the wall-clock companion stays
         # rows-only.
         "search_latency": _ORACLE_SEARCH_LATENCY,
+        # r05: reference-dim (384-d) exact search through the HOF
+        # kernel path (dim > UNROLL_MAX_DIM auto-switch).
+        "topk_cosine_384d": _ORACLE_TOPK_384D,
         # Rows-only (no oracle_sql entry) by design:
         #   search_latency_wallclock  wall-clock latency column
         #   latency_percentiles_approx  engine-native approx sketch

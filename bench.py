@@ -186,6 +186,7 @@ EXTENDED_QUERIES = [
     "csv_ingest_checked",
     # round-5 additions
     "search_latency_wallclock",
+    "topk_cosine_384d",
 ]
 
 

@@ -24,7 +24,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .vector import ColumnOrName, _col
+from .vector import UNROLL_MAX_DIM, ColumnOrName, _col
 
 DEFAULT_DIM = 16
 _MOD = 2000001  # odd modulus → values in [-1, 1] with step 1e-6
@@ -32,8 +32,35 @@ _MOD = 2000001  # odd modulus → values in [-1, 1] with step 1e-6
 
 def embed_text(text: ColumnOrName, dim: int = DEFAULT_DIM) -> Column:
     """array<double> hash-projection embedding of ``text`` (see module
-    docstring for the exact, engine-portable definition)."""
+    docstring for the exact, engine-portable definition).
+
+    Above ``UNROLL_MAX_DIM`` the per-dimension expressions fold into
+    ONE ``transform(sequence(0, dim-1), ...)`` higher-order call
+    instead of a dim-wide array constructor: at 384-d the unrolled
+    form is a ~2300-node expression tree that blows Janino's 64 KB
+    method limit (compile-fail-retry, seconds per query — the same
+    cliff vector.py documents). Element values are bit-identical:
+    ``concat('e', cast(j as string), '|', text)`` produces the exact
+    same md5 input as the f-string literal."""
     t = _col(text)
+    if dim > UNROLL_MAX_DIM:
+        def elem(j: Column) -> Column:
+            h = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("e"), j.cast("string"), F.lit("|"), t
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            return (h % _MOD) / F.lit(1000000.0) - 1.0
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), elem)
     comps = []
     for j in range(dim):
         h = F.conv(
