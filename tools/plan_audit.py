@@ -286,6 +286,16 @@ top-k) — dispatch changes plans, never answers (the exact strategies
 are bit-identical, tests/test_plans.py). At larger counts the same
 call routes to the Arrow blocked kernel, the both-sides-sharded grid,
 or IVF.""",
+    "topk_cosine_384d": """\
+Load-bearing properties (reference-dim search, r05): the 384-d embed
+is ONE transform(sequence(0,383), ...) higher-order expression fused
+into the scan projection (no 384-wide array constructor — above
+UNROLL_MAX_DIM the unrolled tree blows Janino's 64 KB method limit),
+and every cosine takes the HOF aggregate/zip_with fold for the same
+reason. The serve plan is topk_cosine_exact's shape: broadcast query
+batch, corpus streams once, WindowGroupLimit caps pre-exchange rows
+at ~k per query. Proves a user's real 384-d model embeddings get a
+bounded-codegen plan automatically.""",
 }
 
 
