@@ -446,16 +446,19 @@ def kmeans_centroids_det(
             # by contract, so |sum| << 2^53 and the ::double cast is
             # exact. The oracle and the python-reference test apply
             # the identical quantize-sum-divide chain.
+            # Each per-dimension expression is ONE parsed string, not a
+            # py4j-composed Column chain (~5 driver round-trips per
+            # column x dim x n_iters otherwise — the documented
+            # construction-collapse trick from functions/vector.py).
+            # SQL ROUND/CAST/literals parse to the identical plan nodes.
             means = (
                 assigned.groupBy("cell")
                 .agg(
                     F.count(F.lit(1)).alias("__n"),
                     *[
-                        F.sum(
-                            F.round(
-                                F.col("vec")[d].cast("double")
-                                * _MEAN_SCALE
-                            ).cast("bigint")
+                        F.expr(
+                            f"sum(CAST(ROUND(CAST(vec[{d}] AS DOUBLE)"
+                            f" * 1.0E12) AS BIGINT))"
                         ).alias(f"__s{d}")
                         for d in range(dim)
                     ],
@@ -463,11 +466,9 @@ def kmeans_centroids_det(
                 .select(
                     "cell",
                     *[
-                        F.round(
-                            F.col(f"__s{d}").cast("double")
-                            / F.col("__n")
-                            / _MEAN_SCALE,
-                            round_dp,
+                        F.expr(
+                            f"round(CAST(__s{d} AS DOUBLE) / __n"
+                            f" / 1.0E12, {round_dp})"
                         ).alias(f"c{d}")
                         for d in range(dim)
                     ],
