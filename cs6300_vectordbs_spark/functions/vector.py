@@ -210,9 +210,21 @@ def random_projection(
     scale = float(in_dim) ** 0.5
     cols = []
     for j in range(out_dim):
-        expr = " + ".join(
-            f"({'' if signs[j][i] > 0 else '- '}CAST(`{vec}`[{i}] AS DOUBLE))"
-            for i in range(in_dim)
-        )
+        if in_dim > UNROLL_MAX_DIM:
+            # HOF fold above the unroll cap (the vector-kernel rule):
+            # x * +/-1.0 is IEEE-exact and the left fold order matches
+            # the unrolled chain, so values are bit-identical while the
+            # expression stays Janino-safe at 1024-d inputs.
+            sign_arr = ", ".join(f"{float(s)!r}D" for s in signs[j])
+            expr = (
+                "aggregate(zip_with(`%s`, array(%s), (x, y) ->"
+                " CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+                % (vec, sign_arr)
+            )
+        else:
+            expr = " + ".join(
+                f"({'' if signs[j][i] > 0 else '- '}CAST(`{vec}`[{i}] AS DOUBLE))"
+                for i in range(in_dim)
+            )
         cols.append((F.expr(expr) / F.lit(scale)).alias(f"rp{j}"))
     return cols

@@ -89,6 +89,35 @@ def test_unroll_switch_plan_shape(spark):
     assert "aggregate(" in big and "zip_with" in big
 
 
+def test_random_projection_hof_above_cap(spark):
+    """random_projection at 1024-d input must take the HOF form (no
+    1024-term unrolled chain) and still match the python left fold
+    bit-for-bit (x * ±1.0 is IEEE-exact)."""
+    from cs6300_vectordbs_spark.functions.vector import (
+        projection_signs,
+        random_projection,
+    )
+
+    in_dim, out_dim = 1024, 4
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(in_dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {
+        r.id: [r[f"rp{j}"] for j in range(out_dim)]
+        for r in df.select(
+            "id", *random_projection("v", in_dim, out_dim)
+        ).collect()
+    }
+    signs = projection_signs(in_dim, out_dim, "rp")
+    scale = float(in_dim) ** 0.5
+    for i, v in rows:
+        for j in range(out_dim):
+            acc = 0.0
+            for x, s in zip(v, signs[j]):
+                acc += x * float(s)
+            assert got[i][j] == acc / scale, (i, j)
+
+
 def test_hof_and_unrolled_bit_identical_at_cap_boundary(spark):
     """The switch must be invisible in values: at the cap dim, force
     both forms and compare bit-for-bit."""
