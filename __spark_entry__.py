@@ -2883,6 +2883,81 @@ GROUP BY 1, 2
 """
 
 
+def q_zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout as a verified query (sources/layout.py) — the
+    third leg of the storage-layout family: partitioning prunes one
+    low-cardinality column (partitioned_events), bucketing co-locates
+    one join key (bucketed_revenue), and the Morton curve makes
+    row-group min/max stats selective on TWO continuous dimensions at
+    once. Events are laid out once clustered on (user_id, event-time),
+    create-if-absent with the content-addressed fingerprint
+    discipline; the serve filters a user range AND a time range — the
+    canonical 'one cohort, one week' slice that a single-column sort
+    cannot skip on. Values hash against the raw-table oracle (layout
+    changes I/O, never answers); tests/test_layout.py proves each file
+    covers a small rectangle of the plane (skippability), not just
+    that the rows survive."""
+    from cs6300_vectordbs_spark.sources.index_common import (
+        corpus_fingerprint,
+        read_fingerprint,
+        write_fingerprint,
+    )
+    from cs6300_vectordbs_spark.sources.layout import write_zordered
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/events_zorder_{tag}"
+    ev = read_events(spark, sf_dir)
+    fp = corpus_fingerprint(
+        ev, ["event_id", "ts", "user_id", "value"],
+        {"layout": "zorder", "by": "user_id,ts", "bits": "12"},
+    )
+    meta = f"{path}__meta"
+    if read_fingerprint(meta) != fp:
+        write_zordered(
+            ev.withColumn("__ts_us", F.unix_micros("ts")),
+            path,
+            ["user_id", "__ts_us"],
+            bits=12,
+            num_files=8,
+        )
+        import os
+
+        os.makedirs(meta, exist_ok=True)
+        write_fingerprint(meta, fp)
+    z = spark.read.parquet(path).drop("__ts_us")
+    served = z.filter(
+        (F.col("user_id") >= 30) & (F.col("user_id") <= 59)
+        & (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    )
+    return (
+        served.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 9).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("n_events").cast("bigint"),
+            F.col("n_users").cast("bigint"),
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_ZORDERED_EVENTS = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       round(sum(value), 9) AS sum_value
+FROM events
+WHERE user_id BETWEEN 30 AND 59
+  AND ts::TIMESTAMP >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts::TIMESTAMP <  TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY 1
+"""
+
+
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME tumbling-window aggregation as events_hourly, executed as
     a Structured Streaming query (file source, availableNow trigger,
@@ -7842,7 +7917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_markup": q_clean_markup,
         "curation_batches": q_curation_batches,
         "csv_ingest_checked": q_csv_ingest_checked,
-        # -- r05 window: re-verification of changed code paths --
+        # -- r05 window: new layout query (13) + re-verification of
+        #    changed code paths --
+        "zordered_events": q_zordered_events,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -7855,7 +7932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivf_topk": q_ivf_topk,
-        "embed_documents": q_embed_documents,
         "retention_cohorts": q_retention_cohorts,
         "rolling_events": q_rolling_events,
         "gap_fill_hourly": q_gap_fill_hourly,
@@ -7883,6 +7959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         # -- beyond the 50-window: driver-green in r02-r04 (see
         #    DRIVER_COVERAGE.md) --
+        "embed_documents": q_embed_documents,
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "pack_sequences": q_pack_sequences,
         "lm_doc_scores": q_lm_doc_scores,
@@ -8000,6 +8077,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_ivf": _oracle_neardup_ivf(),
         "lsh_tuning_report": _oracle_lsh_tuning(),
         "partitioned_events": _ORACLE_PARTITIONED_EVENTS,
+        "zordered_events": _ORACLE_ZORDERED_EVENTS,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

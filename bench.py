@@ -187,6 +187,7 @@ EXTENDED_QUERIES = [
     # round-5 additions
     "search_latency_wallclock",
     "topk_cosine_384d",
+    "zordered_events",
 ]
 
 
