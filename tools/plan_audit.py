@@ -296,6 +296,15 @@ reason. The serve plan is topk_cosine_exact's shape: broadcast query
 batch, corpus streams once, WindowGroupLimit caps pre-exchange rows
 at ~k per query. Proves a user's real 384-d model embeddings get a
 bounded-codegen plan automatically.""",
+    "zordered_events": """\
+Load-bearing properties (Z-order layout, r05): the serve is a plain
+scan + filter + partial/final HashAggregate — BOTH range predicates
+appear in PushedFilters, and because the layout clustered files on
+the Morton key of (user_id, event-time), parquet row-group min/max
+stats satisfy those pushed filters selectively (each file covers a
+small rectangle of the plane — tests/test_layout.py measures the
+coverage directly). The layout job itself is one sampled range
+exchange on the z-key; nothing here changes the reader.""",
 }
 
 
