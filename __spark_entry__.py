@@ -2215,6 +2215,11 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     commas/quotes/newlines), projection/RENAME map, and the dense
     `doc-%06d` row id (/root/reference/src/db.py:16-51's
     load_movie_plots_csv: DictReader + rename + movie-%06d enumerate).
+    Writer options mirror load_corpus_csv's reader fidelity contract:
+    quoteAll + no-trim + '\\N' null sentinel, so empty-string,
+    whitespace-only, and NULL text each roundtrip distinctly (Spark's
+    CSV defaults trim and conflate '' with NULL — a hostile-data
+    divergence vs the DictReader semantics the oracle encodes).
     The CSV roundtrip is exercised for real; the oracle applies the
     same logical transform to the parquet source, so a lossy roundtrip
     or a broken rename/id rule breaks the value hash. The id orders by
@@ -2235,6 +2240,10 @@ def q_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .option("header", True)
         .option("escape", '"')
+        .option("quoteAll", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N")
         .csv(path)
     )
     corpus = load_corpus_csv(
@@ -2425,10 +2434,14 @@ def q_template_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TEMPLATE_Q = f"""
 SELECT doc_id AS query_id,
-       'find documents about ' || array_to_string(({_SQL_TOKS})[1:5], ' ')
+       'find documents about '
+         || coalesce(array_to_string(({_SQL_TOKS})[1:5], ' '), '')
          AS query
 FROM documents
 """
+# coalesce: DuckDB's array_to_string([]) is NULL while Spark's
+# array_join([]) is '' — a token-less (empty/whitespace) document must
+# produce the bare prefix in both engines, not NULL-propagate.
 
 
 def q_clean_query_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6307,7 +6320,15 @@ def q_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(F.array(*[F.col(f"rp{j}") for j in range(_RP_OUT_DIM)]))
             .alias("dim", "__v"),
         )
-        .select("vec_id", F.col("dim").cast("bigint"), F.round("__v", 9).alias("value"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("bigint"),
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (a tiny-negative
+            # projection rounds to -0.0 in DuckDB's C-style round but
+            # +0.0 in Spark's BigDecimal round; x + 0.0 == x for every
+            # other finite double). Mirrored in the oracle.
+            (F.round("__v", 9) + F.lit(0.0)).alias("value"),
+        )
     )
 
 
@@ -6323,7 +6344,7 @@ def _oracle_rp() -> str:
         )
         selects.append(
             f"SELECT vec_id, {j}::BIGINT AS dim, "
-            f"round(({expr}) / 8.0, 9) AS value FROM embeddings"
+            f"round(({expr}) / 8.0, 9) + 0.0 AS value FROM embeddings"
         )
     return "\nUNION ALL\n".join(selects)
 

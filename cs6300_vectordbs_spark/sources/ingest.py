@@ -48,6 +48,7 @@ def load_corpus_csv(
     id_prefix: str = "movie",
     *,
     multi_line: bool = True,
+    null_value: str = "\\N",
 ) -> DataFrame:
     """S1-S3: header CSV scan + projection/rename + dense row id.
 
@@ -65,12 +66,25 @@ def load_corpus_csv(
     ``multi_line=False`` to restore splittable byte-range reads — at
     100 TB that is the difference between one task per 128 MB and one
     task per (possibly huge) file.
+
+    FIDELITY NOTE: the reference's DictReader (db.py:36) yields ``''``
+    for an empty field, never None, and preserves interior whitespace.
+    Spark's CSV defaults diverge (empty → null, values trimmed), so
+    the reader pins ``emptyValue=''`` + no-trim and reserves the
+    ``null_value`` sentinel (default the conventional ``\\N``) as the
+    only spelling that parses to SQL NULL — empty string, whitespace,
+    and NULL all survive a roundtrip distinctly (see q_csv_ingest's
+    matching writer options).
     """
     cmap = column_map or MOVIE_COLUMN_MAP
     df = (
         spark.read.option("header", True)
         .option("multiLine", multi_line)
         .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("emptyValue", "")
+        .option("nullValue", null_value)
         .csv(path)
     )
     cols = [F.col(src).alias(dst) for src, dst in cmap.items() if src in df.columns]

@@ -51,6 +51,43 @@ def test_csv_ingest_projection_rename_ids(spark, tmp_path):
     assert ids == ["movie-000001", "movie-000002"]
 
 
+def test_csv_ingest_empty_whitespace_null_fidelity(spark, tmp_path):
+    """DictReader-parity reader contract (reference db.py:36): empty
+    field → '', interior whitespace preserved, '\\N' sentinel → NULL.
+    Spark's CSV defaults (trim + empty==null) silently corrupt hostile
+    corpora — this pins the tuned reader options in load_corpus_csv
+    and the matching writer recipe used by q_csv_ingest."""
+    csv = tmp_path / "edge.csv"
+    csv.write_text(
+        "Title,Plot\n"
+        '"t-empty",""\n'
+        '"t-ws","   \t  "\n'
+        '"t-null",\\N\n'
+        '"t-ok","plain"\n'
+    )
+    out = load_corpus_csv(spark, str(csv), column_map={"Plot": "text", "Title": "title"})
+    got = {r.title: r.text for r in out.collect()}
+    assert got["t-empty"] == ""
+    assert got["t-ws"] == "   \t  "
+    assert got["t-null"] is None
+    assert got["t-ok"] == "plain"
+
+    # full writer→reader roundtrip with the q_csv_ingest recipe
+    src = spark.createDataFrame(
+        [("1", ""), ("2", "  \t "), ("3", None), ("4", 'a,"q"\nb')],
+        "Title string, Plot string",
+    )
+    p = str(tmp_path / "rt")
+    (src.write.mode("overwrite").option("header", True).option("escape", '"')
+        .option("quoteAll", True)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .option("nullValue", "\\N").csv(p))
+    back = load_corpus_csv(spark, p, column_map={"Plot": "text", "Title": "title"})
+    got = {r.title: r.text for r in back.collect()}
+    assert got == {"1": "", "2": "  \t ", "3": None, "4": 'a,"q"\nb'}
+
+
 def test_write_table_roundtrip_and_partitioning(spark, docs, tmp_path):
     path = str(tmp_path / "docs_parquet")
     write_table(docs, path, partition_by=["lang"])
