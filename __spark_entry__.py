@@ -228,7 +228,9 @@ def q_topk_cosine_384d(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast + WindowGroupLimit shape as topk_cosine_exact."""
     from cs6300_vectordbs_spark.functions.embed import embed_text
 
-    docs = _t(spark, sf_dir, "documents")
+    # NULL text has no embedding: dropped before the embed stage on
+    # both sides (the curation contract; corpus_null_audit measures it).
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     corpus = docs.select(
         F.col("doc_id").cast("bigint").alias("vec_id"),
         embed_text("text", dim=384).alias("embedding"),
@@ -256,7 +258,7 @@ WITH emb AS (
          list_transform(range(0, 384), j ->
            (('0x' || substr(md5('e' || j || '|' || text), 1, 15))::BIGINT
             % 2000001) / 1000000.0 - 1.0) AS embedding
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 scored AS (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id, {_SQL_COSINE} AS sim
@@ -1617,10 +1619,14 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_REDACT = r"""
 WITH dirty AS (
+  -- concat_ws (NOT ||): Spark's concat_ws skips NULL text, so a
+  -- NULL-text document still gets its injected PII redacted instead
+  -- of NULL-propagating the whole row.
   SELECT doc_id,
-         text || ' contact-' || doc_id || '@example.com'
-              || ' http://site.example/p/' || doc_id
-              || ' ' || lpad(doc_id::VARCHAR, 9, '0') AS d
+         concat_ws(' ', text,
+                   'contact-' || doc_id || '@example.com',
+                   'http://site.example/p/' || doc_id,
+                   lpad(doc_id::VARCHAR, 9, '0')) AS d
   FROM documents
 ),
 s1 AS (
@@ -2505,6 +2511,8 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = docs.select(
         F.col("doc_id").cast("bigint"), F.encode("text", "utf-8").alias("data")
     )
+    # A NULL blob has no decoded image: the Arrow decoder drops it, and
+    # the oracle's WHERE text IS NOT NULL encodes the same contract.
     out = decode_image_stub(blobs, feature_dim=8)
     return out.select(
         "doc_id", "width", "height", "n_channels",
@@ -2516,7 +2524,8 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_IMAGE = """
-WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
+WITH h AS (SELECT doc_id, md5(text) AS x FROM documents
+           WHERE text IS NOT NULL)
 SELECT doc_id,
   (16 + (('0x' || substr(x, 1, 2))::INT % 241))::INT AS width,
   (16 + (('0x' || substr(x, 3, 2))::INT % 241))::INT AS height,
@@ -4082,7 +4091,11 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         template_query("text", 5, prefix="").alias("query"),
     )
     lex = bm25_topk(docs, qs, k=20)
-    corpus = docs.select("doc_id", embed_text("text", dim=16).alias("embedding"))
+    # NULL text embeds to nothing: dropped from the vector corpus on
+    # both sides (oracle: WHERE text IS NOT NULL in the corpus CTE).
+    corpus = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", embed_text("text", dim=16).alias("embedding")
+    )
     qv = qs.withColumn("query_vec", embed_text("query", dim=16))
     # Arrow-blocked exact kernel: bit-identical to similarity_topk but
     # ~3x faster on the 5k-query x 50k-doc leg at sf0.1.
@@ -4118,7 +4131,7 @@ totals AS (
 ),
 qsel AS (
   SELECT doc_id AS query_id,
-         array_to_string(({_SQL_TOKS})[1:5], ' ') AS query
+         coalesce(array_to_string(({_SQL_TOKS})[1:5], ' '), '') AS query
   FROM documents
   WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10
 ),
@@ -4151,6 +4164,7 @@ bm_ranked AS (
 ),
 corpus AS (
   SELECT doc_id, {_SQL_EMBED16_DOC} AS embedding FROM documents
+  WHERE text IS NOT NULL
 ),
 qv AS (SELECT query_id, {_SQL_EMBED16_QQ} AS v FROM qsel),
 vec_scored AS (
@@ -5124,10 +5138,12 @@ _SQL_EMBED16_Q = (
 _ORACLE_PIPELINE = f"""
 WITH corpus AS (
   SELECT doc_id, {_SQL_EMBED16_DOC} AS embedding FROM documents
+  WHERE text IS NOT NULL
 ),
 qdocs AS (
   SELECT doc_id AS query_id,
-         'find documents about ' || array_to_string(({_SQL_TOKS})[1:5], ' ')
+         'find documents about '
+           || coalesce(array_to_string(({_SQL_TOKS})[1:5], ' '), '')
            AS query
   FROM documents
   WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 10
@@ -7913,6 +7929,149 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# r05 curation additions: tokenizer-training statistics, DSIR data
+# selection, and the corpus null audit (operators/curation.py,
+# operators/quality.null_audit)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step 1 of BPE tokenizer training (Sennrich et al. 2016, alg. 1):
+    the corpus-wide adjacent character-pair counts whose argmax is the
+    first merge. Scale shape is the classic BPE dictionary trick —
+    aggregate the corpus to its vocabulary FIRST (one map-side-combined
+    shuffle), then explode pairs over the vocab table (orders of
+    magnitude smaller than the corpus). Total order (cnt DESC, pair
+    ASC) makes the top-50 deterministic."""
+    from cs6300_vectordbs_spark.operators.curation import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_n=50)
+
+
+_ORACLE_BPE = f"""
+WITH toks AS (
+  SELECT unnest({_SQL_TOKS}) AS w FROM documents
+), words AS (
+  SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, CAST(i AS INT), 2))) AS pair, wc
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, sum(wc)::BIGINT AS cnt FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 50
+"""
+
+
+# DSIR target domain: a fixed literal source subset, mirrored in the
+# oracle. n_buckets mirrors curation.dsir_log_weights' default.
+_DSIR_SOURCES = ("src1", "src2", "src3")
+_DSIR_BUCKETS = 64
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): log p_target - log
+    q_raw per document under add-1-smoothed unigram models over a
+    64-bucket md5-hashed token space; target = a literal source subset.
+    Weights are exact integer micro-nat sums (the per-bucket log-ratio
+    is quantized to BIGINT before the per-doc aggregation), so the
+    value hash is order-independent — the same discipline as the
+    kmeans quantized mean. Plan: one corpus-pass bucket count (2x64
+    rows), broadcast ratio table, one corpus-keyed groupBy — no
+    collect, no UDF."""
+    from cs6300_vectordbs_spark.operators.curation import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs,
+        F.col("source").isin(*_DSIR_SOURCES),
+        n_buckets=_DSIR_BUCKETS,
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH bt AS (
+  SELECT doc_id,
+         (source IN {str(tuple(_DSIR_SOURCES))}) AS is_target,
+         (('0x' || substr(md5('s97|' || tok), 1, 15))::BIGINT)
+           % {_DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, source, unnest({_SQL_TOKS}) AS tok FROM documents)
+), per_bucket AS (
+  SELECT b, count(*)::DOUBLE AS q_cnt,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END)::DOUBLE AS t_cnt
+  FROM bt GROUP BY b
+), tot AS (
+  SELECT sum(q_cnt) AS q_tot, sum(t_cnt) AS t_tot FROM per_bucket
+), ratio AS (
+  SELECT b,
+         CAST(round((ln((t_cnt + 1.0) / (t_tot + {_DSIR_BUCKETS}.0))
+                   - ln((q_cnt + 1.0) / (q_tot + {_DSIR_BUCKETS}.0)))
+                    * 1e6, 0) AS BIGINT) AS r_micro
+  FROM per_bucket, tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_toks,
+       sum(r_micro)::BIGINT AS log_w_micro
+FROM bt JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
+_AUDIT_TABLES: dict[str, list[str]] = {
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+_AUDIT_STR_COLS = {"text", "lang", "source", "event_type", "props"}
+
+
+def q_corpus_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-validation report over every corpus table: per-column NULL
+    and blank (empty/whitespace string) counts. Every testdata column
+    is nullable in its parquet footer, so a 100-TB corpus WILL carry
+    NULL cells; this is the measurement behind the engine's quarantine
+    contract (NULL vectors are dropped at index/serving boundaries —
+    operators/search.py, sources/vector_index.py). One full scan per
+    table (all counters are conditional sums in a single aggregate),
+    three 1-row exchanges, rows exploded engine-side via inline()."""
+    from cs6300_vectordbs_spark.io import read_events
+    from cs6300_vectordbs_spark.operators.quality import null_audit
+
+    parts = []
+    for tbl, cols in _AUDIT_TABLES.items():
+        df = (
+            read_events(spark, sf_dir)
+            if tbl == "events"
+            else _t(spark, sf_dir, tbl)
+        )
+        parts.append(null_audit(df.select(*cols), tbl))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _oracle_null_audit() -> str:
+    selects = []
+    for tbl, cols in _AUDIT_TABLES.items():
+        for c in cols:
+            blank = (
+                f"sum(CASE WHEN {c} IS NOT NULL AND trim({c}) = '' "
+                f"THEN 1 ELSE 0 END)::BIGINT"
+                if c in _AUDIT_STR_COLS
+                else "0::BIGINT"
+            )
+            selects.append(
+                f"SELECT '{tbl}' AS table_name, '{c}' AS column, "
+                f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+                f" AS n_null, {blank} AS n_blank, "
+                f"count(*)::BIGINT AS n_rows FROM {tbl}"
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
@@ -7938,9 +8097,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_markup": q_clean_markup,
         "curation_batches": q_curation_batches,
         "csv_ingest_checked": q_csv_ingest_checked,
-        # -- r05 window: new layout query (13) + re-verification of
-        #    changed code paths --
+        # -- r05 window: new layout query (13), new curation trio
+        #    (14-16), + re-verification of changed code paths --
         "zordered_events": q_zordered_events,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "dsir_weights": q_dsir_weights,
+        "corpus_null_audit": q_corpus_null_audit,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -7975,11 +8137,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_before_error_stream": q_clicks_before_error_stream,
         "dormant_customers": q_dormant_customers,
         "funnel": q_funnel,
+        # -- beyond the 50-window: driver-green in r02-r04 (see
+        #    DRIVER_COVERAGE.md). funnel_by_segment / hourly_anomalies /
+        #    user_sessions were displaced from the window's tail
+        #    re-verification slots by the curation trio — all three
+        #    keep their r02 driver greens and their local tz-sim
+        #    re-verification this round. --
         "funnel_by_segment": q_funnel_by_segment,
         "hourly_anomalies": q_hourly_anomalies,
         "user_sessions": q_user_sessions,
-        # -- beyond the 50-window: driver-green in r02-r04 (see
-        #    DRIVER_COVERAGE.md) --
         "embed_documents": q_embed_documents,
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "pack_sequences": q_pack_sequences,
@@ -8099,6 +8265,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_tuning_report": _oracle_lsh_tuning(),
         "partitioned_events": _ORACLE_PARTITIONED_EVENTS,
         "zordered_events": _ORACLE_ZORDERED_EVENTS,
+        "bpe_pair_counts": _ORACLE_BPE,
+        "dsir_weights": _ORACLE_DSIR,
+        "corpus_null_audit": _oracle_null_audit(),
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

@@ -27,11 +27,17 @@ def template_query(
 ) -> Column:
     """Deterministic query text: ``prefix`` + first ``n_words`` tokens.
 
-    DuckDB twin: prefix || array_to_string(toks[1:n], ' ') over
-    regexp_split_to_array(lower(trim(text)), '\\s+').
+    DuckDB twin: prefix || coalesce(array_to_string(toks[1:n], ' '), '')
+    over regexp_split_to_array(lower(trim(text)), '\\s+'). Both sides
+    coalesce so a NULL-text or token-less document yields the bare
+    prefix rather than NULL-propagating (Spark's array_join of a NULL
+    array is NULL; DuckDB's array_to_string of an EMPTY list is NULL —
+    opposite corners of the same hazard).
     """
     head = F.slice(tokens(text), 1, n_words)
-    return F.concat(F.lit(prefix), F.array_join(head, " "))
+    return F.concat(
+        F.lit(prefix), F.coalesce(F.array_join(head, " "), F.lit(""))
+    )
 
 
 def generate_queries(

@@ -1,0 +1,153 @@
+"""Corpus-curation operators for tokenizer training and data selection.
+
+  bpe_pair_counts    adjacent-symbol pair statistics — step 1 of BPE
+                     tokenizer training (Sennrich et al. 2016, "Neural
+                     Machine Translation of Rare Words with Subword
+                     Units", alg. 1: the most frequent pair is the
+                     first merge)
+  dsir_log_weights   importance weights for data selection via hashed
+                     unigram models (Xie et al. 2023, "Data Selection
+                     for Language Models via Importance Resampling")
+
+Both are pure DataFrame compositions with no UDFs, designed around the
+classic BPE scale trick: aggregate the corpus to its *vocabulary*
+first (word -> count), then do per-word work on the vocab table, which
+is orders of magnitude smaller than the corpus. At 100 TB the corpus
+pass is one map-side-combined shuffle on the word key; everything
+after runs on vocab/bucket-sized data.
+
+Cross-engine determinism: bucket hashing uses the repo's portable
+md5-hash64 (dedup._md5_hash64 — reproducible in DuckDB as
+``('0x' || substr(md5(...), 1, 15))::BIGINT``), and DSIR's per-bucket
+log-ratios are quantized to integer micro-nats BEFORE the per-doc sum,
+so document weights are exact BIGINT sums (order-independent; the only
+cross-engine float op is one ln() per bucket, and a 1-ulp libm
+difference flips a micro-nat with probability ~1e-9 per bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens
+from .dedup import _md5_hash64
+
+# Salt for DSIR's hashed unigram feature space — any fixed int; kept
+# distinct from MinHash permutation salts (0..num_hashes) by offset.
+_DSIR_SALT = 97
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: (w, wc). THE one corpus-sized shuffle both
+    operators share — partial aggregation makes the exchange carry
+    vocab-sized, not corpus-sized, data."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Top adjacent character-pair counts over the corpus — the
+    statistic a BPE trainer computes to pick each merge.
+
+    corpus -> vocab (one shuffle) -> per-word pair explode (vocab-
+    sized) -> pair aggregate (vocab-sized shuffle) -> ordered top_n.
+    Words are weighted by their corpus frequency, exactly like the BPE
+    reference algorithm's dictionary-of-words representation. Total
+    order (cnt DESC, pair ASC) makes top_n deterministic.
+    """
+    words = word_counts(docs, text_col).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
+
+
+def _bucket(c: Column, n_buckets: int) -> Column:
+    return F.pmod(_md5_hash64(c, _DSIR_SALT), F.lit(n_buckets))
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights: log p_target(x) - log q_raw(x) under
+    add-1-smoothed unigram models over a hashed token space.
+
+    Output: (doc_id, n_toks, log_w_micro) — log_w_micro is the weight
+    in integer MICRO-NATS (sum over the doc's tokens of the quantized
+    per-bucket log-ratio). Resampling = weighted_sample on
+    exp(log_w_micro / 1e6), or rank by it directly.
+
+    Plan shape (scale-first):
+      1. corpus pass -> (doc_id, bucket) token stream; one groupBy
+         bucket x is_target with map-side combine -> 2*n_buckets rows.
+      2. ratio table: n_buckets rows, log-ratio quantized to BIGINT
+         micro-nats. Tiny -> broadcast.
+      3. corpus token stream joins the broadcast ratio table, groupBy
+         doc_id (the only corpus-sized exchange, co-partitioned with
+         the corpus key) -> exact integer sum.
+    No collect, no UDF; the token stream is computed once per pass
+    (Spark recomputes it for pass 1 and 3 — cheaper than caching 100 TB).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).select(id_col, "is_target", _bucket(F.col("tok"), n_buckets).alias("b"))
+
+    per_bucket = toks.groupBy("b").agg(
+        F.count(F.lit(1)).cast("double").alias("q_cnt"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("double")
+        .alias("t_cnt"),
+    )
+    # Totals via an unpartitioned window over the n_buckets-row bucket
+    # table (NOT a separate .agg + crossJoin — Spark would recompute
+    # the whole token stream for it, a third corpus pass at 100 TB;
+    # the window runs on 64 rows in one task).
+    w_all = Window.partitionBy()
+    ratio = (
+        per_bucket
+        .withColumn("q_tot", F.sum("q_cnt").over(w_all))
+        .withColumn("t_tot", F.sum("t_cnt").over(w_all))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log((F.col("t_cnt") + 1.0) / (F.col("t_tot") + float(n_buckets)))
+                    - F.log((F.col("q_cnt") + 1.0) / (F.col("q_tot") + float(n_buckets)))
+                )
+                * 1e6,
+                0,
+            )
+            .cast("bigint")
+            .alias("r_micro"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("r_micro").cast("bigint").alias("log_w_micro"),
+        )
+    )

@@ -59,7 +59,10 @@ def search_pipeline(
     # per-row embedding work parallelizes even when the corpus arrives
     # as a single parquet split.
     docs = spread(docs)
-    corpus = docs.select(
+    # NULL text has no embedding: the embed stage drops it (the same
+    # quarantine contract as the index/serving boundaries; a pipeline
+    # measures the drop with quality.null_audit).
+    corpus = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         embed_text(text_col, dim).alias("embedding"),
     )

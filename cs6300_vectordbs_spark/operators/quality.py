@@ -276,3 +276,54 @@ def exact_ntile(
         .withColumn(out_col, tile.cast("bigint"))
         .drop("__pid", "__lrn", "__off")
     )
+
+
+def null_audit(
+    df: DataFrame, table_name: str, columns: list[str] | None = None
+) -> DataFrame:
+    """Per-column data-validation report: (table_name, column, n_null,
+    n_blank, n_rows). ``n_blank`` counts string cells that are empty or
+    whitespace-only after trim (0 for non-strings).
+
+    Every testdata column is nullable in its parquet footer, so a
+    100-TB corpus WILL contain NULL cells; the engine's contract is
+    that ingestion quarantines NULL *required* cells (id/text), and
+    this report is how a pipeline measures that before trusting a
+    source. ONE full scan regardless of column count — all counters
+    are conditional sums in a single global aggregate (map-side
+    partial, 1-row exchange), then the wide row is exploded to
+    per-column rows driver-free via inline().
+    """
+    cols = columns or df.columns
+    str_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "string"}
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__null_{c}")
+        )
+        blank = (
+            F.when(
+                F.col(c).isNotNull() & (F.trim(F.col(c)) == ""), 1
+            ).otherwise(0)
+            if c in str_cols
+            else F.lit(0)
+        )
+        aggs.append(F.sum(blank).cast("bigint").alias(f"__blank_{c}"))
+    wide = df.agg(*aggs, F.count(F.lit(1)).cast("bigint").alias("__rows"))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__blank_{c}").alias("n_blank"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(
+        F.lit(table_name).alias("table_name"),
+        F.inline(structs),
+        F.col("__rows").alias("n_rows"),
+    )

@@ -106,12 +106,18 @@ def search(
         similarity_topk_grid,
     )
 
-    c = corpus
+    # Serving boundary quarantine: a NULL vector can never score (the
+    # kernels would NULL-propagate or crash; even DuckDB's
+    # list_inner_product refuses one). Skipping here keeps every
+    # strategy consistent; corpus_null_audit is how a pipeline measures
+    # how many rows this drops.
+    c = corpus.filter(F.col(corpus_vec).isNotNull())
+    q_in = queries.filter(F.col(query_vec).isNotNull())
     if filter_expr is not None:
         c = c.filter(filter_expr)
     if strategy == "auto":
         nc = corpus_count if corpus_count is not None else c.count()
-        nq = query_count if query_count is not None else queries.count()
+        nq = query_count if query_count is not None else q_in.count()
         strategy = choose_strategy(nc, nq)
 
     common = dict(
@@ -120,14 +126,14 @@ def search(
         exclude_self=exclude_self,
     )
     if strategy == "exact":
-        return similarity_topk(c, queries, k, dim=dim, **common)
+        return similarity_topk(c, q_in, k, dim=dim, **common)
     if strategy == "blocked":
-        return similarity_topk_blocked(c, queries, k, **common)
+        return similarity_topk_blocked(c, q_in, k, **common)
     if strategy == "grid":
-        return similarity_topk_grid(c, queries, k, **common)
+        return similarity_topk_grid(c, q_in, k, **common)
     if strategy == "ivf":
         out = ivf_topk(
-            c, queries, k, dim=dim, n_cells=n_cells, n_probe=n_probe, **common
+            c, q_in, k, dim=dim, n_cells=n_cells, n_probe=n_probe, **common
         )
         return out
     raise ValueError(f"unknown search strategy: {strategy!r}")

@@ -62,6 +62,10 @@ def build_ivf_index(
     """Write the IVF index: ``{path}/centroids`` (n_cells rows) and
     ``{path}/cells`` partitioned by cell id. The assignment argmax
     (max cosine, ties to lowest centroid id) matches ann.ivf_topk."""
+    # Ingest quarantine: NULL vectors can never be assigned or scored
+    # (DuckDB's list math refuses them too); they are dropped here,
+    # counted by corpus_null_audit upstream.
+    corpus = corpus.filter(F.col(corpus_vec).isNotNull())
     cent = _centroids(corpus, corpus_id, corpus_vec, n_cells)
     sim = cosine_sim(corpus_vec, "cvec", dim)
     assigned = (
@@ -214,6 +218,7 @@ def upsert_ivf_index(
     index feed."""
     cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
     sim = cosine_sim(corpus_vec, "cvec", dim)
+    new_vectors = new_vectors.filter(F.col(corpus_vec).isNotNull())
     assigned = (
         new_vectors.crossJoin(cent)
         .groupBy(corpus_id)

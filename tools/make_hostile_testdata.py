@@ -13,7 +13,16 @@ inputs the generated testdata happens not to contain. The r04
 `cumulative_users` red and the BRP zero-norm divergence (ADVICE r04)
 were both of this class.
 
-Usage: python tools/make_hostile_testdata.py [outdir]   # default /tmp/sf_hostile
+With ``--nulls``, additionally injects SQL-NULL cells (NULL text /
+lang / source documents, NULL value / props / event_type events, a
+NULL embedding and NULL label vector) — every testdata column is
+nullable in the parquet schema, so a 100-TB corpus WILL contain them.
+The engine's documented contract for NULL *required* cells is
+quarantine-at-ingest (``corpus_null_audit`` reports them); this tier
+verifies the queries that must tolerate NULLs in optional cells agree
+with the oracle anyway.
+
+Usage: python tools/make_hostile_testdata.py [outdir] [--nulls]
 Then:  SPARK_GRAFT_VERIFY_SF=<outdir> python tools/verify_local.py
 """
 
@@ -27,7 +36,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.001"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf_hostile"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+WITH_NULLS = "--nulls" in sys.argv[1:]
+OUT = ARGS[0] if ARGS else ("/tmp/sf_nulls" if WITH_NULLS else "/tmp/sf_hostile")
 
 
 def main() -> None:
@@ -58,6 +69,17 @@ def main() -> None:
         r["lang"] = proto.get("lang", "en")
         r["source"] = "hostile"
         base.append(r)
+    if WITH_NULLS:
+        null_docs = [
+            {"text": None, "n_chars": 0, "lang": "en", "source": "hostile"},
+            {"text": "null lang", "n_chars": 9, "lang": None, "source": "hostile"},
+            {"text": "null source", "n_chars": 11, "lang": "en", "source": None},
+        ]
+        for i, spec in enumerate(null_docs):
+            r = dict(proto)
+            r["doc_id"] = next_id + len(edge_texts) + i
+            r.update(spec)
+            base.append(r)
     pq.write_table(
         pa.Table.from_pylist(base, schema=t.schema),
         f"{OUT}/documents.parquet",
@@ -82,6 +104,18 @@ def main() -> None:
         base_label = eproto.get("label")
         if base_label is not None:
             r["label"] = base_label
+        erows.append(r)
+    if WITH_NULLS:
+        # NULL label is in-contract (optional metadata; label_centroids
+        # groups it as its own class). A NULL embedding VECTOR is
+        # out-of-contract for the differential — DuckDB's own
+        # list_inner_product refuses NULL vectors, so no oracle can be
+        # written; the engine's contract is quarantine-at-ingest
+        # (upsert/index build drop them — tests/test_null_handling.py),
+        # measured by corpus_null_audit.
+        r = dict(eproto)
+        r["vec_id"] = enext + len(specials)
+        r["label"] = None
         erows.append(r)
     pq.write_table(
         pa.Table.from_pylist(erows, schema=e.schema),
@@ -110,6 +144,18 @@ def main() -> None:
         r["event_id"] = evnext + i
         r.update(spec)
         evrows.append(r)
+    if WITH_NULLS:
+        null_events = [
+            {"value": None},
+            {"props": None},
+            {"event_type": None},
+        ]
+        for i, spec in enumerate(null_events):
+            r = dict(evproto)
+            r["event_id"] = evnext + len(edge_events) + i
+            r["user_id"] = lone_user + 2
+            r.update(spec)
+            evrows.append(r)
     pq.write_table(
         pa.Table.from_pylist(evrows, schema=ev.schema),
         f"{OUT}/events.parquet",
