@@ -2587,19 +2587,23 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: every-30th frame index per
     blob (map-side explode, operators/multimodal.py), then a per-frame
     byte-slice chunk fingerprint — the shape of a sampled-frame decode
-    at scale, with the codec replaced by binary slicing (all-ASCII
-    corpus, so byte and char offsets agree across engines)."""
+    at scale, with the codec replaced by binary slicing. BYTE semantics
+    throughout (a video blob is bytes): the frame grid comes from
+    octet_length and the fingerprint is md5 of the slice's UPPERCASE
+    HEX — DuckDB cannot md5 a raw BLOB slice (and decode() of a slice
+    that cuts a multibyte char throws), so hex is the portable byte
+    spelling; both engines' hex() is uppercase (probed r05 on
+    multibyte input)."""
     docs = _t(spark, sf_dir, "documents")
     blobs = docs.select(
         F.col("doc_id").cast("bigint"),
         F.encode("text", "utf-8").alias("data"),
-        F.col("n_chars").alias("n_frames"),
-    )
+    ).withColumn("n_frames", F.octet_length("data"))
     fs = sample_frames(blobs, "n_frames", every=30)
     return fs.select(
         "doc_id",
         F.col("frame_idx").cast("int"),
-        F.expr("md5(substring(data, frame_idx + 1, 32))").alias("chunk_md5"),
+        F.expr("md5(hex(substring(data, frame_idx + 1, 32)))").alias("chunk_md5"),
         F.expr("octet_length(substring(data, frame_idx + 1, 32))")
         .cast("int")
         .alias("chunk_len"),
@@ -2608,13 +2612,14 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_FRAMES = """
 WITH idx AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, ((n_chars - 1) // 30)::INT)) AS j
-  FROM documents WHERE n_chars > 0
+  SELECT doc_id, hex(encode(text)) AS hx,
+         unnest(generate_series(0,
+           ((octet_length(encode(text)) - 1) // 30)::INT)) AS j
+  FROM documents WHERE octet_length(encode(text)) > 0
 )
 SELECT doc_id, (30 * j)::INT AS frame_idx,
-       md5(substr(text, 30 * j + 1, 32)) AS chunk_md5,
-       length(substr(text, 30 * j + 1, 32))::INT AS chunk_len
+       md5(substr(hx, 60 * j + 1, 64)) AS chunk_md5,
+       (length(substr(hx, 60 * j + 1, 64)) // 2)::INT AS chunk_len
 FROM idx
 """
 
@@ -2671,13 +2676,14 @@ def q_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SCENES = """
 WITH idx AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, ((n_chars - 1) // 30)::INT)) AS j
-  FROM documents WHERE n_chars > 0
+  SELECT doc_id, hex(encode(text)) AS hx,
+         unnest(generate_series(0,
+           ((octet_length(encode(text)) - 1) // 30)::INT)) AS j
+  FROM documents WHERE octet_length(encode(text)) > 0
 ), fr AS (
   SELECT doc_id, 30 * j AS frame_idx,
-         md5(substr(text, 30 * j + 1, 32)) AS h,
-         lag(md5(substr(text, 30 * j + 1, 32))) OVER (
+         md5(substr(hx, 60 * j + 1, 64)) AS h,
+         lag(md5(substr(hx, 60 * j + 1, 64))) OVER (
            PARTITION BY doc_id ORDER BY 30 * j) AS ph
   FROM idx
 ), flags AS (

@@ -60,6 +60,18 @@ def main() -> None:
         base[0]["text"],                       # exact duplicate of doc 0
         base[1]["text"],                       # exact duplicate of doc 1
         "x" * 5000,                            # one giant token
+        # -- unicode tier: code-point semantics probed r05 (length /
+        # substr / lower agree across engines on all of these; the two
+        # KNOWN divergences are deliberately absent — Turkish U+0130
+        # and Greek word-final sigma, where Java does contextual case
+        # mapping and DuckDB does simple mapping; see FIXTURES.md) --
+        "café münü straße GROSS",       # latin-1 + sharp s
+        "combining vélo é accent",              # NFD combining marks
+        "中文分词 emoji \U0001f44d\U0001f600 mixed",  # CJK + astral emoji
+        "العربية rtl text",        # Arabic RTL
+        "ＦＵＬＬ ｗidth mixed",        # fullwidth latin
+        "nbsp inside zwsp​word tokens",           # NBSP/ZWSP non-\s
+        "ЯЗЫК Русский",  # Cyrillic
     ]
     for i, txt in enumerate(edge_texts):
         r = dict(proto)
