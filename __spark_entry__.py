@@ -8078,6 +8078,146 @@ def _oracle_null_audit() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter battery (Rae et al. 2021 §A1.1) per
+    document: word count, mean word length, symbol-to-word ratio,
+    alphabetic-word fraction, required-stopword hits, one pass/fail
+    flag per rule and the composite keep flag. Map-only column
+    expressions — runs at parquet-scan throughput at any scale. The
+    reference has no quality filtering (its corpus is pre-curated,
+    /root/reference/src/db.py:16-51); this is the curation extension
+    surface every pre-training pipeline needs."""
+    from cs6300_vectordbs_spark.operators.quality import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+# Thresholds mirror operators/quality.gopher_rules defaults.
+_ORACLE_GOPHER = f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t, {_SQL_TOKS} AS tk FROM documents
+), sig AS (
+  SELECT doc_id,
+    len(tk)::BIGINT AS n_words,
+    len(regexp_replace(lower(t), '\\s+', '', 'g'))::BIGINT AS sum_len,
+    (len(t) - len(replace(t, '#', '')))::BIGINT AS n_hash,
+    floor((len(t) - len(replace(t, '...', ''))) / 3)::BIGINT AS n_ell,
+    len(list_filter(tk, x -> regexp_matches(x, '\\p{{L}}')))::BIGINT AS n_alpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        w -> list_contains(tk, w)))::BIGINT AS stop_hits
+  FROM base
+), m AS (
+  SELECT doc_id, n_words,
+    CASE WHEN n_words > 0 THEN sum_len::DOUBLE / n_words::DOUBLE
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN n_words > 0 THEN (n_hash + n_ell)::DOUBLE / n_words::DOUBLE
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_words > 0 THEN n_alpha::DOUBLE / n_words::DOUBLE
+         ELSE 0.0 END AS alpha_word_frac,
+    stop_hits
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+  stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_len,
+  (symbol_ratio <= 0.1) AS pass_symbol,
+  (alpha_word_frac >= 0.8) AS pass_alpha,
+  (stop_hits >= 2) AS pass_stop,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_ratio <= 0.1) AND (alpha_word_frac >= 0.8)
+   AND (stop_hits >= 2)) AS keep
+FROM m
+"""
+
+
+# Span length for exact-substring dedup measurement: Lee et al. used
+# 50-token spans on web documents; testdata docs average ~60 tokens,
+# so 4 tokens is the proportional analog (and the smallest n where
+# random spans stop colliding: at n=3 ~40% of span types are dups —
+# pure vocab collision noise — vs ~6% at n=4, which is the injected
+# near-duplicate signal).
+_DUP_SPAN_N = 4
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (duplicate n-token span) coverage per document
+    — the measurement phase of Lee et al. 2021 span deduplication:
+    which fraction of each document sits inside a span repeated
+    verbatim anywhere in the corpus. Candidate generation is one
+    map-side-combined aggregate on the span string + an equi-join of
+    only the duplicated spans back — never doc x doc."""
+    from cs6300_vectordbs_spark.operators.dedup import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, n=_DUP_SPAN_N)
+
+
+_ORACLE_DUP_SPAN = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), starts AS (
+  SELECT doc_id, unnest(range(1, len(t) - {_DUP_SPAN_N} + 2)) AS i, t
+  FROM tk WHERE len(t) >= {_DUP_SPAN_N}
+), spans AS (
+  SELECT doc_id, i,
+         list_aggregate(t[i:i + {_DUP_SPAN_N} - 1], 'string_agg', ' ') AS s
+  FROM starts
+), dup AS (
+  SELECT s FROM spans GROUP BY s HAVING count(*) >= 2
+), dup_starts AS (
+  SELECT doc_id, i FROM spans JOIN dup USING (s)
+), per_doc_dup AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_spans FROM dup_starts GROUP BY doc_id
+), covered AS (
+  SELECT doc_id, count(DISTINCT cp)::BIGINT AS covered_tokens
+  FROM (SELECT doc_id, unnest(range(i, i + {_DUP_SPAN_N})) AS cp FROM dup_starts)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  coalesce(len(t), 0)::BIGINT AS n_tokens,
+  greatest(coalesce(len(t), 0) - {_DUP_SPAN_N - 1}, 0)::BIGINT AS n_spans,
+  coalesce(n_dup_spans, 0)::BIGINT AS n_dup_spans,
+  coalesce(covered_tokens, 0)::BIGINT AS covered_tokens,
+  CASE WHEN coalesce(len(t), 0) > 0
+       THEN coalesce(covered_tokens, 0)::DOUBLE / len(t)::DOUBLE
+       ELSE 0.0 END AS dup_frac
+FROM tk LEFT JOIN per_doc_dup USING (doc_id) LEFT JOIN covered USING (doc_id)
+"""
+
+
+_N_SHARDS = 16
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export manifest: hash-shuffle the
+    corpus into 16 shards (pmod of the portable md5-hash64 of
+    doc_id — the seed-free global random permutation) and emit one
+    audit row per shard with doc/token/char budgets and the key range
+    a consumer streams to reproduce the exact shuffle order."""
+    from cs6300_vectordbs_spark.operators.curation import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return shard_manifest(docs, n_shards=_N_SHARDS)
+
+
+_ORACLE_SHARD_MANIFEST = f"""
+WITH keyed AS (
+  SELECT ('0x' || substr(md5('s131|' || doc_id::VARCHAR), 1, 15))::BIGINT AS k,
+         {_SQL_TOKS} AS tk, len(text) AS nc
+  FROM documents
+)
+SELECT (k % {_N_SHARDS})::BIGINT AS shard,
+  count(*)::BIGINT AS n_docs,
+  sum(len(tk))::BIGINT AS n_tokens,
+  sum(nc)::BIGINT AS n_chars,
+  min(k) AS min_key, max(k) AS max_key
+FROM keyed GROUP BY shard ORDER BY shard
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
@@ -8109,6 +8249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "dsir_weights": q_dsir_weights,
         "corpus_null_audit": q_corpus_null_audit,
+        "gopher_quality": q_gopher_quality,
+        "dup_span_stats": q_dup_span_stats,
+        "shard_manifest": q_shard_manifest,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -8274,6 +8417,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _ORACLE_BPE,
         "dsir_weights": _ORACLE_DSIR,
         "corpus_null_audit": _oracle_null_audit(),
+        "gopher_quality": _ORACLE_GOPHER,
+        "dup_span_stats": _ORACLE_DUP_SPAN,
+        "shard_manifest": _ORACLE_SHARD_MANIFEST,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

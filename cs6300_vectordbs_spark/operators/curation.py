@@ -151,3 +151,56 @@ def dsir_log_weights(
             F.sum("r_micro").cast("bigint").alias("log_w_micro"),
         )
     )
+
+
+_SHARD_SALT = 131
+
+
+def shard_manifest(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic training-shard assignment manifest — the export
+    step of a pre-training pipeline: a global, seed-stable shuffle of
+    the corpus into ``n_shards`` files, summarized as one manifest row
+    per shard:
+
+      shard      pmod(md5-hash64(doc_id), n_shards)
+      n_docs     documents in the shard
+      n_tokens   whitespace tokens in the shard (batch budgeting)
+      n_chars    characters in the shard (size budgeting)
+      min_key /  first / last doc sort key (the same md5-hash64) —
+      max_key    consumers stream a shard in key order to reproduce
+                 the exact global shuffle order without re-hashing
+
+    Hash-sharding IS the shuffle: ordering by a cryptographic hash of
+    the id is a uniform random permutation that any engine (and any
+    later pipeline stage) can reproduce — no stored permutation table,
+    no seed state. Writing the actual files is
+    ``df.repartition(n_shards, pmod(...)).sortWithinPartitions(key)``
+    + a partitioned write; at 100 TB that is one shuffle whose keys
+    are uniform by construction (no skew possible) and this manifest
+    is its one-aggregate audit twin (map-side combined, n_shards
+    output rows).
+    """
+    key = _md5_hash64(F.col(id_col).cast("string"), _SHARD_SALT)
+    return (
+        docs.select(
+            F.pmod(key, F.lit(n_shards)).cast("bigint").alias("shard"),
+            key.alias("sort_key"),
+            tokens(text_col).alias("tk"),
+            F.length(text_col).alias("nc"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size("tk")).cast("bigint").alias("n_tokens"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.min("sort_key").alias("min_key"),
+            F.max("sort_key").alias("max_key"),
+        )
+        .orderBy("shard")
+    )

@@ -527,3 +527,112 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """Duplicate n-token-span coverage per document — the measurement
+    phase of exact substring deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    any span repeated verbatim across the corpus; their 50-token spans
+    scale here to ``n`` tokens). Per document:
+
+      n_tokens        whitespace tokens
+      n_spans         distinct span start positions (n_tokens - n + 1)
+      n_dup_spans     spans whose text occurs >= min_count times
+                      corpus-wide (counting every occurrence, including
+                      repeats inside one document — Lee et al.'s
+                      definition, which also catches self-repetition)
+      covered_tokens  token positions covered by >=1 duplicated span
+                      (what span-removal would delete)
+      dup_frac        covered_tokens / n_tokens
+
+    Docs with fewer than ``n`` tokens emit zero counts (unassessable).
+
+    Scale shape (100 TB): positional shingles via the codegen
+    posexplode + lead pipeline (see shingle_rows); the global span
+    frequency is ONE map-side-combined aggregate on the span string;
+    only spans that beat ``min_count`` flow back — an equi-join on the
+    span key against the (typically tiny) duplicated-span set.
+    Position coverage is sequence-explode + per-doc distinct: output
+    rows are bounded by n * dup_occurrences, never corpus x corpus.
+    The per-doc distinct and final joins all hash on doc_id. No
+    crossJoin, no UDF, no driver collect.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.lower(F.trim(F.col(text_col)))
+    ex = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(t, r"\s+")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    # Re-number positions over the empty-filtered stream so they are
+    # dense (split can emit '' gaps at multi-space runs).
+    w = Window.partitionBy("id").orderBy("p")
+    ex = ex.select("id", (F.row_number().over(w) - 1).alias("pos"), "tok")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(Window.partitionBy("id").orderBy("pos"))
+        for i in range(1, n)
+    ]
+    spans = (
+        ex.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", "s")
+    )
+    dup = (
+        spans.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("s")
+    )
+    dup_starts = spans.join(dup, "s").select("id", "pos")
+    per_doc_dup = dup_starts.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans")
+    )
+    covered = (
+        dup_starts.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cp")
+        )
+        .distinct()
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("covered_tokens"))
+    )
+    totals = ex.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    base = _spread(docs).select(F.col(id_col).alias("id"))
+    nz = lambda c: F.coalesce(c, F.lit(0)).cast("bigint")  # noqa: E731
+    return (
+        base.join(totals, "id", "left")
+        .join(per_doc_dup, "id", "left")
+        .join(covered, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            nz(F.col("n_tokens")).alias("n_tokens"),
+            F.greatest(
+                nz(F.col("n_tokens")) - F.lit(n - 1), F.lit(0)
+            ).cast("bigint").alias("n_spans"),
+            nz(F.col("n_dup_spans")).alias("n_dup_spans"),
+            nz(F.col("covered_tokens")).alias("covered_tokens"),
+            F.when(
+                nz(F.col("n_tokens")) > 0,
+                nz(F.col("covered_tokens")).cast("double")
+                / nz(F.col("n_tokens")).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )

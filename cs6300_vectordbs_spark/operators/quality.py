@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import tokens
 from .dedup import shingle_rows
 from .util import spread as _spread
 
@@ -326,4 +327,101 @@ def null_audit(
         F.lit(table_name).alias("table_name"),
         F.inline(structs),
         F.col("__rows").alias("n_rows"),
+    )
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter signals and pass/fail flags per document
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1 —
+    the published heuristic battery every LLM pre-training pipeline
+    runs some variant of). One row per input row:
+
+      n_words            whitespace tokens
+      mean_word_len      sum(len(word)) / n_words
+      symbol_ratio       ('#' chars + '...' runs) / n_words
+      alpha_word_frac    words containing >=1 letter / n_words
+      stop_hits          how many of the 8 Gopher stopwords appear
+      pass_*             one boolean per rule; keep = AND of all
+
+    Cross-engine determinism: every ratio is ONE IEEE division of
+    exact integer counts (sum-of-word-lengths comes from
+    len(whitespace-stripped text), not a float fold), so no rounding
+    policy is needed; rule comparisons sit on exact thresholds only a
+    bit-identical ratio can straddle. NULL text propagates NULL
+    signals and a NULL keep (NULL-in-NULL-out, same as DuckDB — the
+    ingestion layer quarantines NULL text before curation; see
+    null_audit).
+
+    Scale: map-only column expressions — no shuffle, no UDF; the
+    letter test is a per-token rlike inside an array filter, the rest
+    is length arithmetic. Filters compose with whole-stage codegen
+    and run at parquet-scan throughput at 100 TB.
+    """
+    t = F.trim(F.col(text_col))
+    toks = tokens(t)
+    n_words = F.size(toks).cast("bigint")
+    sum_word_len = F.length(F.regexp_replace(F.lower(t), r"\s+", "")).cast(
+        "bigint"
+    )
+    mean_word_len = F.when(
+        n_words > 0, sum_word_len.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#")))).cast("bigint")
+    n_ellipsis = F.floor(
+        (F.length(t) - F.length(F.replace(t, F.lit("...")))) / F.lit(3)
+    ).cast("bigint")
+    symbol_ratio = F.when(
+        n_words > 0,
+        (n_hash + n_ellipsis).cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(
+        F.filter(toks, lambda x: x.rlike(r"\p{L}"))
+    ).cast("bigint")
+    alpha_word_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda w: F.array_contains(toks, w))
+    ).cast("bigint")
+
+    pass_word_count = (n_words >= min_words) & (n_words <= max_words)
+    pass_mean_len = (mean_word_len >= min_mean_word_len) & (
+        mean_word_len <= max_mean_word_len
+    )
+    pass_symbol = symbol_ratio <= max_symbol_ratio
+    pass_alpha = alpha_word_frac >= min_alpha_word_frac
+    pass_stop = stop_hits >= min_stop_hits
+    return _spread(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        pass_word_count.alias("pass_word_count"),
+        pass_mean_len.alias("pass_mean_len"),
+        pass_symbol.alias("pass_symbol"),
+        pass_alpha.alias("pass_alpha"),
+        pass_stop.alias("pass_stop"),
+        (
+            pass_word_count & pass_mean_len & pass_symbol & pass_alpha & pass_stop
+        ).alias("keep"),
     )

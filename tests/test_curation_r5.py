@@ -1,0 +1,124 @@
+"""Unit semantics for the round-5 curation additions: Gopher rules,
+duplicate-span coverage (Lee et al. exact-substring dedup measure),
+and the training-shard manifest."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.operators.curation import shard_manifest
+from cs6300_vectordbs_spark.operators.dedup import dup_span_stats
+from cs6300_vectordbs_spark.operators.quality import gopher_rules
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    long_good = "the cat sat on the mat and that dog ran off with it " * 5
+    return spark.createDataFrame(
+        [
+            (1, long_good),                      # passes everything
+            (2, "short text only"),              # fails word count
+            (3, "### ### " + "the of and that have with be to " * 8),
+            (4, ""),                             # empty
+            (5, None),                           # NULL text
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestGopherRules:
+    def test_signals_hand_computed(self, docs):
+        rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+        r1 = rows[1]
+        assert r1.n_words == 65          # 13 words x 5
+        assert r1.pass_word_count and r1.pass_stop and r1.keep
+        # mean word length: 39 non-space chars per 13-word repeat
+        assert r1.mean_word_len == 3.0
+        r2 = rows[2]
+        assert r2.n_words == 3 and not r2.pass_word_count and not r2.keep
+
+    def test_symbol_and_alpha_rules(self, docs):
+        r3 = {r.doc_id: r for r in gopher_rules(docs).collect()}[3]
+        # 6 '#' chars over 66 words -> ratio < 0.1 passes; alpha words
+        # exclude the two '###' tokens -> 64/66 > 0.8 still passes.
+        assert r3.n_words == 66
+        assert r3.symbol_ratio == pytest.approx(6 / 66)
+        assert r3.alpha_word_frac == pytest.approx(64 / 66)
+
+    def test_null_and_empty(self, docs):
+        rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+        assert rows[4].n_words == 0 and rows[4].keep is False
+        # NULL text: NULL n_words / pass_word_count, but the guarded
+        # ratios zero-fill (NULL > 0 is NULL -> otherwise branch) and
+        # keep collapses to False via three-valued AND — identical in
+        # DuckDB (verified on the /tmp/sf_nulls variant), which is the
+        # property that matters for the oracle.
+        assert rows[5].n_words is None
+        assert rows[5].pass_word_count is None
+        assert rows[5].mean_word_len == 0.0 and rows[5].stop_hits == 0
+        assert rows[5].keep is False
+
+
+class TestDupSpanStats:
+    def test_hand_computed_coverage(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "x x a b c d y"),   # shares span 'a b c d' with doc 1
+                (3, "p q r s"),         # unique span, no dups
+                (4, "w"),               # too short for n=4
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dup_span_stats(df, n=4).collect()}
+        # doc 1: spans 'a b c d','b c d e','c d e f'; only first dup.
+        assert got[1].n_spans == 3 and got[1].n_dup_spans == 1
+        assert got[1].covered_tokens == 4
+        assert got[1].dup_frac == pytest.approx(4 / 6)
+        # doc 2: 4 spans, dup 'a b c d' at pos 2 covers tokens 2-5.
+        assert got[2].n_spans == 4 and got[2].n_dup_spans == 1
+        assert got[2].covered_tokens == 4
+        assert got[2].dup_frac == pytest.approx(4 / 7)
+        assert got[3].n_dup_spans == 0 and got[3].covered_tokens == 0
+        assert got[4].n_tokens == 1 and got[4].n_spans == 0
+
+    def test_within_doc_repeat_counts(self, spark):
+        # Lee et al. semantics: a span repeated inside ONE doc is a dup.
+        df = spark.createDataFrame(
+            [(1, "a b c d a b c d")], "doc_id long, text string"
+        )
+        r = dup_span_stats(df, n=4).collect()[0]
+        assert r.n_dup_spans == 2          # both 'a b c d' starts
+        assert r.covered_tokens == 8       # whole doc covered
+
+    def test_overlapping_spans_union(self, spark):
+        # 'a a a a a' in two docs: every span dup; coverage = union.
+        df = spark.createDataFrame(
+            [(1, "a a a a a"), (2, "a a a a a")], "doc_id long, text string"
+        )
+        r = {x.doc_id: x for x in dup_span_stats(df, n=4).collect()}[1]
+        assert r.n_spans == 2 and r.n_dup_spans == 2
+        assert r.covered_tokens == 5 and r.dup_frac == 1.0
+
+
+class TestShardManifest:
+    def test_partition_and_budgets(self, spark):
+        df = spark.createDataFrame(
+            [(i, "tok " * (i + 1)) for i in range(40)],
+            "doc_id long, text string",
+        )
+        man = shard_manifest(df, n_shards=8).collect()
+        assert sum(r.n_docs for r in man) == 40
+        assert sum(r.n_tokens for r in man) == sum(range(1, 41))
+        for r in man:
+            assert 0 <= r.shard < 8
+            assert r.min_key <= r.max_key
+
+    def test_deterministic(self, spark):
+        df = spark.createDataFrame(
+            [(i, "x y z") for i in range(20)], "doc_id long, text string"
+        )
+        a = sorted(map(tuple, shard_manifest(df, n_shards=4).collect()))
+        b = sorted(map(tuple, shard_manifest(df, n_shards=4).collect()))
+        assert a == b
