@@ -40,6 +40,7 @@ from cs6300_vectordbs_spark.functions.text import (
     quality_score,
     redact_pii,
     token_count,
+    tokens,
 )
 from cs6300_vectordbs_spark.functions.ids import format_doc_id, sequential_id
 from cs6300_vectordbs_spark.operators.ann import (
@@ -8188,6 +8189,94 @@ FROM tk LEFT JOIN per_doc_dup USING (doc_id) LEFT JOIN covered USING (doc_id)
 """
 
 
+def q_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs, candidate-verify: MinHash-LSH proposes
+    (same banded generation as minhash_lsh_pairs), exact BYTE-level
+    Levenshtein decides. The quadratic distance runs only on the LSH
+    candidate set; byte semantics (latin-1 reinterpretation of UTF-8)
+    make Spark's char-based levenshtein equal DuckDB's byte-based one
+    on any input — the frame-fingerprint byte-faithful discipline."""
+    from cs6300_vectordbs_spark.operators.dedup import edit_distance_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return edit_distance_neardup(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_est_jaccard=0.3, max_rel_dist=0.3,
+    ).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+        "est_jaccard", "edit_dist", "rel_dist", "is_dup",
+    )
+
+
+def _oracle_edit_distance() -> str:
+    rel = (
+        "levenshtein(na.t, nb.t)::DOUBLE"
+        " / greatest(strlen(na.t), strlen(nb.t))::DOUBLE"
+    )
+    return f"""WITH {_minhash_ctes()},
+norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+SELECT p.id_a, p.id_b, p.est_jaccard,
+  levenshtein(na.t, nb.t)::BIGINT AS edit_dist,
+  CASE WHEN greatest(strlen(na.t), strlen(nb.t)) > 0 THEN {rel}
+       ELSE 0.0 END AS rel_dist,
+  (CASE WHEN greatest(strlen(na.t), strlen(nb.t)) > 0 THEN {rel}
+        ELSE 0.0 END) <= 0.3 AS is_dup
+FROM pairs p
+JOIN norm na ON na.doc_id = p.id_a
+JOIN norm nb ON nb.doc_id = p.id_b"""
+
+
+def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink parity: write the documents corpus to ORC once
+    (create-if-absent, content-addressed fingerprint — the S8/S9
+    idempotent-load discipline), read it back through Spark's native
+    ORC vectorized reader, and aggregate per (source, lang). Values
+    hash against the PARQUET table's oracle, so any roundtrip
+    lossiness (encoding, nulls, type width) fails the gate. ORC is the
+    third columnar interchange format next to parquet and the
+    text-based CSV/JSONL paths — splittable, predicate-pushdown-
+    capable, the same scan plan shape at 100 TB."""
+    from cs6300_vectordbs_spark.sources.index_common import (
+        corpus_fingerprint,
+        read_fingerprint,
+        write_fingerprint,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/documents_orc_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    fp = corpus_fingerprint(docs, ["doc_id", "n_chars"], {"fmt": "orc"})
+    meta = f"{path}__meta"
+    if read_fingerprint(meta) != fp:
+        docs.write.mode("overwrite").orc(path)
+        import os
+
+        os.makedirs(meta, exist_ok=True)
+        write_fingerprint(meta, fp)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(F.size(tokens("text"))).cast("bigint").alias("sum_tokens"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_ORACLE_ORC_INGEST = f"""
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+  sum(n_chars)::BIGINT AS sum_chars,
+  sum(len({_SQL_TOKS}))::BIGINT AS sum_tokens,
+  min(doc_id)::BIGINT AS min_doc_id,
+  max(doc_id)::BIGINT AS max_doc_id
+FROM documents GROUP BY source, lang ORDER BY source, lang
+"""
+
+
 _N_SHARDS = 16
 
 
@@ -8252,6 +8341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dup_span_stats": q_dup_span_stats,
         "shard_manifest": q_shard_manifest,
+        "edit_distance_neardup": q_edit_distance_neardup,
+        "orc_ingest": q_orc_ingest,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -8420,6 +8511,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _ORACLE_GOPHER,
         "dup_span_stats": _ORACLE_DUP_SPAN,
         "shard_manifest": _ORACLE_SHARD_MANIFEST,
+        "edit_distance_neardup": _oracle_edit_distance(),
+        "orc_ingest": _ORACLE_ORC_INGEST,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,
