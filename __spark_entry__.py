@@ -8277,6 +8277,213 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 """
 
 
+# NSW graph-search tuning (measured recall@5 vs the exact kernel):
+# plain 3-NN graph, beam 8, 4 hops: 0.28 (sf0.01) / 0.12 (sf0.1) —
+# greedy search stalls in local clusters. 12-NN + hash shortcut long
+# links, beam 32, 6 hops: 0.94 (sf0.01) / 0.90 (sf0.1). The shortcut
+# edges are the NSW ingredient a pure kNN graph lacks.
+_NSW_K, _NSW_BEAM, _NSW_HOPS, _NSW_ENTRIES = 12, 32, 6, 16
+
+
+def _nsw_edges(spark: SparkSession, sf_dir: str):
+    """Symmetric exact 12-NN edges + deterministic hash shortcut
+    links (a < b) — the NSW graph for beam search; a persisted
+    artifact at scale (build = the grid top-k plan, one-off)."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_shortcut_edges
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_grid,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = similarity_topk_grid(emb, allq, _NSW_K, exclude_self=True)
+    short = knn.select(
+        F.least("query_id", "vec_id").alias("a"),
+        F.greatest("query_id", "vec_id").alias("b"),
+    )
+    return (
+        short.unionByName(nsw_shortcut_edges(emb))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def q_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving: beam search over a navigable-small-world
+    graph (operators/ann.nsw_beam_search) — the single-layer core of
+    the reference's actual index structure, HNSW
+    (/root/reference/src/chroma.py:77; Malkov & Yashunin 2018). Graph
+    = symmetric exact 12-NN edges + deterministic hash shortcut long
+    links; entry = highest-degree hubs; 6 hops, beam 32, top-5
+    emitted (recall@5 = 0.90 vs exact at sf0.1, docs/ANN_QUALITY.md).
+    Fully deterministic (hub order, beam order, and the standard
+    sequential-fold sim kernel all carry total orders), so unlike
+    real HNSW it gets a FULL value-hash oracle: the same 6 hops
+    unrolled as CTEs, the kmeans/pagerank iteration discipline.
+    Per-query cost is O(hops x beam x degree) score evaluations —
+    independent of corpus size, which is why graph ANN is the serving
+    default everywhere."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = nsw_beam_search(
+        emb, _query_batch(emb), TOPK, edges=_nsw_edges(spark, sf_dir),
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        dim=EMB_DIM, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_nsw_beam() -> str:
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    ctes = [f"""nv AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+sims12 AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM nv q JOIN nv e ON e.vec_id != q.vec_id
+),
+knn12 AS (
+  SELECT query_id, vec_id FROM sims12
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+ncnt AS (SELECT count(*) AS n FROM embeddings),
+sc AS (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM embeddings e JOIN embeddings d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM ncnt))
+  WHERE e.vec_id != d.vec_id
+),
+edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM knn12
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM sc)
+),
+dir AS (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+deg AS (SELECT src, count(*) AS degree FROM dir GROUP BY src),
+hubs AS (SELECT src AS node FROM deg
+         ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+qb AS (SELECT vec_id AS query_id, embedding, nrm FROM nv
+       WHERE vec_id < {N_QUERIES}),
+b0 AS (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, h.node, {sim} AS sim
+          FROM qb q CROSS JOIN hubs h JOIN nv n ON n.vec_id = h.node
+          WHERE h.node != q.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)"""]
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM b{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM b{i - 1} b JOIN dir d ON d.src = b.node)
+),
+b{i} AS (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM c{i} c JOIN nv n ON n.vec_id = c.node
+          JOIN nv q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM b{_NSW_HOPS}
+) WHERE rank <= {TOPK}"""
+    )
+
+
+def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF
+    cells as the clustering step, same-cell cosine pairs above the
+    threshold as semantic duplicates, connected components, keep the
+    min-id representative. One row per vector with its duplicate
+    cluster, the cluster size, and the survivor flag — filter
+    is_survivor for the deduplicated training set. Composes three
+    verified kernels (ivf_neardup_pairs, dedup_clusters, one
+    assembly join); the oracle is the cell CTEs + recursive-CTE
+    transitive closure."""
+    from cs6300_vectordbs_spark.operators.curation import semdedup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_survivors(
+        emb, dim=EMB_DIM, n_cells=_IVF_CELLS, min_sim=_NEARDUP_IVF_SIM
+    ).select(
+        F.col("vec_id").cast("bigint"),
+        F.col("cluster_id").cast("bigint"),
+        "cluster_size",
+        "is_survivor",
+    )
+
+
+def _oracle_semdedup() -> str:
+    return f"""
+WITH RECURSIVE cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  ORDER BY vec_id LIMIT {_IVF_CELLS}
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_sql_cos('a.embedding', 'b.embedding')} >= {_NEARDUP_IVF_SIM!r}
+),
+{_SQL_CLOSURE},
+comp AS (
+  SELECT a AS vec_id, least(min(b), a) AS cluster_id FROM reach GROUP BY a
+),
+fullset AS (
+  SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+),
+sizes AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+  FROM fullset GROUP BY cluster_id
+)
+SELECT f.vec_id::BIGINT AS vec_id, f.cluster_id::BIGINT AS cluster_id,
+       s.cluster_size AS cluster_size,
+       (f.vec_id = f.cluster_id) AS is_survivor
+FROM fullset f JOIN sizes s USING (cluster_id)
+"""
+
+
 _N_SHARDS = 16
 
 
@@ -8313,11 +8520,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # cumulative ledger. The r05 window below = the one r04 red
     # (cumulative_users, re-fixed tz-proof), the search_latency oracle
     # split pair, the new 384-d gate pin, the 8 r05-queue names that
-    # were registered 51+ in r04, then RE-VERIFICATION slots for every
-    # query whose code paths this round touched: the kmeans mean rule,
-    # the BRP zero-norm guard, the CSV arity check, the vector-kernel
-    # UNROLL cap, and the read_events UTC re-pin (the whole ts/date
-    # family) — exactly 50 slots.
+    # were registered 51+ in r04, the 10 NEW r05 queries (zordered,
+    # bpe/dsir/null-audit, gopher, dup-span, shard manifest,
+    # edit-distance neardup, ORC, NSW beam search), then
+    # RE-VERIFICATION slots for every query whose code paths this
+    # round touched: the kmeans mean rule, the BRP zero-norm guard,
+    # the CSV arity check, the vector-kernel UNROLL cap, and the
+    # read_events UTC re-pin (the ts/date family) — exactly 50 slots;
+    # displaced tail re-verification names keep their earlier driver
+    # greens and were re-verified locally this round.
     return {
         # -- r05 window: red-fix + split + new + queue --
         "cumulative_users": q_cumulative_users,
@@ -8343,6 +8554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "edit_distance_neardup": q_edit_distance_neardup,
         "orc_ingest": q_orc_ingest,
+        "nsw_beam_topk": q_nsw_beam_topk,
+        "semdedup_survivors": q_semdedup_survivors,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -8513,6 +8726,8 @@ def oracle_sql() -> dict[str, str]:
         "shard_manifest": _ORACLE_SHARD_MANIFEST,
         "edit_distance_neardup": _oracle_edit_distance(),
         "orc_ingest": _ORACLE_ORC_INGEST,
+        "nsw_beam_topk": _oracle_nsw_beam(),
+        "semdedup_survivors": _oracle_semdedup(),
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

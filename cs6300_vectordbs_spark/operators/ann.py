@@ -1346,3 +1346,141 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", corpus_id, "sim", "adc")
     )
+
+
+def nsw_beam_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    edges: DataFrame,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    dim: int | None = None,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Graph-ANN serving: greedy BEAM SEARCH over a navigable
+    small-world kNN graph — the single-layer core of the reference's
+    HNSW index (/root/reference/src/chroma.py:77; Malkov & Yashunin
+    2018: HNSW = this search on a layered NSW graph). Unlike the
+    hash-family stand-ins (SRP/BRP-LSH) and IVF, the candidate set
+    adapts to the query: each hop expands the current beam's graph
+    neighbors and keeps the ``beam_width`` best, so per-query work is
+    O(n_iters * beam_width * degree) score evaluations — INDEPENDENT
+    of corpus size, the property that makes graph ANN the serving
+    default everywhere.
+
+    Fully deterministic, so it carries a FULL value-hash oracle
+    (unrolled per-hop CTEs, like the kmeans and pagerank iterations):
+    entry points are the ``n_entries`` highest-degree hubs (degree
+    DESC, id ASC — the navigability heuristic HNSW gets from its top
+    layers), every beam selection orders by (sim DESC, id ASC), and
+    the sim kernel is the engine's standard sequential fold.
+
+    ``edges`` is the prebuilt symmetric kNN edge list (a, b) with
+    a < b (see the knn-graph family); at 100 TB it is a persisted
+    artifact (build = the grid top-k plan, one-off). Scale shape per
+    hop: the beam (|Q| x beam_width rows) broadcast-joins the edge
+    list on the node key, candidates equi-join ``emb`` for scoring
+    (point lookups against a bucketed table at serving scale), one
+    window per query over <= beam_width * (degree + 1) rows. The
+    corpus is never scanned after the graph build; lineage is
+    truncated per hop exactly like the other iterative operators.
+    """
+    dirs = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    hubs = (
+        deg.orderBy(F.col("degree").desc(), F.col("src").asc())
+        .limit(n_entries)
+        .select(F.col("src").alias("node"))
+    )
+    q = queries.select("query_id", "query_vec")
+    beam = q.select("query_id").crossJoin(F.broadcast(hubs))
+
+    corpus = emb.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node").asc()
+    )
+
+    def _score_topb(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(corpus, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
+            )
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("node") != F.col("query_id"))
+        return scored.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= beam_width
+        ).select("query_id", "node", "sim")
+
+    beam = _score_topb(beam).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        neigh = beam.join(
+            dirs, beam["node"] == dirs["src"]
+        ).select("query_id", F.col("dst").alias("node"))
+        cand = beam.select("query_id", "node").unionByName(neigh).distinct()
+        beam = _score_topb(cand).localCheckpoint(eager=True)
+
+    return (
+        beam.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("node").alias("vec_id"),
+            "sim",
+        )
+    )
+
+
+def nsw_shortcut_edges(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    salt: int = 17,
+) -> DataFrame:
+    """Deterministic long-range shortcut edges for the NSW graph: each
+    node links to the node whose id equals md5-hash64(own id) mod N.
+    A plain kNN graph is all short links — its graph diameter grows
+    with corpus size and greedy search stalls in local clusters
+    (measured: recall@5 0.52 -> 0.90 at sf0.1 with shortcuts + the
+    same beam). Real NSW gets long links for free from randomized
+    insertion order; a seed-free hash is the reproducible equivalent
+    (uniform by construction, any engine can re-derive it — the
+    shard_manifest discipline). The join against existing ids makes no
+    density assumption: a hash landing on a gap simply drops that
+    shortcut, identically in any engine. Returns (a, b) with a < b.
+    """
+    from .dedup import _md5_hash64
+
+    n = emb.count()
+    ids = emb.select(F.col(id_col))
+    sc = ids.select(
+        F.col(id_col).alias("src"),
+        F.pmod(
+            _md5_hash64(F.col(id_col).cast("string"), salt), F.lit(n)
+        ).alias("dst"),
+    )
+    return (
+        sc.join(
+            ids.select(F.col(id_col).alias("dst")), "dst"
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )

@@ -204,3 +204,65 @@ def shard_manifest(
         )
         .orderBy("shard")
     )
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_cells: int = 8,
+    min_sim: float = 0.92,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, call same-cluster pairs above a cosine threshold
+    semantic duplicates, keep ONE representative per duplicate group.
+    Exactly the paper's recipe, built from this engine's verified
+    kernels: IVF-cell blocking (ivf_neardup_pairs — the paper's
+    k-means clustering step; pairs are scored only within a cell) ->
+    connected components (dedup_clusters, iterative min-label
+    propagation) -> keep the min-id member of each component.
+
+    Output, one row per input vector: (id, cluster_id, cluster_size,
+    is_survivor). Vectors in no near-dup pair are their own singleton
+    cluster (survivors by definition). Training-set construction =
+    filter is_survivor, join back to the corpus by id.
+
+    Scale shape: pair generation is ~N^2/n_cells same-cell dots (the
+    SemDeDup trick — n_cells grows with N to hold this constant);
+    components run on the near-dup pair graph only (typically a small
+    fraction of N); the final assembly is a left join + one groupBy
+    on cluster_id. No stage is corpus x corpus.
+    """
+    from ..operators.ann import ivf_neardup_pairs
+    from ..operators.graph import dedup_clusters
+
+    pairs = ivf_neardup_pairs(
+        emb, corpus_id=id_col, corpus_vec=vec_col, dim=dim,
+        n_cells=n_cells, min_sim=min_sim,
+    )
+    cl = dedup_clusters(pairs, id_a="id_a", id_b="id_b").select(
+        F.col("doc_id").alias("__id"), F.col("cluster_id")
+    )
+    full = (
+        emb.select(F.col(id_col).alias("__id"))
+        .join(cl, "__id", "left")
+        .select(
+            "__id",
+            F.coalesce("cluster_id", F.col("__id")).alias("cluster_id"),
+        )
+    )
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        full.join(sizes, "cluster_id")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("cluster_id"),
+            "cluster_size",
+            (F.col("__id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+    )

