@@ -8484,6 +8484,114 @@ FROM fullset f JOIN sizes s USING (cluster_id)
 """
 
 
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM phase of Lee et al. 2021 exact-substring dedup:
+    delete every token position covered by a corpus-duplicated n-token
+    span, re-join the survivors in original order (deterministic
+    sort_array reassembly, not a bare collect_list). The cleaned_text
+    column itself is value-hashed, so the oracle proves byte-equal
+    reconstruction, not just matching counts."""
+    from cs6300_vectordbs_spark.operators.dedup import dup_span_removal
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_removal(docs, n=_DUP_SPAN_N)
+
+
+_ORACLE_DUP_SPAN_REMOVAL = f"""
+WITH tk AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), ex AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+  FROM tk, LATERAL unnest(range(1, len(t) + 1)) AS u(i)
+), starts AS (
+  SELECT doc_id, unnest(range(1, len(t) - {_DUP_SPAN_N} + 2)) AS i, t
+  FROM tk WHERE len(t) >= {_DUP_SPAN_N}
+), spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_aggregate(t[i:i + {_DUP_SPAN_N} - 1], 'string_agg', ' ') AS s
+  FROM starts
+), dup AS (
+  SELECT s FROM spans GROUP BY s HAVING count(*) >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, cp AS pos
+  FROM (SELECT doc_id, unnest(range(pos, pos + {_DUP_SPAN_N})) AS cp
+        FROM spans JOIN dup USING (s))
+), kept AS (
+  SELECT e.doc_id, e.pos, e.tok
+  FROM ex e ANTI JOIN covered c ON c.doc_id = e.doc_id AND c.pos = e.pos
+), rebuilt AS (
+  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(len(t.t), 0)::BIGINT AS n_tokens,
+  coalesce(r.kept_tokens, 0)::BIGINT AS kept_tokens,
+  coalesce(r.cleaned_text, '') AS cleaned_text
+FROM documents d
+LEFT JOIN tk t ON t.doc_id = d.doc_id
+LEFT JOIN rebuilt r ON r.doc_id = d.doc_id
+"""
+
+
+_KNN_VOTE_QUERIES = 50
+_KNN_VOTE_K = 5
+
+
+def q_knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN majority-vote classification over the
+    labeled embeddings — embedding-space label propagation, the
+    curation move that spreads a small human-labeled set (spam /
+    quality / domain tags) across a corpus. 50 queries, k=5,
+    prediction = modal neighbor label with a total-order tie-break
+    (votes DESC, best-in-label sim DESC, label ASC NULLS LAST — the
+    NULL tier ships a NULL-labeled vector)."""
+    from cs6300_vectordbs_spark.operators.similarity import knn_label_vote
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = knn_label_vote(
+        emb, _query_batch(emb, _KNN_VOTE_QUERIES), _KNN_VOTE_K,
+        dim=EMB_DIM, exclude_self=True,
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return pred.join(truth, "query_id").select(
+        F.col("query_id").cast("bigint").alias("vec_id"),
+        F.col("true_label").cast("bigint"),
+        F.col("pred_label").cast("bigint"),
+        "n_votes",
+        (F.col("true_label") == F.col("pred_label")).alias("correct"),
+    )
+
+
+_ORACLE_KNN_VOTE = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id, e.label, {_SQL_COSINE} AS sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {_KNN_VOTE_QUERIES}
+), topk AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_KNN_VOTE_K}
+), votes AS (
+  SELECT query_id, label AS pred_label, count(*)::BIGINT AS n_votes,
+         max(sim) AS top_sim
+  FROM topk GROUP BY query_id, label
+), best AS (
+  SELECT * FROM votes
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY n_votes DESC, top_sim DESC, pred_label ASC NULLS LAST) = 1
+)
+SELECT b.query_id AS vec_id, t.label::BIGINT AS true_label,
+       b.pred_label::BIGINT AS pred_label, b.n_votes,
+       (t.label = b.pred_label) AS correct
+FROM best b JOIN embeddings t ON t.vec_id = b.query_id
+"""
+
+
 _N_SHARDS = 16
 
 
@@ -8556,6 +8664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_ingest": q_orc_ingest,
         "nsw_beam_topk": q_nsw_beam_topk,
         "semdedup_survivors": q_semdedup_survivors,
+        "dup_span_removal": q_dup_span_removal,
+        "knn_label_classifier": q_knn_label_classifier,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -8728,6 +8838,8 @@ def oracle_sql() -> dict[str, str]:
         "orc_ingest": _ORACLE_ORC_INGEST,
         "nsw_beam_topk": _oracle_nsw_beam(),
         "semdedup_survivors": _oracle_semdedup(),
+        "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,
+        "knn_label_classifier": _ORACLE_KNN_VOTE,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

@@ -705,3 +705,103 @@ def edit_distance_neardup(
         )
         .withColumn("is_dup", F.col("rel_dist") <= max_rel_dist)
     )
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    min_count: int = 2,
+) -> DataFrame:
+    """The TRANSFORM phase of Lee et al. 2021 exact-substring dedup:
+    delete every token position covered by a corpus-duplicated n-token
+    span and re-join the survivors — the step that
+    :func:`dup_span_stats` measures. Output per document:
+
+      n_tokens      original whitespace tokens
+      kept_tokens   tokens surviving removal
+      cleaned_text  surviving tokens joined by single spaces, in
+                    original order (empty string when everything or
+                    nothing was there to keep)
+
+    Same candidate machinery as dup_span_stats (one global span
+    aggregate, equi-joins on the span key, coverage by
+    sequence-explode) plus an anti-join of token positions against
+    covered positions and one per-doc ordered reassembly
+    (sort_array of (pos, tok) structs — deterministic, unlike a bare
+    collect_list). The reassembly groups on doc_id: rows per group =
+    surviving tokens of ONE document, so the aggregate state is
+    document-sized, never corpus-sized.
+    """
+    from pyspark.sql.window import Window
+
+    t = F.lower(F.trim(F.col(text_col)))
+    ex = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(t, r"\s+")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("id").orderBy("p")
+    ex = ex.select("id", (F.row_number().over(w) - 1).alias("pos"), "tok")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(Window.partitionBy("id").orderBy("pos"))
+        for i in range(1, n)
+    ]
+    spans = (
+        ex.select(
+            "id", "pos", F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", "s")
+    )
+    dup = (
+        spans.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("s")
+    )
+    covered = (
+        spans.join(dup, "s")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = ex.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = ex.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    base = _spread(docs).select(F.col(id_col).alias("id"))
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("kept_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

@@ -696,3 +696,68 @@ def centroid_outliers(
             "label", "rank", "vec_id", F.round("__dist", 9).alias("dist")
         )
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-NN majority-vote classification over a labeled vector corpus
+    — the classic embedding-space label propagation a curation
+    pipeline uses to spread a small set of human labels (spam/quality/
+    domain tags) across the whole corpus. With queries drawn from the
+    corpus and ``exclude_self``, this is leave-one-out evaluation.
+
+    Per query: (query_id, pred_label, n_votes, top_sim). Prediction =
+    the modal label among the k nearest neighbors; ties break by vote
+    count DESC, then best-similarity-within-label DESC, then label ASC
+    — a total order, so the answer (and its SQL twin) is
+    deterministic.
+
+    Scale shape: one top-k search (whatever strategy fits the corpus
+    size — exact here; callers can feed any (query_id, rank, id, sim)
+    frame from the ANN paths instead), one equi-join on the corpus id
+    for labels (k rows per query), one k-row-per-query aggregate, one
+    per-query window. Nothing beyond the search touches the corpus.
+    """
+    topk = similarity_topk(
+        corpus, queries, k,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        exclude_self=exclude_self, dim=dim,
+    )
+    labels = corpus.select(
+        F.col(corpus_id), F.col(label_col).alias("__nbr_label")
+    )
+    votes = (
+        topk.join(labels, corpus_id)
+        .groupBy("query_id", "__nbr_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+            F.max("sim").alias("top_sim"),
+        )
+    )
+    # asc_nulls_last: Spark's bare ASC sorts NULLs FIRST while DuckDB
+    # defaults to NULLS LAST — a NULL-labeled neighbor (the NULL
+    # hostile tier ships one) must tie-break identically in both.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(),
+        F.col("top_sim").desc(),
+        F.col("__nbr_label").asc_nulls_last(),
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__nbr_label").alias("pred_label"),
+            "n_votes",
+            "top_sim",
+        )
+    )

@@ -69,3 +69,68 @@ def test_rel_dist_normalization(spark):
     if out:  # pair only surfaces if LSH bands collide
         r = out[0]
         assert r.rel_dist == pytest.approx(r.edit_dist / 31)  # longer text
+
+
+class TestDupSpanRemoval:
+    def test_hand_removal(self, spark):
+        from cs6300_vectordbs_spark.operators.dedup import dup_span_removal
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "x x a b c d y"),
+                (3, "p q r s"),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in dup_span_removal(df, n=4).collect()}
+        # 'a b c d' is the only duplicated span; its 4 positions go.
+        assert got[1].cleaned_text == "e f" and got[1].kept_tokens == 2
+        assert got[2].cleaned_text == "x x y" and got[2].kept_tokens == 3
+        assert got[3].cleaned_text == "p q r s"  # untouched
+        assert got[4].cleaned_text == "" and got[4].n_tokens == 0
+
+    def test_counts_consistent_with_stats(self, spark):
+        from cs6300_vectordbs_spark.operators.dedup import (
+            dup_span_removal,
+            dup_span_stats,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        stats = {r.doc_id: r for r in dup_span_stats(docs, n=4).collect()}
+        rem = {r.doc_id: r for r in dup_span_removal(docs, n=4).collect()}
+        for did, s in stats.items():
+            r = rem[did]
+            assert r.n_tokens == s.n_tokens
+            assert r.kept_tokens == s.n_tokens - s.covered_tokens
+
+
+class TestKnnLabelVote:
+    def test_hand_vote(self, spark):
+        from cs6300_vectordbs_spark.operators.similarity import (
+            knn_label_vote,
+        )
+        from pyspark.sql import functions as F
+
+        # query 0 at origin-ish; labels: two 'A'(1) close, one 'B'(2)
+        # closer than one of the As -> majority still A.
+        vecs = [
+            (0, [1.0, 0.0], 9),
+            (1, [0.99, 0.1], 1),
+            (2, [0.95, 0.2], 1),
+            (3, [0.999, 0.05], 2),
+            (4, [0.0, 1.0], 2),
+        ]
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        )
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out = knn_label_vote(emb, q, 3, exclude_self=True).collect()
+        assert len(out) == 1
+        assert out[0].pred_label == 1 and out[0].n_votes == 2
