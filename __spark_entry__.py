@@ -8592,6 +8592,60 @@ FROM best b JOIN embeddings t ON t.vec_id = b.query_id
 """
 
 
+_BPE_MERGES = 3
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training LOOP (Sennrich et al. 2016 alg. 1) — 3 rounds
+    of [pair argmax -> merge everywhere], emitting the ordered merge
+    table, i.e. the actual tokenizer artifact (bpe_pair_counts is one
+    round's statistic; this is the trainer). Vocabulary-sized work
+    per round, one argmax row to the driver per round (the
+    kmeans-centroid discipline); oracle = the same 3 rounds unrolled
+    as CTEs with scalar-subquery merges."""
+    from cs6300_vectordbs_spark.operators.curation import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=_BPE_MERGES)
+
+
+def _oracle_bpe_merges() -> str:
+    spell = (
+        "list_aggregate(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, CAST(i AS INT), 1)), 'string_agg', ' ')"
+    )
+    ctes = [f"""toks AS (
+  SELECT unnest({_SQL_TOKS}) AS w FROM documents
+),
+words AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w),
+sp0 AS (
+  SELECT {spell} AS sp, wc FROM words WHERE length(w) >= 2
+)"""]
+    for i in range(1, _BPE_MERGES + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT unnest(list_transform(range(1, len(a)),
+           j -> a[j] || ' ' || a[j + 1])) AS pair, wc
+  FROM (SELECT string_split(sp, ' ') AS a, wc FROM sp{i - 1})
+),
+b{i} AS (
+  SELECT pair, sum(wc)::BIGINT AS cnt FROM p{i} GROUP BY pair
+  ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+sp{i} AS (
+  SELECT trim(replace(' ' || sp || ' ',
+           ' ' || (SELECT pair FROM b{i}) || ' ',
+           ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sp,
+         wc
+  FROM sp{i - 1}
+)""")
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS step, pair, replace(pair, ' ', '') AS merged,"
+        f" cnt FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + steps
+
+
 _N_SHARDS = 16
 
 
@@ -8666,6 +8720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": q_semdedup_survivors,
         "dup_span_removal": q_dup_span_removal,
         "knn_label_classifier": q_knn_label_classifier,
+        "bpe_train_merges": q_bpe_train_merges,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -8840,6 +8895,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,
         "knn_label_classifier": _ORACLE_KNN_VOTE,
+        "bpe_train_merges": _oracle_bpe_merges(),
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

@@ -266,3 +266,85 @@ def semdedup_survivors(
             (F.col("__id") == F.col("cluster_id")).alias("is_survivor"),
         )
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame, *, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """The BPE training LOOP (Sennrich et al. 2016, alg. 1) — the
+    iterative companion of :func:`bpe_pair_counts` (which computes one
+    round's statistic): words spelled as space-joined symbols, then
+    ``n_merges`` rounds of [count adjacent symbol pairs weighted by
+    word frequency -> pick argmax -> merge every occurrence]. Output
+    is the actual tokenizer artifact: the ordered merge table
+    (step, pair, merged, cnt).
+
+    Determinism: argmax ties break (cnt DESC, pair ASC); the merge
+    rewrite is non-overlapping left-to-right string replace — the
+    same greedy order the reference algorithm applies, and identical
+    in any engine. Per-round driver traffic is ONE row (the argmax),
+    the kmeans-centroid discipline; spellings are localCheckpoint'd
+    per round so lineage stays O(1).
+
+    Scale shape: all per-round work runs on the VOCABULARY table
+    (word -> spelling, count), orders of magnitude smaller than the
+    corpus; the corpus is read once, for word counts. This is exactly
+    how production BPE trainers scale (the dictionary trick).
+    """
+    words = word_counts(docs, text_col).filter(F.length("w") >= 2)
+    spell = words.select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+        ).alias("sp"),
+        "wc",
+    ).localCheckpoint(eager=True)
+
+    out = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.col("sp"), " ")
+        pairs = spell.select(
+            F.explode(
+                F.when(
+                    F.size(arr) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(arr, i),
+                            F.element_at(arr, i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], best[0]["cnt"]
+        merged = pair.replace(" ", "")
+        out.append((step, pair, merged, cnt))
+        spell = spell.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sp"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("sp"),
+            "wc",
+        ).localCheckpoint(eager=True)
+
+    return docs.sparkSession.createDataFrame(
+        out, "step bigint, pair string, merged string, cnt bigint"
+    )

@@ -161,3 +161,42 @@ class TestSemDedup:
         assert out[5].cluster_size == 1 and out[5].is_survivor
         # survivor count = number of clusters
         assert sum(r.is_survivor for r in out.values()) == 3
+
+
+class TestBpeTrainMerges:
+    def test_hand_merges(self, spark):
+        from cs6300_vectordbs_spark.operators.curation import (
+            bpe_train_merges,
+        )
+
+        # classic Sennrich example shape: 'low' x3, 'lowest' x1.
+        docs = spark.createDataFrame(
+            [(1, "low low low lowest")], "doc_id long, text string"
+        )
+        out = bpe_train_merges(docs, n_merges=3).collect()
+        assert [r.step for r in out] == [1, 2, 3]
+        # round 1: 'l o' and 'o w' tie at 4 -> 'l o' wins (pair ASC)
+        assert out[0].pair == "l o" and out[0].merged == "lo"
+        assert out[0].cnt == 4
+        # round 2: 'lo w' now the argmax at 4
+        assert out[1].pair == "lo w" and out[1].merged == "low"
+        assert out[1].cnt == 4
+        # round 3: within 'lowest' only: 'low e' (1) vs 'e s'/'s t' (1)
+        # -> 'e s' wins on pair ASC ordering
+        assert out[2].cnt == 1
+
+    def test_merge_applies_everywhere(self, spark):
+        from cs6300_vectordbs_spark.operators.curation import (
+            bpe_train_merges,
+        )
+
+        # 'aaa': spelled 'a a a'; merging 'a a' must be greedy
+        # left-to-right non-overlapping -> one occurrence per word.
+        docs = spark.createDataFrame(
+            [(1, "aaa aaa")], "doc_id long, text string"
+        )
+        out = bpe_train_merges(docs, n_merges=2).collect()
+        assert out[0].pair == "a a" and out[0].cnt == 4
+        # after round 1 every 'aaa' is 'aa a'; the only pair left is
+        # 'aa a' with weight 2.
+        assert out[1].pair == "aa a" and out[1].cnt == 2
