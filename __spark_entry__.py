@@ -8646,6 +8646,115 @@ sp{i} AS (
     return "WITH " + ",\n".join(ctes) + "\n" + steps
 
 
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's ENCODE side: train the same 3 merges, apply
+    them once per distinct vocabulary word (the dictionary trick —
+    never per token occurrence), and roll per-word symbol counts up to
+    each document: word/char/BPE-token counts plus tokens-per-char
+    fertility. With bpe_train_merges this completes the tokenizer
+    story train -> apply; oracle = the trainer CTEs carrying the word
+    key, then a vocab join + per-doc rollup."""
+    from cs6300_vectordbs_spark.operators.curation import bpe_encode_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode_stats(docs, n_merges=_BPE_MERGES)
+
+
+def _oracle_bpe_encode() -> str:
+    spell = (
+        "list_aggregate(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, CAST(i AS INT), 1)), 'string_agg', ' ')"
+    )
+    ctes = [f"""toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS w FROM documents
+),
+words AS (SELECT w, count(*)::BIGINT AS wc FROM toks GROUP BY w),
+sp0 AS (
+  SELECT w, {spell} AS sp, wc FROM words
+)"""]
+    for i in range(1, _BPE_MERGES + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT unnest(list_transform(range(1, len(a)),
+           j -> a[j] || ' ' || a[j + 1])) AS pair, wc
+  FROM (SELECT string_split(sp, ' ') AS a, wc FROM sp{i - 1})
+),
+b{i} AS (
+  SELECT pair, sum(wc)::BIGINT AS cnt FROM p{i} GROUP BY pair
+  ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+sp{i} AS (
+  SELECT w,
+         trim(replace(' ' || sp || ' ',
+           ' ' || (SELECT pair FROM b{i}) || ' ',
+           ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sp,
+         wc
+  FROM sp{i - 1}
+)""")
+    ctes.append(f"""enc AS (
+  SELECT w, length(replace(sp, ' ', ''))::BIGINT AS n_chars_w,
+         len(string_split(sp, ' '))::BIGINT AS n_sym_w
+  FROM sp{_BPE_MERGES}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT t.doc_id, count(*)::BIGINT AS n_words,
+       sum(e.n_chars_w)::BIGINT AS n_chars,
+       sum(e.n_sym_w)::BIGINT AS n_bpe_tokens,
+       round(sum(e.n_sym_w)::DOUBLE / sum(e.n_chars_w)::DOUBLE, 9)
+         AS tokens_per_char
+FROM toks t JOIN enc e ON t.w = e.w
+GROUP BY t.doc_id"""
+    )
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha=0.5) over the corpus language mix —
+    the XLM-R/mT5 rebalancing rule (Conneau et al. 2020 §3.1): group
+    shares move from p_l to ∝ sqrt(p_l), realized as a deterministic
+    keyed-hash acceptance test so the resample is reproducible across
+    runs, engines, and partitionings. One tiny group-count aggregate
+    to the driver, then a map-only CASE filter — no join, no second
+    shuffle."""
+    from cs6300_vectordbs_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_resample(
+        docs, group_col="lang", key_col="doc_id", alpha=0.5
+    )
+
+
+_ORACLE_TEMPERATURE_RESAMPLE = """
+WITH c AS (
+  SELECT lang, count(*)::BIGINT AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
+),
+tot AS (SELECT sum(n)::BIGINT AS N FROM c),
+w AS (
+  SELECT lang, n, sqrt(n::DOUBLE / (SELECT N FROM tot)) AS wl FROM c
+),
+z AS (
+  SELECT list_aggregate(list(wl ORDER BY lang), 'sum') AS Z FROM w
+),
+r AS (
+  SELECT lang,
+         round(least(1.0, (wl / (SELECT Z FROM z))
+                          * ((SELECT N FROM tot)::DOUBLE / n)), 9) AS rate
+  FROM w
+),
+s AS (
+  SELECT d.doc_id, d.lang, r.rate,
+         round((((d.doc_id % 2147483648) * 2654435761)
+                % 4294967296 % 1000000) / 1000000.0, 9) AS u
+  FROM documents d JOIN r USING (lang)
+)
+SELECT doc_id, lang, rate, u FROM s WHERE u < rate
+"""
+
+
 _N_SHARDS = 16
 
 
@@ -8721,6 +8830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "knn_label_classifier": q_knn_label_classifier,
         "bpe_train_merges": q_bpe_train_merges,
+        "bpe_encode_tokens": q_bpe_encode_tokens,
+        "temperature_resample": q_temperature_resample,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -8896,6 +9007,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,
         "knn_label_classifier": _ORACLE_KNN_VOTE,
         "bpe_train_merges": _oracle_bpe_merges(),
+        "bpe_encode_tokens": _oracle_bpe_encode(),
+        "temperature_resample": _ORACLE_TEMPERATURE_RESAMPLE,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

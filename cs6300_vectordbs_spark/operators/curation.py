@@ -292,7 +292,17 @@ def bpe_train_merges(
     how production BPE trainers scale (the dictionary trick).
     """
     words = word_counts(docs, text_col).filter(F.length("w") >= 2)
-    spell = words.select(
+    _, merges = _bpe_rounds(_bpe_spell(words), n_merges, carry=[])
+    return docs.sparkSession.createDataFrame(
+        merges, "step bigint, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_spell(words: DataFrame, *, carry: list[str] | None = None) -> DataFrame:
+    """Vocabulary rows (w, wc) -> (``carry``..., sp, wc) with ``sp`` the
+    space-joined character spelling (the BPE working representation)."""
+    return words.select(
+        *(carry or []),
         F.concat_ws(
             " ",
             F.transform(
@@ -303,7 +313,23 @@ def bpe_train_merges(
         "wc",
     ).localCheckpoint(eager=True)
 
-    out = []
+
+def _bpe_rounds(
+    spell: DataFrame, n_merges: int, *, carry: list[str]
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """Run ``n_merges`` BPE rounds over a spelled vocabulary.
+
+    Each round: count adjacent symbol pairs weighted by word count,
+    pick the argmax (ONE row to the driver — the kmeans-centroid
+    collect discipline), then rewrite every occurrence via a single
+    non-overlapping left-to-right string replace. ``carry`` columns
+    (e.g. the word key for the encoder) ride along untouched;
+    spellings are localCheckpoint'd per round so lineage stays O(1).
+    Words with a single symbol contribute zero pairs, so including
+    them (the encoder does; the trainer pre-filters) cannot change
+    any merge decision.
+    """
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         arr = F.split(F.col("sp"), " ")
         pairs = spell.select(
@@ -333,8 +359,9 @@ def bpe_train_merges(
             break
         pair, cnt = best[0]["pair"], best[0]["cnt"]
         merged = pair.replace(" ", "")
-        out.append((step, pair, merged, cnt))
+        merges.append((step, pair, merged, cnt))
         spell = spell.select(
+            *carry,
             F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("sp"), F.lit(" ")),
@@ -344,7 +371,64 @@ def bpe_train_merges(
             ).alias("sp"),
             "wc",
         ).localCheckpoint(eager=True)
+    return spell, merges
 
-    return docs.sparkSession.createDataFrame(
-        out, "step bigint, pair string, merged string, cnt bigint"
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """APPLY the trained BPE merges — the tokenizer's encode side,
+    measured per document: train ``n_merges`` merges on the corpus
+    (identical argmax sequence to :func:`bpe_train_merges`), encode
+    every vocabulary word once, then join the per-word symbol counts
+    back onto the documents. Output per doc: word count, character
+    count (of the tokenized words), BPE token count, and the
+    compression ratio tokens/chars — the fertility statistic tokenizer
+    work tracks.
+
+    Scale shape: encoding runs ONCE PER DISTINCT WORD on the
+    vocabulary table (the dictionary trick again), never per token
+    occurrence; the corpus touches two word-keyed shuffles (vocab
+    build, then token->vocab join + doc rollup), both map-side
+    combined. The merge table itself is ``n_merges`` driver rows.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    )
+    words = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("wc")
+    )
+    encoded, _ = _bpe_rounds(
+        _bpe_spell(words, carry=["w"]), n_merges, carry=["w"]
+    )
+    per_word = encoded.select(
+        "w",
+        F.length(F.replace(F.col("sp"), F.lit(" "), F.lit(""))).cast(
+            "bigint"
+        ).alias("n_chars_w"),
+        F.size(F.split(F.col("sp"), " ")).cast("bigint").alias("n_sym_w"),
+    )
+    return (
+        toks.join(per_word, on="w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_chars_w").cast("bigint").alias("n_chars"),
+            F.sum("n_sym_w").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_chars").cast("double"),
+                9,
+            ).alias("tokens_per_char"),
+        )
     )

@@ -101,3 +101,82 @@ def stratified_hash_sample(
     for value, rate in sorted(rates.items()):
         pct = F.when(F.col(stratum) == value, F.lit(rate)).otherwise(pct)
     return df.filter(hash_bucket(key, 100) < pct)
+
+
+def temperature_resample(
+    df: DataFrame,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based group rebalancing — the multilingual sampling
+    rule from XLM-R/mT5 (Conneau et al. 2020 §3.1; Xue et al. 2021
+    §3.2): resample so group l's share moves from p_l = n_l/N toward
+    q_l ∝ p_l^alpha (alpha<1 flattens the distribution, upweighting
+    low-resource groups). Realized as a deterministic per-row
+    acceptance test: keep row iff u(key) < rate_l where
+    rate_l = min(1, q_l/p_l · scale) with scale chosen so the expected
+    output size stays N (rates above 1 clip — this engine downsamples
+    rather than duplicating rows).
+
+    Cross-engine determinism: group counts are exact integers; the
+    only float ops are one sqrt per group (IEEE correctly-rounded —
+    ``alpha`` other than 0.5 uses libm pow, see note), a SEQUENTIAL
+    normalizer fold in group-ASC order (mirrored by the oracle's
+    ``list_aggregate(list(... ORDER BY ...), 'sum')``), and two
+    divisions in a pinned order; the final rate is round(9) on both
+    sides, and u is an exact 6-decimal rational, so a disagreement
+    needs a rate within 1e-9 of a 1e-6 grid point AND a differing
+    last-ulp — the fold pinning removes the second condition.
+
+    Scale shape: ONE tiny aggregate (distinct groups to the driver —
+    bounded-by-contract metadata, like kmeans centroids), then a
+    map-only CASE filter; no join, no second shuffle, and Catalyst
+    pushes the group/hash predicate to the scan. Rows with NULL group
+    are dropped (no rate is defined for them; they are quarantine
+    material upstream).
+    """
+    import math
+
+    counts = sorted(
+        (r[group_col], r["n"])
+        for r in df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r[group_col] is not None
+    )
+    if not counts:
+        return df.select(
+            F.col(key_col),
+            F.col(group_col),
+            F.lit(0.0).alias("rate"),
+            F.lit(0.0).alias("u"),
+        ).limit(0)
+    n_total = sum(n for _, n in counts)
+    # Sequential fold in group-ASC order — pinned summation order is
+    # what lets the SQL oracle reproduce the normalizer bit-exactly.
+    weights = []
+    z = 0.0
+    for g, n in counts:
+        w = math.sqrt(n / n_total) if alpha == 0.5 else (n / n_total) ** alpha
+        weights.append((g, n, w))
+        z += w
+    rates = {
+        g: round(min(1.0, (w / z) * (n_total / n)), 9)
+        for g, n, w in weights
+    }
+    rate = F.lit(None).cast("double")
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == g, F.lit(r)).otherwise(rate)
+    u = F.round(
+        hash_bucket(key_col, 1000000).cast("double") / F.lit(1000000.0), 9
+    )
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(group_col),
+            rate.alias("rate"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("rate"))
+    )

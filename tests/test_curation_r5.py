@@ -200,3 +200,78 @@ class TestBpeTrainMerges:
         # after round 1 every 'aaa' is 'aa a'; the only pair left is
         # 'aa a' with weight 2.
         assert out[1].pair == "aa a" and out[1].cnt == 2
+
+
+class TestBpeEncodeStats:
+    def test_hand_encoded_counts(self, spark):
+        from cs6300_vectordbs_spark.operators.curation import (
+            bpe_encode_stats,
+        )
+
+        # merges (from TestBpeTrainMerges): 'l o', 'lo w', 'e s'.
+        # 'low' -> [low] (1 sym); 'lowest' -> [low, es, t] (3 syms).
+        docs = spark.createDataFrame(
+            [(1, "low low low lowest")], "doc_id long, text string"
+        )
+        out = bpe_encode_stats(docs, n_merges=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_words == 4
+        assert r.n_chars == 3 * 3 + 6
+        assert r.n_bpe_tokens == 3 * 1 + 3
+        assert abs(r.tokens_per_char - round(6 / 15, 9)) < 1e-12
+
+    def test_single_char_words_survive(self, spark):
+        from cs6300_vectordbs_spark.operators.curation import (
+            bpe_encode_stats,
+        )
+
+        # 1-char words produce no pairs but must still be encoded
+        # (1 symbol each), and must not perturb the merge choice.
+        docs = spark.createDataFrame(
+            [(1, "a a b ab ab")], "doc_id long, text string"
+        )
+        out = bpe_encode_stats(docs, n_merges=1).collect()[0]
+        # merge 1 = 'a b' (wc 2 from the two 'ab's)
+        assert out.n_words == 5
+        assert out.n_chars == 1 + 1 + 1 + 2 + 2
+        # 'a','a','b' stay 1 sym; each 'ab' collapses to 1 sym
+        assert out.n_bpe_tokens == 5
+
+
+class TestTemperatureResample:
+    def test_flattens_toward_minority(self, spark):
+        from cs6300_vectordbs_spark.operators.sampling import (
+            temperature_resample,
+        )
+
+        rows = [(i, "en") for i in range(90)] + [
+            (i, "fr") for i in range(90, 100)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = temperature_resample(df).collect()
+        rates = {r.lang: r.rate for r in out}
+        # p_en=.9, p_fr=.1 -> q ∝ sqrt(p): q_en≈.75, q_fr≈.25.
+        # rate_en = q_en/p_en ≈ .833 < 1; rate_fr = min(1, 2.5) = 1.
+        assert rates["fr"] == 1.0
+        assert 0.8 < rates["en"] < 0.9
+        # every fr row survives (rate 1.0 > any u)
+        assert sum(1 for r in out if r.lang == "fr") == 10
+        # deterministic: same input, same survivors
+        again = temperature_resample(df).collect()
+        assert sorted(r.doc_id for r in again) == sorted(
+            r.doc_id for r in out
+        )
+
+    def test_null_group_dropped_and_empty_input(self, spark):
+        from cs6300_vectordbs_spark.operators.sampling import (
+            temperature_resample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "en"), (2, None)], "doc_id long, lang string"
+        )
+        out = temperature_resample(df).collect()
+        assert all(r.lang == "en" for r in out)
+        empty = df.limit(0)
+        assert temperature_resample(empty).count() == 0
