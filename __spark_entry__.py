@@ -8727,6 +8727,84 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q_bloom_cross_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter — the membership sketch that makes
+    100-TB anti-joins cheap: build a Bloom filter (m=4096 bits, k=3
+    portable md5 hashes) over the EVEN-doc_id half's content
+    fingerprints, then probe the ODD half MAP-ONLY against the
+    literal mask (the ~0.5 KB filter ships inside the plan — no
+    shuffle, no join for the membership test). The exact-verify join
+    consumes ONLY bloom hits (Bloom has no false negatives), so
+    output exposes the sketch's contract per probe doc: bloom_hit,
+    exact_dup, and their disagreement is exactly the false-positive
+    set. Bit-position build is a distributed distinct bounded by m
+    rows (the kmeans-centroid collect discipline)."""
+    from cs6300_vectordbs_spark.functions.text import doc_fingerprint
+    from cs6300_vectordbs_spark.operators.sketch import (
+        bloom_build_bits,
+        bloom_hit,
+        bloom_mask_words,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", doc_fingerprint("text").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+    old = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    mask = bloom_mask_words(
+        bloom_build_bits(old, "fp", _BLOOM_M, _BLOOM_K), _BLOOM_M
+    )
+    probe = docs.filter(F.pmod("doc_id", F.lit(2)) == 1).withColumn(
+        "bloom_hit", bloom_hit("fp", mask, _BLOOM_M, _BLOOM_K)
+    )
+    old_fps = old.select("fp").distinct().withColumn("__dup", F.lit(True))
+    return probe.join(
+        F.broadcast(old_fps),
+        on=(probe["fp"] == old_fps["fp"]) & probe["bloom_hit"],
+        how="left",
+    ).select(
+        "doc_id",
+        "bloom_hit",
+        F.coalesce("__dup", F.lit(False)).alias("exact_dup"),
+    )
+
+
+_ORACLE_BLOOM_CROSS_DUPS = f"""
+WITH fps AS (
+  SELECT doc_id, substr(md5({_SQL_NORM_TEXT}), 1, 16) AS fp
+  FROM documents WHERE text IS NOT NULL
+),
+old AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5('bloom' || i || '|' || fp), 1, 15))::BIGINT
+      % {_BLOOM_M} AS bit
+  FROM old CROSS JOIN generate_series(0, {_BLOOM_K - 1}) AS t(i)
+),
+ppos AS (
+  SELECT doc_id, fp,
+    ('0x' || substr(md5('bloom' || i || '|' || fp), 1, 15))::BIGINT
+      % {_BLOOM_M} AS bit
+  FROM fps CROSS JOIN generate_series(0, {_BLOOM_K - 1}) AS t(i)
+  WHERE doc_id % 2 = 1
+),
+agg AS (
+  SELECT p.doc_id, any_value(p.fp) AS fp,
+         count(DISTINCT p.bit) AS npos,
+         count(DISTINCT CASE WHEN b.bit IS NOT NULL THEN p.bit END) AS nhit
+  FROM ppos p LEFT JOIN bits b ON p.bit = b.bit
+  GROUP BY p.doc_id
+)
+SELECT doc_id, nhit = npos AS bloom_hit,
+       (nhit = npos AND fp IN (SELECT fp FROM old)) AS exact_dup
+FROM agg
+"""
+
+
 _ORACLE_TEMPERATURE_RESAMPLE = """
 WITH c AS (
   SELECT lang, count(*)::BIGINT AS n FROM documents
@@ -8832,6 +8910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": q_bpe_train_merges,
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "temperature_resample": q_temperature_resample,
+        "bloom_cross_dups": q_bloom_cross_dups,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -9009,6 +9088,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_merges": _oracle_bpe_merges(),
         "bpe_encode_tokens": _oracle_bpe_encode(),
         "temperature_resample": _ORACLE_TEMPERATURE_RESAMPLE,
+        "bloom_cross_dups": _ORACLE_BLOOM_CROSS_DUPS,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

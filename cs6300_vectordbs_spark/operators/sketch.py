@@ -134,3 +134,66 @@ def cms_estimate(
         .groupBy(key)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_estimate"))
     )
+
+
+def _bloom_pos(col: Column | str, i: int, m: int) -> Column:
+    """Bloom hash i: portable md5-hash60 of the salted key, mod m.
+    Reproducible in any engine as
+    ``('0x' || substr(md5('bloom{i}|' || key), 1, 15))::BIGINT % m``."""
+    h = F.md5(F.concat(F.lit(f"bloom{i}|"), F.col(col) if isinstance(col, str) else col))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(m)
+    )
+
+
+def bloom_build_bits(
+    df: DataFrame, col: str, m: int = 4096, k: int = 3
+) -> list[int]:
+    """Build a Bloom filter over ``df[col]``: the sorted list of set
+    bit positions. Distributed bit-position aggregate (≤ m rows reach
+    the driver — bounded by the filter geometry, not the data; the
+    same bounded-metadata contract as kmeans centroids), OR-merge is
+    the ``distinct``. NULL keys are the caller's problem — filter
+    them first (a NULL hashes to NULL and would silently set
+    nothing)."""
+    pos = df.select(
+        F.explode(F.array(*[_bloom_pos(col, i, m) for i in range(k)])).alias(
+            "bit"
+        )
+    ).distinct()
+    return sorted(r["bit"] for r in pos.collect())
+
+
+def bloom_mask_words(bits: list[int], m: int = 4096) -> list[int]:
+    """Pack set bit positions into m/32 32-bit words (32-bit so the
+    probe's DIV/POW arithmetic stays exact in any engine's integer or
+    double math)."""
+    words = [0] * ((m + 31) // 32)
+    for b in bits:
+        words[b // 32] |= 1 << (b % 32)
+    return words
+
+
+def bloom_hit(
+    col: str, mask_words: list[int], m: int = 4096, k: int = 3
+) -> Column:
+    """Membership test against a LITERAL mask — the 100-TB shape: the
+    filter ships inside the plan (m/32 ints, ~0.5 KB at m=4096), so
+    the probe is MAP-ONLY: no shuffle, no join, evaluated in the scan
+    stage. Bit test via integer DIV/mod (no shift-by-column in Spark
+    SQL; POW(2, b%32) is exact in doubles for b%32 ≤ 31)."""
+    arr = "array(" + ",".join(f"{w}L" for w in mask_words) + ")"
+    tests = []
+    for i in range(k):
+        b = (
+            f"pmod(CAST(conv(substring(md5(concat('bloom{i}|', {col})),"
+            f" 1, 15), 16, 10) AS BIGINT), {m})"
+        )
+        # Integer DIV throughout — bigint `/` is DOUBLE division in
+        # Spark SQL, and truncating an inexact quotient can misround
+        # at word values near 2^32; DIV cannot.
+        tests.append(
+            f"(pmod(element_at({arr}, CAST(({b}) DIV 32 AS INT) + 1)"
+            f" DIV CAST(pow(2, pmod({b}, 32)) AS BIGINT), 2) = 1)"
+        )
+    return F.expr(" AND ".join(tests))

@@ -160,3 +160,52 @@ def test_cms_never_underestimates_and_is_tight_when_wide(spark):
     assert all(r.cms_estimate >= r.n for r in rows)
     exact = sum(1 for r in rows if r.cms_estimate == r.n)
     assert exact / len(rows) >= 0.9
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_fp_regime(self, spark):
+        from cs6300_vectordbs_spark.operators.sketch import (
+            bloom_build_bits,
+            bloom_hit,
+            bloom_mask_words,
+        )
+
+        build = spark.createDataFrame(
+            [(f"k{i}",) for i in range(400)], "fp string"
+        )
+        bits = bloom_build_bits(build, "fp", 512, 3)  # dense: FPs likely
+        mask = bloom_mask_words(bits, 512)
+        probe = spark.createDataFrame(
+            [(f"k{i}",) for i in range(1000)], "fp string"
+        )
+        out = {
+            r.fp: r.hit
+            for r in probe.withColumn(
+                "hit", bloom_hit("fp", mask, 512, 3)
+            ).collect()
+        }
+        # contract: NO false negatives, ever
+        assert all(out[f"k{i}"] for i in range(400))
+        # dense 512-bit filter over 400 keys: false positives expected
+        n_fp = sum(1 for i in range(400, 1000) if out[f"k{i}"])
+        assert 0 < n_fp < 600
+
+    def test_mask_words_pack(self):
+        from cs6300_vectordbs_spark.operators.sketch import (
+            bloom_mask_words,
+        )
+
+        words = bloom_mask_words([0, 31, 32, 95], 128)
+        assert words == [(1 << 0) | (1 << 31), 1, 1 << 31, 0]
+
+    def test_probe_plan_is_map_only(self, spark):
+        from cs6300_vectordbs_spark.operators.sketch import bloom_hit
+
+        df = spark.createDataFrame([("a",)], "fp string")
+        plan = (
+            df.withColumn("hit", bloom_hit("fp", [0] * 128))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
