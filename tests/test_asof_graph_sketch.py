@@ -209,3 +209,32 @@ class TestBloomPrefilter:
             .toString()
         )
         assert "Exchange" not in plan and "Join" not in plan
+
+    def test_bit_arithmetic_matches_python_reference(self, spark):
+        """Dense mask with high-bit words (≥ 2^31) — the zone where
+        double-division truncation would misround; DIV cannot."""
+        import hashlib
+
+        from cs6300_vectordbs_spark.operators.sketch import bloom_hit
+
+        m, k = 4096, 3
+        # adversarial mask: every word has the top bit set
+        words = [((i * 2654435761) % (1 << 32)) | (1 << 31) for i in range(m // 32)]
+        keys = [f"x{i}" for i in range(200)]
+
+        def pos(key, i):
+            h = hashlib.md5(f"bloom{i}|{key}".encode()).hexdigest()
+            return int(h[:15], 16) % m
+
+        def ref_hit(key):
+            return all(
+                (words[pos(key, i) // 32] >> (pos(key, i) % 32)) & 1
+                for i in range(k)
+            )
+
+        df = spark.createDataFrame([(s,) for s in keys], "fp string")
+        got = {
+            r.fp: r.hit
+            for r in df.withColumn("hit", bloom_hit("fp", words, m, k)).collect()
+        }
+        assert got == {s: ref_hit(s) for s in keys}
