@@ -686,3 +686,20 @@ def test_partitioned_events_prunes_partitions(spark):
     ]
     assert part_lines, plan
     assert any("event_type" in ln for ln in part_lines), part_lines
+
+
+def test_temperature_resample_is_map_only(spark):
+    """After the one group-count collect, the resample itself must be
+    a single scan-stage projection+filter: literal CASE rates + the
+    keyed-hash uniform, with NO exchange and NO join in the plan."""
+    from cs6300_vectordbs_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 10 else "fr") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    plan = plan_of(temperature_resample(df))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
