@@ -8727,6 +8727,93 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff — the crawl-refresh primitive: the
+    per-user latest state at the time-range MIDPOINT vs at the end,
+    classified added / removed / changed / unchanged. The midpoint is
+    exact integer micros ((min+max) DIV 2 — two values to the driver),
+    'latest' is the (ts, event_id)-total-order argmax per user, and
+    the classifier reads presence MARKERS, not join keys (a NULL
+    user_id never joins, and keying the CASE off o.user_id would
+    misread its old-side row as 'added'). Two window-dedup passes
+    sharing the user_id exchange + one user-keyed full outer join."""
+    ev = read_events(spark, sf_dir).withColumn(
+        "us", F.unix_micros("ts")
+    ).filter(F.col("us").isNotNull())
+    mn, mx = ev.agg(F.min("us"), F.max("us")).first()
+    if mn is None:
+        return spark.createDataFrame(
+            [], "user_id bigint, old_state string, new_state string,"
+            " status string"
+        )
+    mid = (mn + mx) // 2
+
+    from pyspark.sql.window import Window
+
+    def latest(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("us").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "event_type", F.lit(1).alias("__in"))
+        )
+
+    old = latest(ev.filter(F.col("us") <= F.lit(mid))).select(
+        F.col("user_id").alias("o_uid"),
+        F.col("event_type").alias("old_state"),
+        F.col("__in").alias("in_old"),
+    )
+    new = latest(ev).select(
+        F.col("user_id").alias("n_uid"),
+        F.col("event_type").alias("new_state"),
+        F.col("__in").alias("in_new"),
+    )
+    j = old.join(new, old["o_uid"] == new["n_uid"], "full_outer")
+    return j.select(
+        F.coalesce("o_uid", "n_uid").cast("bigint").alias("user_id"),
+        "old_state",
+        "new_state",
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_state") == F.col("new_state"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+_ORACLE_SNAPSHOT_DIFF = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id, event_type
+  FROM events WHERE ts IS NOT NULL
+),
+b AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+old AS (
+  SELECT user_id AS o_uid, event_type AS old_state, 1 AS in_old
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM e WHERE us <= (SELECT mid FROM b))
+  WHERE rn = 1
+),
+new AS (
+  SELECT user_id AS n_uid, event_type AS new_state, 1 AS in_new
+  FROM (SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY us DESC, event_id DESC) AS rn
+        FROM e)
+  WHERE rn = 1
+)
+SELECT coalesce(o_uid, n_uid)::BIGINT AS user_id, old_state, new_state,
+       CASE WHEN in_old IS NULL THEN 'added'
+            WHEN in_new IS NULL THEN 'removed'
+            WHEN old_state = new_state THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON o_uid = n_uid
+"""
+
+
 _BLOOM_M, _BLOOM_K = 4096, 3
 
 
@@ -8911,6 +8998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_tokens": q_bpe_encode_tokens,
         "temperature_resample": q_temperature_resample,
         "bloom_cross_dups": q_bloom_cross_dups,
+        "snapshot_diff": q_snapshot_diff,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -9089,6 +9177,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_tokens": _oracle_bpe_encode(),
         "temperature_resample": _ORACLE_TEMPERATURE_RESAMPLE,
         "bloom_cross_dups": _ORACLE_BLOOM_CROSS_DUPS,
+        "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

@@ -70,3 +70,57 @@ def test_hourly_anomalies_flags_spike(spark):
         assert r.z is None and not r.is_anomaly
     # ordinary alternating hours are never flagged
     assert not any(r.is_anomaly for r in got[:-1])
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as m
+
+        def t(h):
+            return dt.datetime(2024, 1, 1, h)
+
+        # midpoint of [0h, 10h] is 5h. u1: changed; u2: unchanged;
+        # u3: only before mid (removed... impossible in append-only
+        # logs EXCEPT when its last event precedes mid and... it still
+        # appears in 'new' — so u3 is 'unchanged' by construction);
+        # u4: only after mid (added). NULL-ts row must be ignored.
+        rows = [
+            (1, t(0), 1, "view"), (2, t(10), 1, "purchase"),
+            (3, t(1), 2, "click"), (4, t(9), 2, "click"),
+            (5, t(2), 3, "view"),
+            (6, t(8), 4, "click"),
+            (7, None, 5, "view"),
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = {
+            r.user_id: r.status
+            for r in m.q_snapshot_diff(spark, str(tmp_path)).collect()
+        }
+        assert out == {
+            1: "changed", 2: "unchanged", 3: "unchanged", 4: "added"
+        }
+
+    def test_tie_break_on_event_id(self, spark, tmp_path):
+        import datetime as dt
+
+        import __spark_entry__ as m
+
+        ts = dt.datetime(2024, 1, 1, 0)
+        ts2 = dt.datetime(2024, 1, 1, 10)
+        rows = [
+            (1, ts, 1, "a"), (2, ts, 1, "b"),      # same ts: id 2 wins
+            (3, ts2, 1, "x"), (4, ts2, 1, "y"),    # same ts: id 4 wins
+        ]
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long,"
+            " event_type string"
+        ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+        out = m.q_snapshot_diff(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.old_state, r.new_state, r.status) == ("b", "y", "changed")
