@@ -209,9 +209,17 @@ def main() -> None:
             spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     qs = entrymod.queries()
+    # The curated EXTENDED list keeps a stable, ordered core; anything
+    # registered after it was last touched is appended automatically so
+    # a new query can never silently escape measurement.
+    extended = EXTENDED_QUERIES + sorted(
+        n
+        for n in qs
+        if n not in BENCH_QUERIES and n not in EXTENDED_QUERIES
+    )
     timings: dict[str, float] = {}
     rep_detail: dict[str, list[float]] = {}
-    for name in BENCH_QUERIES + EXTENDED_QUERIES:
+    for name in BENCH_QUERIES + extended:
         if name not in qs:
             # Never let a drifted name zero out the whole bench run.
             print(f"bench: skipping unknown query {name!r}", file=sys.stderr)
@@ -251,8 +259,8 @@ def main() -> None:
     )
     extended_total = (
         None
-        if any(timings.get(n, -1.0) < 0 for n in EXTENDED_QUERIES)
-        else round(sum(timings.get(n, 0.0) for n in EXTENDED_QUERIES), 3)
+        if any(timings.get(n, -1.0) < 0 for n in extended)
+        else round(sum(timings.get(n, 0.0) for n in extended), 3)
     )
     # Full per-query detail goes to a file; the printed line carries
     # only the headline block so it fits the driver's output-tail cap.
