@@ -50,6 +50,15 @@ def global_running_totals(
     P = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    if materialize:
+        # Pin the INPUT once too: repartitionByRange runs a sampling
+        # job over the full child plan before the exchange itself
+        # executes it again, so an unpinned upstream lineage runs
+        # twice end-to-end. Ruinous when the caller feeds a composite
+        # (curation_batches packs the whole clean_corpus pipeline in
+        # here). What gets pinned is the caller's narrow projection
+        # (order key + value), never a wide corpus row.
+        df = df.localCheckpoint(eager=True)
     ranged = df.repartitionByRange(P, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -227,6 +227,14 @@ def exact_ntile(
     P = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    if materialize:
+        # Pin the INPUT once too: the range exchange's sampling job
+        # executes the full child plan before the exchange runs it
+        # again, so an unpinned upstream (doc_stats' regex battery,
+        # a cleaning composite) would compute twice end-to-end. The
+        # pinned blocks are the caller's narrow projection — callers
+        # project to (key, value) first (see q_quality_deciles).
+        df = df.localCheckpoint(eager=True)
     ranged = df.repartitionByRange(P, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
