@@ -60,6 +60,7 @@ from cs6300_vectordbs_spark.operators.judge import label_judge
 from cs6300_vectordbs_spark.operators.metrics_ir import (
     latency_percentiles,
     latency_summary,
+    mrr_at_k,
     ndcg_at_k,
     recall_at_k,
     recall_at_k_per_query,
@@ -609,6 +610,33 @@ def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_ndcg", 9).alias("avg_ndcg"),
         F.col("n_queries_scored").cast("bigint").alias("n_queries_scored"),
     )
+
+
+def q_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family completion: Mean Reciprocal Rank over the same judged
+    top-k table recall/nDCG use (one more tiny aggregate on the shared
+    lineage; nothing corpus-sized moves). Zero-relevant queries count
+    as 0.0 (the nDCG inclusion convention). round(9) both sides: the
+    macro-average sums reciprocals in engine-dependent order."""
+    out = mrr_at_k(_judged_results(spark, sf_dir))
+    return out.select(
+        F.round("avg_mrr", 9).alias("avg_mrr"),
+        F.col("n_queries_scored").cast("bigint").alias("n_queries_scored"),
+    )
+
+
+_ORACLE_MRR = f"""
+WITH {_SQL_JUDGED},
+per_query AS (
+  SELECT query_id,
+         min(CASE WHEN is_relevant = 1 THEN rank END) AS first_rel
+  FROM judged GROUP BY query_id
+)
+SELECT round(avg(CASE WHEN first_rel IS NULL THEN 0.0
+                      ELSE 1.0 / first_rel END), 9) AS avg_mrr,
+       count(*)::BIGINT AS n_queries_scored
+FROM per_query
+"""
 
 
 _ORACLE_NDCG = f"""
@@ -8999,6 +9027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": q_temperature_resample,
         "bloom_cross_dups": q_bloom_cross_dups,
         "snapshot_diff": q_snapshot_diff,
+        "mrr_at_k": q_mrr_at_k,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -9178,6 +9207,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_resample": _ORACLE_TEMPERATURE_RESAMPLE,
         "bloom_cross_dups": _ORACLE_BLOOM_CROSS_DUPS,
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
+        "mrr_at_k": _ORACLE_MRR,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

@@ -82,6 +82,30 @@ def recall_at_k_per_query(results: DataFrame) -> DataFrame:
     )
 
 
+def mrr_at_k(results: DataFrame) -> DataFrame:
+    """Mean Reciprocal Rank over (query_id, rank, is_relevant); rank is
+    1-based. Standard MRR: per query, 1/rank of the FIRST relevant hit
+    in the top-k list, 0.0 when none — zero-relevant queries COUNT in
+    the macro-average (the ndcg convention, not the recall one). The
+    reference computes recall/nDCG only; MRR completes the standard IR
+    triple over the same judged-results table with no extra scan.
+    Returns one row: (avg_mrr, n_queries_scored).
+    """
+    per_query = results.groupBy("query_id").agg(
+        F.min(
+            F.when(F.col("is_relevant") == 1, F.col("rank"))
+        ).alias("first_rel"),
+    )
+    rr = F.when(
+        F.col("first_rel").isNotNull(),
+        F.lit(1.0) / F.col("first_rel").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return per_query.agg(
+        F.avg(rr).alias("avg_mrr"),
+        F.count(F.lit(1)).alias("n_queries_scored"),
+    )
+
+
 def ndcg_at_k(results: DataFrame) -> DataFrame:
     """Reference A5 over (query_id, rank, is_relevant); rank is 1-based.
 

@@ -14,6 +14,7 @@ import pytest
 from cs6300_vectordbs_spark.operators.metrics_ir import (
     latency_percentiles,
     latency_summary,
+    mrr_at_k,
     ndcg_at_k,
     recall_at_k,
     recall_at_k_per_query,
@@ -92,3 +93,18 @@ def test_latency_summary(spark):
     df = spark.createDataFrame([(1.0,), (2.0,), (6.0,)], ["latency_ms"])
     row = latency_summary(df).first()
     assert (row.avg_ms, row.min_ms, row.max_ms, row.n_queries) == (3.0, 1.0, 6.0, 3)
+
+
+def test_mrr_includes_zero_relevant_as_zero(spark):
+    # GOLDEN: q1 first hit at rank 1 → 1.0; q2 none → 0.0;
+    # q3 first hit at rank 1 → 1.0. MRR = 2/3 over ALL 3 queries.
+    row = mrr_at_k(_results(spark, GOLDEN)).first()
+    assert row.n_queries_scored == 3
+    assert row.avg_mrr == pytest.approx(2 / 3)
+
+
+def test_mrr_first_hit_rank(spark):
+    # single query, first relevant at rank 4 of 5 → MRR = 0.25
+    rows = [(1, r, 1 if r >= 4 else 0) for r in range(1, 6)]
+    row = mrr_at_k(_results(spark, rows)).first()
+    assert row.avg_mrr == pytest.approx(0.25)
