@@ -7061,6 +7061,48 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning (packing.mixture_epoch_plan): allocate a 1M-token
+    training budget across sources by temperature-0.5 mixing weights
+    and report per-source repetition factors — the Pile/LLaMA "epochs
+    per source" table. All floats derive from the round(9) weight, so
+    cross-engine arithmetic is bit-identical; the boolean oversampled
+    flag compares the same deterministic double on both sides."""
+    from cs6300_vectordbs_spark.operators.packing import (
+        mixture_epoch_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("bigint").alias("n_tokens")
+    )
+    return mixture_epoch_plan(
+        docs, budget=1_000_000, temperature=0.5
+    )
+
+
+_ORACLE_EPOCH_PLAN = f"""
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len({_SQL_TOKS}))::BIGINT AS avail_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT sum(avail_tokens)::DOUBLE AS t FROM per),
+powed AS (
+  SELECT source, n_docs, avail_tokens,
+         pow(avail_tokens / t, 0.5) AS p
+  FROM per, tot
+), ptot AS (SELECT sum(p) AS pt FROM powed),
+w AS (
+  SELECT source, n_docs, avail_tokens, round(p / pt, 9) AS weight
+  FROM powed, ptot
+)
+SELECT source, n_docs, avail_tokens, weight,
+       round(1000000.0 * weight, 3) AS target_tokens,
+       round(1000000.0 * weight / avail_tokens, 9) AS epochs,
+       round(1000000.0 * weight, 3) > avail_tokens AS oversampled
+FROM w
+"""
+
+
 _ORACLE_MIXTURE = f"""
 WITH per AS (
   SELECT source, sum(len({_SQL_TOKS}))::BIGINT AS n_items
@@ -9028,6 +9070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_cross_dups": q_bloom_cross_dups,
         "snapshot_diff": q_snapshot_diff,
         "mrr_at_k": q_mrr_at_k,
+        "mixture_epoch_plan": q_mixture_epoch_plan,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -9208,6 +9251,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_cross_dups": _ORACLE_BLOOM_CROSS_DUPS,
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "mrr_at_k": _ORACLE_MRR,
+        "mixture_epoch_plan": _ORACLE_EPOCH_PLAN,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

@@ -141,6 +141,63 @@ def pack_sequences(
     )
 
 
+def mixture_epoch_plan(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    budget: int,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Epoch planning — allocate a global token ``budget`` across
+    sources by the temperature-scaled mixing weights and report each
+    source's REPETITION FACTOR: the Pile/LLaMA-recipe "how many epochs
+    of each source" table. ``target = budget * weight``; ``epochs =
+    target / available`` (>1 means the source is oversampled and will
+    repeat; <1 means it is subsampled within one pass).
+
+    Determinism: every derived column is computed from the ALREADY
+    round(9)-canonicalized weight, so both engines do bit-identical
+    IEEE double arithmetic downstream of the one shuffled aggregate.
+    Scale shape: two |sources|-row aggregates + broadcast joins —
+    nothing corpus-sized moves.
+    """
+    w = source_mixture_weights(
+        docs,
+        source_col=source_col,
+        tokens_col=tokens_col,
+        temperature=temperature,
+    )
+    nd = docs.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    b = F.lit(float(budget))
+    target = F.round(b * F.col("weight"), 3)
+    epochs = b * F.col("weight") / F.col("avail_tokens")
+    # The flag compares the 3-decimal target against the integer
+    # available count — NOT epochs > 1.0, where the weight's round(9)
+    # dust (e.g. 0.666666667 vs 2/3) would flip a source sitting
+    # exactly at one pass. The doc-count join is NULL-SAFE: a NULL
+    # source is a legal group in both engines' GROUP BY, and a plain
+    # equi-join would silently drop it (NULL != NULL).
+    return (
+        w.withColumnRenamed("n_items", "avail_tokens")
+        .join(
+            F.broadcast(nd),
+            F.col("source").eqNullSafe(F.col("__src")),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            "weight",
+            target.alias("target_tokens"),
+            F.round(epochs, 9).alias("epochs"),
+            (target > F.col("avail_tokens")).alias("oversampled"),
+        )
+    )
+
+
 def source_mixture_weights(
     docs: DataFrame,
     *,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from cs6300_vectordbs_spark.functions.text import token_count
 from cs6300_vectordbs_spark.operators.packing import (
     global_running_totals,
+    mixture_epoch_plan,
     pack_sequences,
     source_mixture_weights,
 )
@@ -91,3 +92,37 @@ def test_source_mixture_weights_sum_to_one_and_upsample_rare(docs):
     if rare.n_items != big.n_items:
         assert rare.weight > rare.share
         assert big.weight < big.share
+
+
+def test_mixture_epoch_plan_golden(spark):
+    # two sources: A has 100 tokens over 2 docs, B has 400 over 1 doc.
+    # T=0.5 weights: sqrt(0.2)=0.4472136, sqrt(0.8)=0.8944272 ->
+    # w_A = 1/3, w_B = 2/3 exactly (sqrt(.2)/(sqrt(.2)+sqrt(.8))).
+    docs = spark.createDataFrame(
+        [("A", 40), ("A", 60), ("B", 400)], "source string, n_tokens long"
+    )
+    out = {r.source: r for r in mixture_epoch_plan(docs, budget=600).collect()}
+    assert out["A"].n_docs == 2 and out["A"].avail_tokens == 100
+    assert out["A"].weight == pytest.approx(1 / 3, abs=1e-9)
+    # target 600 * 1/3 = 200 tokens but only 100 available -> 2 epochs
+    assert out["A"].target_tokens == pytest.approx(200.0, abs=1e-3)
+    assert out["A"].epochs == pytest.approx(2.0, abs=1e-6)
+    assert bool(out["A"].oversampled) is True
+    # B: target 400.0 of 400 available -> exactly one pass, NOT
+    # oversampled even though round(9) weight dust puts raw epochs at
+    # 1.000000001 (the flag compares the 3-decimal target to the
+    # integer avail, not epochs to 1.0).
+    assert out["B"].epochs == pytest.approx(1.0, abs=1e-6)
+    assert bool(out["B"].oversampled) is False
+
+
+def test_mixture_epoch_plan_keeps_null_source_group(spark):
+    # a NULL source is a legal GROUP BY group; the doc-count join is
+    # null-safe so the row survives (a plain equi-join drops it).
+    docs = spark.createDataFrame(
+        [("A", 100), (None, 50)], "source string, n_tokens long"
+    )
+    out = mixture_epoch_plan(docs, budget=300).collect()
+    assert len(out) == 2
+    nullrow = [r for r in out if r.source is None][0]
+    assert nullrow.n_docs == 1 and nullrow.avail_tokens == 50
