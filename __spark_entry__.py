@@ -8069,6 +8069,43 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus mix
+    (curation.source_kl_divergence): domain-shift measurement in
+    integer nano-nats — exact BIGINT sums after per-term quantization,
+    the dsir_log_weights determinism contract."""
+    from cs6300_vectordbs_spark.operators.curation import (
+        source_kl_divergence,
+    )
+
+    return source_kl_divergence(_t(spark, sf_dir, "documents"))
+
+
+_ORACLE_SOURCE_KL = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS}) AS w FROM documents
+), sw AS (
+  SELECT source, w, count(*)::BIGINT AS c FROM toks GROUP BY source, w
+), wt AS (
+  SELECT w, sum(c)::BIGINT AS cw FROM sw GROUP BY w
+), st AS (
+  SELECT source, sum(c)::BIGINT AS ns, count(*)::BIGINT AS vocab
+  FROM sw GROUP BY source
+), tot AS (SELECT sum(ns)::BIGINT AS n FROM st)
+SELECT sw.source,
+       min(st.ns)::BIGINT AS n_tokens,
+       min(st.vocab)::BIGINT AS vocab,
+       sum(CAST(round(1e9 * (sw.c::DOUBLE / st.ns)
+                * ln((sw.c::DOUBLE / wt.cw) * (t.n::DOUBLE / st.ns)),
+                0) AS BIGINT))::BIGINT AS kl_nano
+FROM sw
+JOIN wt ON sw.w = wt.w
+JOIN st ON sw.source = st.source
+CROSS JOIN tot t
+GROUP BY sw.source
+"""
+
+
 _ORACLE_DSIR = f"""
 WITH bt AS (
   SELECT doc_id,
@@ -9071,6 +9108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "mrr_at_k": q_mrr_at_k,
         "mixture_epoch_plan": q_mixture_epoch_plan,
+        "source_kl_divergence": q_source_kl_divergence,
         "ivf_kmeans_topk": q_ivf_kmeans_topk,
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
@@ -9252,6 +9290,7 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": _ORACLE_SNAPSHOT_DIFF,
         "mrr_at_k": _ORACLE_MRR,
         "mixture_epoch_plan": _ORACLE_EPOCH_PLAN,
+        "source_kl_divergence": _ORACLE_SOURCE_KL,
         "clean_markup": _ORACLE_CLEAN_MARKUP,
         "curation_batches": _oracle_curation_batches(),
         "csv_ingest_checked": _ORACLE_CSV_CHECKED,

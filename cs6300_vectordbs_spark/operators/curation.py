@@ -156,6 +156,68 @@ def dsir_log_weights(
 _SHARD_SALT = 131
 
 
+def source_kl_divergence(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source domain shift: KL(p_source || p_corpus) over unigram
+    distributions — the standard "how far is this domain from the
+    mix" measurement behind domain-weighting / data-selection recipes
+    (the population-level companion of dsir_log_weights' per-doc
+    importance weights).
+
+    Output: (source, n_tokens, vocab, kl_nano) — kl_nano is the
+    divergence in integer NANO-NATS. Per-(source, word) terms
+    p_s(w) * ln(p_s(w)/p(w)) are quantized to BIGINT nano-nats BEFORE
+    the per-source sum, so the shuffled aggregate is an exact integer
+    sum (order-independent; the only cross-engine float op is one
+    ln() per vocab row — the dsir_log_weights determinism contract).
+
+    Plan shape: one corpus-sized map-side-combined shuffle to
+    (source, word) counts; everything after is vocab-sized — word
+    totals re-keyed on word, source totals and the corpus total
+    broadcast (|sources| and 1 row).
+    """
+    sw = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(text_col)).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wt = sw.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    st = sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("ns"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    tot = st.agg(F.sum("ns").cast("bigint").alias("n"))
+    # p_s/p = (c/cw) * (n/ns): each factor is one exact IEEE division
+    # of integers, so both engines feed ln() the identical double.
+    term = (
+        F.lit(1e9)
+        * (F.col("c").cast("double") / F.col("ns"))
+        * F.log(
+            (F.col("c").cast("double") / F.col("cw"))
+            * (F.col("n").cast("double") / F.col("ns"))
+        )
+    )
+    return (
+        sw.join(wt, on="w")
+        .join(F.broadcast(st), on="source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("t_nano", F.round(term, 0).cast("bigint"))
+        .groupBy("source")
+        .agg(
+            F.min("ns").cast("bigint").alias("n_tokens"),
+            F.min("vocab").cast("bigint").alias("vocab"),
+            F.sum("t_nano").cast("bigint").alias("kl_nano"),
+        )
+    )
+
+
 def shard_manifest(
     docs: DataFrame,
     *,

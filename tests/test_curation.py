@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from cs6300_vectordbs_spark.operators.curation import (
     bpe_pair_counts,
     dsir_log_weights,
+    source_kl_divergence,
     word_counts,
 )
 
@@ -87,3 +88,19 @@ def test_dsir_zero_token_docs_absent(tiny):
     out = dsir_log_weights(tiny, F.col("source") == "a")
     ids = {r.doc_id for r in out.collect()}
     assert ids == {1, 2, 3}  # empty/NULL-text docs produce no row
+
+
+def test_source_kl_divergence_golden(spark):
+    # A: "x x y" (p_x=2/3, p_y=1/3); B: "y". Corpus: p_x=p_y=1/2.
+    # KL_A = 2/3 ln(4/3) + 1/3 ln(2/3); KL_B = ln(2).
+    docs = spark.createDataFrame(
+        [("A", "x x y"), ("B", "y")], "source string, text string"
+    )
+    out = {r.source: r for r in source_kl_divergence(docs).collect()}
+    assert out["A"].n_tokens == 3 and out["A"].vocab == 2
+    assert out["B"].n_tokens == 1 and out["B"].vocab == 1
+    kl_a = 2 / 3 * math.log(4 / 3) + 1 / 3 * math.log(2 / 3)
+    # per-term nano-nat quantization: each term is within 0.5 nano,
+    # two terms -> within 1 nano of the exact value.
+    assert abs(out["A"].kl_nano - round(kl_a * 1e9)) <= 1
+    assert abs(out["B"].kl_nano - round(math.log(2) * 1e9)) <= 1
