@@ -8738,12 +8738,23 @@ b{i} AS (
   SELECT pair, sum(wc)::BIGINT AS cnt FROM p{i} GROUP BY pair
   ORDER BY cnt DESC, pair ASC LIMIT 1
 ),
+m{i} AS (
+  SELECT split_part(pair, ' ', 1) AS p1, split_part(pair, ' ', 2) AS p2,
+         replace(pair, ' ', '') AS merged
+  FROM b{i}
+),
 sp{i} AS (
-  SELECT trim(replace(' ' || sp || ' ',
-           ' ' || (SELECT pair FROM b{i}) || ' ',
-           ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sp,
+  -- greedy left-to-right fold (Sennrich non-overlapping scan): the
+  -- accumulator is the rebuilt spelling; merge fires when its last
+  -- TOKEN is p1 and the incoming symbol is p2
+  SELECT list_reduce(string_split(sp, ' '),
+           (acc, s) -> CASE
+             WHEN s = p2 AND (acc = p1 OR ends_with(acc, ' ' || p1))
+             THEN left(acc, length(acc) - length(p1)) || merged
+             ELSE acc || ' ' || s
+           END) AS sp,
          wc
-  FROM sp{i - 1}
+  FROM sp{i - 1}, m{i}
 )""")
     steps = "\nUNION ALL\n".join(
         f"SELECT {i}::BIGINT AS step, pair, replace(pair, ' ', '') AS merged,"
@@ -8789,13 +8800,22 @@ b{i} AS (
   SELECT pair, sum(wc)::BIGINT AS cnt FROM p{i} GROUP BY pair
   ORDER BY cnt DESC, pair ASC LIMIT 1
 ),
+m{i} AS (
+  SELECT split_part(pair, ' ', 1) AS p1, split_part(pair, ' ', 2) AS p2,
+         replace(pair, ' ', '') AS merged
+  FROM b{i}
+),
 sp{i} AS (
+  -- greedy left-to-right fold, identical to _oracle_bpe_merges
   SELECT w,
-         trim(replace(' ' || sp || ' ',
-           ' ' || (SELECT pair FROM b{i}) || ' ',
-           ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')) AS sp,
+         list_reduce(string_split(sp, ' '),
+           (acc, s) -> CASE
+             WHEN s = p2 AND (acc = p1 OR ends_with(acc, ' ' || p1))
+             THEN left(acc, length(acc) - length(p1)) || merged
+             ELSE acc || ' ' || s
+           END) AS sp,
          wc
-  FROM sp{i - 1}
+  FROM sp{i - 1}, m{i}
 )""")
     ctes.append(f"""enc AS (
   SELECT w, length(replace(sp, ' ', ''))::BIGINT AS n_chars_w,

@@ -383,13 +383,20 @@ def _bpe_rounds(
 
     Each round: count adjacent symbol pairs weighted by word count,
     pick the argmax (ONE row to the driver — the kmeans-centroid
-    collect discipline), then rewrite every occurrence via a single
-    non-overlapping left-to-right string replace. ``carry`` columns
-    (e.g. the word key for the encoder) ride along untouched;
-    spellings are localCheckpoint'd per round so lineage stays O(1).
-    Words with a single symbol contribute zero pairs, so including
-    them (the encoder does; the trainer pre-filters) cannot change
-    any merge decision.
+    collect discipline), then rewrite via a greedy left-to-right fold
+    over the symbol list — exactly Sennrich's non-overlapping scan, so
+    a run like 'a a a a' merges to 'aa aa' (a delimiter-sharing string
+    replace would stop at 'aa a a'). The fold's accumulator is the
+    rebuilt spelling string; a merge fires when the accumulator's last
+    TOKEN equals p1 and the incoming symbol equals p2. The merged
+    token p1||p2 can never itself equal p1 (p2 is non-empty), so a
+    just-merged token can never chain into a second merge within the
+    round — matching reference BPE. ``carry`` columns (e.g. the word
+    key for the encoder) ride along untouched; spellings are
+    localCheckpoint'd per round so lineage stays O(1). Words with a
+    single symbol contribute zero pairs, so including them (the
+    encoder does; the trainer pre-filters) cannot change any merge
+    decision.
     """
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -422,14 +429,25 @@ def _bpe_rounds(
         pair, cnt = best[0]["pair"], best[0]["cnt"]
         merged = pair.replace(" ", "")
         merges.append((step, pair, merged, cnt))
+        p1, p2 = pair.split(" ")
         spell = spell.select(
             *carry,
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("sp"), F.lit(" ")),
-                    F.lit(f" {pair} "),
-                    F.lit(f" {merged} "),
-                )
+            F.aggregate(
+                F.slice(arr, 2, F.size(arr) - 1),
+                F.element_at(arr, 1),
+                lambda acc, s: F.when(
+                    (s == F.lit(p2))
+                    & (
+                        (acc == F.lit(p1))
+                        | acc.endswith(F.lit(" " + p1))
+                    ),
+                    F.concat(
+                        acc.substr(
+                            F.lit(1), F.length(acc) - F.lit(len(p1))
+                        ),
+                        F.lit(merged),
+                    ),
+                ).otherwise(F.concat(acc, F.lit(" "), s)),
             ).alias("sp"),
             "wc",
         ).localCheckpoint(eager=True)

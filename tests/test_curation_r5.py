@@ -201,6 +201,45 @@ class TestBpeTrainMerges:
         # 'aa a' with weight 2.
         assert out[1].pair == "aa a" and out[1].cnt == 2
 
+    def test_greedy_merge_on_even_runs(self, spark):
+        """4+ runs of a repeated symbol: 'aaaa' (spelled 'a a a a')
+        must merge to ['aa','aa'], NOT 'aa a a' — the failure mode of
+        a delimiter-sharing string replace, where consecutive
+        occurrences share the separator space and the scan skips the
+        second one. Round 2's argmax pins the round-1 rewrite."""
+        from cs6300_vectordbs_spark.operators.curation import (
+            bpe_train_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa aaaa")], "doc_id long, text string"
+        )
+        out = bpe_train_merges(docs, n_merges=2).collect()
+        # 3 overlapping (a,a) pairs per word x 2 words
+        assert out[0].pair == "a a" and out[0].cnt == 6
+        # greedy rewrite -> 'aa aa'; buggy replace -> 'aa a a', whose
+        # round-2 argmax would be 'a a' (ties with 'aa a', wins ASC).
+        assert out[1].pair == "aa aa" and out[1].cnt == 2
+
+    def test_greedy_merge_on_odd_runs(self, spark):
+        """5-run 'aaaaa' -> [aa, aa, a]: the greedy scan takes
+        positions 0 and 2, leaving the tail symbol. A fixed-point
+        re-replace would produce [aa, a, aa] (same multiset, wrong
+        positions) whose round-2 pair stats differ."""
+        from cs6300_vectordbs_spark.operators.curation import (
+            bpe_train_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaaaa aaaaa aaaaa")], "doc_id long, text string"
+        )
+        out = bpe_train_merges(docs, n_merges=2).collect()
+        assert out[0].pair == "a a" and out[0].cnt == 12
+        # greedy round 2 over 'aa aa a': pairs (aa,aa) x3, (aa,a) x3
+        # -> tie broken pair ASC: 'aa a'. The fixed-point rewrite
+        # 'aa a aa' would yield (aa,a) and (a,aa) instead.
+        assert out[1].pair == "aa a" and out[1].cnt == 3
+
 
 class TestBpeEncodeStats:
     def test_hand_encoded_counts(self, spark):
