@@ -8352,7 +8352,14 @@ def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     path = f"/root/repo/spark-warehouse/documents_orc_{tag}"
     docs = _t(spark, sf_dir, "documents")
-    fp = corpus_fingerprint(docs, ["doc_id", "n_chars"], {"fmt": "orc"})
+    # fingerprint every roundtrip-relevant column: regenerated testdata
+    # that changes text/source/lang while preserving ids and char
+    # counts must invalidate the cached ORC snapshot
+    fp = corpus_fingerprint(
+        docs,
+        ["doc_id", "n_chars", "source", "lang", "text"],
+        {"fmt": "orc"},
+    )
     meta = f"{path}__meta"
     if read_fingerprint(meta) != fp:
         docs.write.mode("overwrite").orc(path)

@@ -529,6 +529,75 @@ def simhash_pairs(
     )
 
 
+def _dup_span_pipeline(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_count: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared candidate machinery of Lee et al. exact-substring dedup,
+    consumed by both :func:`dup_span_stats` (measure) and
+    :func:`dup_span_removal` (transform) so the two phases can never
+    drift — the kept_tokens == n_tokens - covered_tokens cross-check
+    invariant depends on them agreeing exactly.
+
+    Returns ``(ex, dup_starts, covered)``:
+      ex          dense-renumbered token stream (id, pos, tok) —
+                  positions re-numbered over the empty-filtered split
+                  so multi-space runs leave no gaps
+      dup_starts  start positions (id, pos) of spans whose text occurs
+                  >= min_count times corpus-wide
+      covered     DISTINCT token positions (id, pos) covered by >=1
+                  duplicated span (sequence-explode of dup_starts)
+    """
+    from pyspark.sql.window import Window
+
+    t = F.lower(F.trim(F.col(text_col)))
+    ex = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(t, r"\s+")).alias("p", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("id").orderBy("p")
+    ex = ex.select("id", (F.row_number().over(w) - 1).alias("pos"), "tok")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(Window.partitionBy("id").orderBy("pos"))
+        for i in range(1, n)
+    ]
+    spans = (
+        ex.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("s"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select("id", "pos", "s")
+    )
+    dup = (
+        spans.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= min_count)
+        .select("s")
+    )
+    dup_starts = spans.join(dup, "s").select("id", "pos")
+    covered = (
+        dup_starts.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return ex, dup_starts, covered
+
+
 def dup_span_stats(
     docs: DataFrame,
     *,
@@ -565,52 +634,14 @@ def dup_span_stats(
     The per-doc distinct and final joins all hash on doc_id. No
     crossJoin, no UDF, no driver collect.
     """
-    from pyspark.sql.window import Window
-
-    t = F.lower(F.trim(F.col(text_col)))
-    ex = (
-        _spread(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(t, r"\s+")).alias("p", "tok"),
-        )
-        .filter(F.col("tok") != "")
+    ex, dup_starts, covered = _dup_span_pipeline(
+        docs, id_col=id_col, text_col=text_col, n=n, min_count=min_count
     )
-    # Re-number positions over the empty-filtered stream so they are
-    # dense (split can emit '' gaps at multi-space runs).
-    w = Window.partitionBy("id").orderBy("p")
-    ex = ex.select("id", (F.row_number().over(w) - 1).alias("pos"), "tok")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(Window.partitionBy("id").orderBy("pos"))
-        for i in range(1, n)
-    ]
-    spans = (
-        ex.select(
-            "id",
-            "pos",
-            F.concat_ws(" ", *parts).alias("s"),
-            parts[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select("id", "pos", "s")
-    )
-    dup = (
-        spans.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= min_count)
-        .select("s")
-    )
-    dup_starts = spans.join(dup, "s").select("id", "pos")
     per_doc_dup = dup_starts.groupBy("id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_dup_spans")
     )
-    covered = (
-        dup_starts.select(
-            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("cp")
-        )
-        .distinct()
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("covered_tokens"))
+    covered = covered.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("covered_tokens")
     )
     totals = ex.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
     base = _spread(docs).select(F.col(id_col).alias("id"))
@@ -726,55 +757,17 @@ def dup_span_removal(
                     original order (empty string when everything or
                     nothing was there to keep)
 
-    Same candidate machinery as dup_span_stats (one global span
-    aggregate, equi-joins on the span key, coverage by
-    sequence-explode) plus an anti-join of token positions against
-    covered positions and one per-doc ordered reassembly
-    (sort_array of (pos, tok) structs — deterministic, unlike a bare
-    collect_list). The reassembly groups on doc_id: rows per group =
-    surviving tokens of ONE document, so the aggregate state is
-    document-sized, never corpus-sized.
+    Same candidate machinery as dup_span_stats (the shared
+    :func:`_dup_span_pipeline`: one global span aggregate, equi-joins
+    on the span key, coverage by sequence-explode) plus an anti-join
+    of token positions against covered positions and one per-doc
+    ordered reassembly (sort_array of (pos, tok) structs —
+    deterministic, unlike a bare collect_list). The reassembly groups
+    on doc_id: rows per group = surviving tokens of ONE document, so
+    the aggregate state is document-sized, never corpus-sized.
     """
-    from pyspark.sql.window import Window
-
-    t = F.lower(F.trim(F.col(text_col)))
-    ex = (
-        _spread(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(t, r"\s+")).alias("p", "tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
-    w = Window.partitionBy("id").orderBy("p")
-    ex = ex.select("id", (F.row_number().over(w) - 1).alias("pos"), "tok")
-    parts = [F.col("tok")] + [
-        F.lead("tok", i).over(Window.partitionBy("id").orderBy("pos"))
-        for i in range(1, n)
-    ]
-    spans = (
-        ex.select(
-            "id", "pos", F.concat_ws(" ", *parts).alias("s"),
-            parts[-1].alias("__last"),
-        )
-        .filter(F.col("__last").isNotNull())
-        .select("id", "pos", "s")
-    )
-    dup = (
-        spans.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= min_count)
-        .select("s")
-    )
-    covered = (
-        spans.join(dup, "s")
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + n - 1)
-            ).alias("pos"),
-        )
-        .distinct()
+    ex, _, covered = _dup_span_pipeline(
+        docs, id_col=id_col, text_col=text_col, n=n, min_count=min_count
     )
     kept = ex.join(covered, ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(

@@ -372,10 +372,13 @@ def gopher_rules(
     exact integer counts (sum-of-word-lengths comes from
     len(whitespace-stripped text), not a float fold), so no rounding
     policy is needed; rule comparisons sit on exact thresholds only a
-    bit-identical ratio can straddle. NULL text propagates NULL
-    signals and a NULL keep (NULL-in-NULL-out, same as DuckDB — the
-    ingestion layer quarantines NULL text before curation; see
-    null_audit).
+    bit-identical ratio can straddle. NULL text yields NULL
+    n_words/pass_word_count, ZERO-filled ratios (the guarded
+    divisions fall through otherwise(0.0)), and a definite FALSE keep
+    — the NULL pass_word_count collapses through three-valued AND
+    with the ratio rules' definite booleans to false, matching DuckDB
+    (pinned in tests; the ingestion layer quarantines NULL text
+    before curation anyway; see null_audit).
 
     Scale: map-only column expressions — no shuffle, no UDF; the
     letter test is a per-token rlike inside an array filter, the rest
