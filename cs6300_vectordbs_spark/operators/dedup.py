@@ -45,6 +45,119 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return agg.select(id_col, "dup_count", F.col("__fp").alias("fingerprint"))
 
 
+def _exact_groups(
+    docs: DataFrame, *, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Exact-duplicate pre-collapse — the hot-bucket guard shared by
+    the LSH pair family (minhash_lsh_pairs, simhash_pairs,
+    ngram_jaccard_pairs).
+
+    THE problem it solves: a web-scale corpus is guaranteed to contain
+    mega-groups of byte-identical boilerplate (cookie banners, license
+    stubs, error pages). Those documents have identical shingle sets,
+    hence identical signatures, hence land in the SAME band bucket —
+    and a bucket of m identical docs materializes m^2/2 candidate rows
+    inside the banded self-join. AQE skew-join splitting spreads that
+    shuffle but cannot shrink it: the blowup is in the OUTPUT of the
+    join, not its partitioning. Collapsing each distinct normalized
+    content to ONE representative before signatures turns the
+    mega-bucket into a single row per band; the (definitionally
+    correct, similarity 1.0) intra-group pairs are reconstructed
+    afterwards by an equi-join on the group key — output-sized work,
+    never an LSH blowup.
+
+    Groups are keyed on ``doc_fingerprint`` (md5 of lowercased,
+    whitespace-normalized text) — exactly the normalization the
+    shingle pipeline applies, so fingerprint-equal docs are
+    guaranteed shingle-identical and therefore signature-identical;
+    collapse + expansion provably returns the SAME pair set as the
+    uncollapsed join (pinned by tests and by the unchanged DuckDB
+    oracles). NULL-text docs share the NULL fingerprint group; whether
+    that group participates is each caller's existing semantics
+    (MinHash/Jaccard: no shingles, no pairs; SimHash: fingerprint 0).
+
+    Returns ``(members, reps, has_dups)``:
+      members   (id, rep_id) — every doc mapped to its group's
+                representative (the min id); slim, localCheckpoint'd
+      reps      doc-shaped (id_col, text_col) rows, one per distinct
+                content, text from the min-id member (deterministic)
+      has_dups  False when every group has size 1 — callers use it to
+                skip the expansion joins entirely on already-clean
+                corpora (one 1-row driver aggregate on the collapsed
+                group table, the kmeans-centroid collect discipline)
+    """
+    keyed = _spread(docs).select(
+        F.col(id_col).alias("id"),
+        doc_fingerprint(text_col).alias("__fp"),
+        F.col(text_col).alias("__text"),
+    )
+    groups = (
+        keyed.groupBy("__fp")
+        .agg(
+            F.min("id").alias("rep_id"),
+            F.min_by("__text", "id").alias("__text"),
+            F.count(F.lit(1)).alias("grp_n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    has_dups = groups.agg(F.max("grp_n").alias("m")).collect()[0]["m"] > 1
+    reps = groups.select(
+        F.col("rep_id").alias(id_col), F.col("__text").alias(text_col)
+    )
+    members = (
+        keyed.select("id", "__fp")
+        .join(groups.select("__fp", "rep_id"), "__fp")
+        .select("id", "rep_id")
+        .localCheckpoint(eager=True)
+        if has_dups
+        else None
+    )
+    return members, reps, has_dups
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, score_cols: list[str]
+) -> DataFrame:
+    """Expand representative-level pairs back to document-level pairs:
+    every (member of group A) x (member of group B) inherits the group
+    pair's score columns (signatures are identical within a group, so
+    the score is exact, not an approximation). least/greatest restores
+    the id_a < id_b convention; each unordered doc pair appears exactly
+    once because each unordered group pair does. Equi-joins on rep_id
+    — output-sized, no LSH bucket blowup."""
+    m_a = members.select(
+        F.col("rep_id").alias("id_a"), F.col("id").alias("__ma")
+    )
+    m_b = members.select(
+        F.col("rep_id").alias("id_b"), F.col("id").alias("__mb")
+    )
+    return (
+        rep_pairs.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            *score_cols,
+        )
+    )
+
+
+def _intra_group_pairs(members: DataFrame) -> DataFrame:
+    """All (id_a < id_b) pairs WITHIN exact-duplicate groups — the
+    pairs the collapse removed from the banded join. Generated by a
+    self equi-join on the group key: the m^2/2 rows per group are the
+    caller-requested OUTPUT (these docs are duplicates by definition),
+    produced directly by a hash join instead of surviving an LSH
+    bucket explosion times `bands` plus a dropDuplicates."""
+    a = members.select("rep_id", F.col("id").alias("id_a"))
+    b = members.select("rep_id", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "rep_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "rep_id")
+    )
+
+
 def word_shingles(text: ColumnOrName, n: int = 3) -> Column:
     """Distinct n-word shingles of lowercased text, as strings.
 
@@ -114,6 +227,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     min_jaccard: float = 0.5,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via shingle inverted index.
 
@@ -123,10 +237,29 @@ def ngram_jaccard_pairs(
     join — no all-pairs blowup; hot shingles (stop-phrases) are the
     skew risk, handled by AQE skew split. Returns (id_a, id_b, jaccard)
     with id_a < id_b.
+
+    ``collapse_exact`` (default ON) is the hot-bucket guard shared
+    with minhash_lsh_pairs — see :func:`_exact_groups`. For this
+    operator the blowup is even worse uncollapsed: m identical docs
+    share EVERY shingle, so the inverted-index join emits
+    m^2/2 x |shingles| intersection rows before the groupBy.
+    Collapsed, identical content contributes one posting per shingle;
+    intra-group pairs return as exact jaccard 1.0 via an output-sized
+    equi-join. Result set identical to the uncollapsed join.
     """
     from pyspark.sql.window import Window
 
-    sh = shingle_rows(docs, id_col=id_col, text_col=text_col, n=n)
+    members = None
+    base = docs
+    if collapse_exact:
+        members, reps, has_dups = _exact_groups(
+            docs, id_col=id_col, text_col=text_col
+        )
+        if has_dups:
+            base = reps
+        else:
+            members = None
+    sh = shingle_rows(base, id_col=id_col, text_col=text_col, n=n)
     # Carry |shingles| on each row via a window count so no per-doc side
     # table (which must never be broadcast at scale) is needed, then
     # materialize: the text->shingle pipeline is the expensive part and
@@ -150,7 +283,21 @@ def ngram_jaccard_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    return out.filter(F.col("jaccard") >= min_jaccard)
+    out = out.filter(F.col("jaccard") >= min_jaccard)
+    if members is None:
+        return out
+    inter_exp = _expand_rep_pairs(out, members, ["jaccard"])
+    # Intra-group pairs only for groups that shingle at all (docs with
+    # fewer than n tokens never pair — same rule as the plain join);
+    # identical shingle sets make the Jaccard exactly 1.0.
+    shingled = ex.select(F.col("id").alias("rep_id")).distinct()
+    intra = (
+        _intra_group_pairs(members)
+        .join(shingled, "rep_id")
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .filter(F.lit(1.0) >= F.lit(float(min_jaccard)))
+    )
+    return inter_exp.unionByName(intra)
 
 
 def _md5_hash64(c: Column, salt: int) -> Column:
@@ -283,6 +430,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     min_jaccard: float | None = 0.5,
+    collapse_exact: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate candidate pairs.
 
@@ -291,9 +440,46 @@ def minhash_lsh_pairs(
     equal signature positions ≈ Jaccard). At 100 TB the only shuffles
     are groupBy(band_key) — keys are short hashes, heavily combinable.
     Returns (id_a, id_b, est_jaccard).
+
+    Hot-bucket guards (the classic web-scale LSH-dedup killers):
+
+    ``collapse_exact`` (default ON) pre-collapses byte-identical
+    (whitespace/case-normalized) documents to one representative
+    before signatures — see :func:`_exact_groups` — so a mega-group of
+    m identical boilerplate docs occupies ONE row per band bucket
+    instead of detonating m^2/2 candidate rows inside the banded
+    self-join. The intra-group pairs (est_jaccard exactly 1.0 —
+    identical signatures) are reconstructed by an output-sized
+    equi-join on the group key; the result set is IDENTICAL to the
+    uncollapsed join (unchanged DuckDB oracle proves it). When the
+    corpus has no exact dups the expansion is skipped and the plan is
+    exactly the pre-guard plan.
+
+    ``max_band_bucket`` (default off) bounds the residual risk the
+    collapse can't remove — near-identical-but-not-byte-identical
+    TEMPLATED boilerplate that still floods one band bucket. When set,
+    each band bucket keeps only its ``max_band_bucket`` smallest doc
+    ids (deterministic truncation, reproducible in any engine via a
+    rank window), capping candidate generation at C(cap, 2) per
+    bucket. Recall trade-off: pairs both of whose members rank beyond
+    the cap in EVERY shared bucket are missed — acceptable for dedup
+    because a flooded bucket is precisely a near-dup cluster, whose
+    members the survivor-selection step collapses through the capped
+    members' transitive links anyway. Exact-dup pairs are never capped
+    (they bypass banding entirely via the collapse).
     """
+    members = None
+    base = docs
+    if collapse_exact:
+        members, reps, has_dups = _exact_groups(
+            docs, id_col=id_col, text_col=text_col
+        )
+        if has_dups:
+            base = reps
+        else:
+            members = None
     sig = minhash_signature_table(
-        docs, id_col=id_col, text_col=text_col,
+        base, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
     )
     # Materialize signatures before the self-join: the signature table is
@@ -313,6 +499,19 @@ def minhash_lsh_pairs(
             lsh_band_keys("sig", num_hashes=num_hashes, bands=bands)
         ).alias("band_key"),
     )
+    if max_band_bucket is not None:
+        from pyspark.sql.window import Window
+
+        banded = (
+            banded.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("band_key").orderBy("id")
+                ),
+            )
+            .filter(F.col("__rk") <= max_band_bucket)
+            .drop("__rk")
+        )
     a = banded.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band_key")
     b_ = banded.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band_key")
     cand = (
@@ -330,7 +529,20 @@ def minhash_lsh_pairs(
     )
     if min_jaccard is not None:
         est = est.filter(F.col("est_jaccard") >= min_jaccard)
-    return est
+    if members is None:
+        return est
+    inter = _expand_rep_pairs(est, members, ["est_jaccard"])
+    # Intra-group pairs only for groups whose rep HAS a signature:
+    # docs shorter than shingle_n produce no signature and never pair
+    # (same rule as the uncollapsed join).
+    intra = (
+        _intra_group_pairs(members)
+        .join(sig.select(F.col("id").alias("rep_id")), "rep_id")
+        .select("id_a", "id_b", F.lit(1.0).alias("est_jaccard"))
+    )
+    if min_jaccard is not None:
+        intra = intra.filter(F.lit(1.0) >= F.lit(float(min_jaccard)))
+    return inter.unionByName(intra)
 
 
 def _hexmap() -> Column:
@@ -470,6 +682,8 @@ def simhash_pairs(
     text_col: str = "text",
     n: int = 2,
     max_hamming: int = 3,
+    collapse_exact: bool = True,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs within ``max_hamming`` SimHash bits.
 
@@ -482,12 +696,33 @@ def simhash_pairs(
     separate joins). Candidates are then refined with the exact popcount
     of the XOR. At 100 TB: fingerprints are 8 bytes/doc, the self-join
     key is a short (band, 16-bit chunk) pair, and nothing all-pairs ever
-    materializes; identical-fingerprint mega-buckets are the only skew
-    risk and AQE skew-join splitting handles them.
+    materializes.
+
+    Hot-bucket guards, same design as :func:`minhash_lsh_pairs`:
+    ``collapse_exact`` pre-collapses identical normalized content to
+    one representative (see :func:`_exact_groups`) so identical-
+    fingerprint mega-buckets of byte-identical boilerplate never enter
+    the banded join; intra-group pairs come back at hamming 0 via an
+    output-sized equi-join. Unlike MinHash, EVERY group participates —
+    unshingleable docs carry fingerprint 0 (including the NULL-text
+    group), exactly the uncollapsed semantics. ``max_band_bucket``
+    truncates each (band, chunk) bucket to its smallest ids for
+    residual templated-boilerplate floods (deterministic; same recall
+    trade-off note as minhash_lsh_pairs).
 
     Returns (id_a, id_b, hamming), id_a < id_b.
     """
-    fp = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, n=n)
+    members = None
+    base = docs
+    if collapse_exact:
+        members, reps, has_dups = _exact_groups(
+            docs, id_col=id_col, text_col=text_col
+        )
+        if has_dups:
+            base = reps
+        else:
+            members = None
+    fp = simhash_fingerprints(base, id_col=id_col, text_col=text_col, n=n)
     # Materialize the tiny (id, simhash) table so the expensive
     # text->shingle->vote pipeline runs once, not once per join side.
     fp = fp.localCheckpoint(eager=True)
@@ -508,13 +743,26 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("id", "simhash", "bk.band", "bk.chunk")
+    if max_band_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bands = (
+            bands.withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy("band", "chunk").orderBy("id")
+                ),
+            )
+            .filter(F.col("__rk") <= max_band_bucket)
+            .drop("__rk")
+        )
     a = bands.select(
         F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "chunk"
     )
     b_ = bands.select(
         F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "chunk"
     )
-    return (
+    rep_pairs = (
         a.join(b_, on=["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -527,6 +775,13 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if members is None:
+        return rep_pairs
+    inter = _expand_rep_pairs(rep_pairs, members, ["hamming"])
+    intra = _intra_group_pairs(members).select(
+        "id_a", "id_b", F.lit(0).cast("bigint").alias("hamming")
+    )
+    return inter.unionByName(intra)
 
 
 def _dup_span_pipeline(
