@@ -40,11 +40,26 @@ def start_stream_upsert(
     id_col: str = "id",
     version_col: str | None = None,
     query_name: str = "stream_upsert",
+    checkpoint_location: str | None = None,
+    post_merge_hook=None,
 ):
     """Maintain a parquet table at ``table_path`` from an upsert stream.
 
     Returns the StreamingQuery; callers trigger/await it. Use with the
     availableNow trigger for drain-then-stop semantics in tests.
+
+    ``checkpoint_location`` makes the query RESTARTABLE: the source
+    offsets + the foreachBatch epoch log live there, so a query that
+    dies mid-stream resumes from the last committed epoch instead of
+    re-reading the world. The commit protocol's crash window — the
+    table swap succeeds but the process dies before the checkpoint
+    commit — causes that epoch to be REPLAYED on restart; replaying a
+    merge through ``upsert_latest`` is idempotent (same ids + same
+    versions -> same winners), so the table converges to exactly the
+    batch-upsert result. ``post_merge_hook(epoch_id)`` runs after the
+    swap and before foreachBatch returns — i.e. inside that crash
+    window — and exists so tests can raise there to prove the replay
+    path, fault-injection style.
     """
     spark = changes.sparkSession
 
@@ -61,13 +76,17 @@ def start_stream_upsert(
             os.rename(table_path, old)
         os.rename(staged, table_path)
         shutil.rmtree(old, ignore_errors=True)
+        if post_merge_hook is not None:
+            post_merge_hook(epoch_id)
 
-    return (
+    writer = (
         changes.writeStream.foreachBatch(merge_batch)
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_location is not None:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()
 
 
 def run_stream_upsert(

@@ -1,0 +1,142 @@
+"""Streaming fault-tolerance: kill the foreachBatch upsert sink
+mid-stream — INSIDE the commit protocol's crash window (table swapped,
+checkpoint not yet committed) — restart from the same checkpoint, and
+prove the final table is byte-identical to the batch upsert over all
+changes: exactly-once OUTCOME via source-offset tracking + idempotent
+replay (streaming/upsert_sink.py's documented contract).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cs6300_vectordbs_spark.operators.upsert import upsert_latest
+from cs6300_vectordbs_spark.streaming.upsert_sink import start_stream_upsert
+
+SCHEMA = "id long, val string, ver long"
+
+
+def _write_change_files(spark, src):
+    batches = [
+        [(1, "a1", 1), (2, "b1", 1), (3, "c1", 1)],
+        [(2, "b2", 2), (3, "c0-late", 0), (4, "d1", 1)],
+        [(1, "a3", 3), (4, "d0-late", 0), (5, "e1", 1)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    return batches
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def test_crash_after_swap_then_restart_converges(spark, tmp_path):
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    batches = _write_change_files(spark, src)
+
+    # Run 1: die inside the crash window of the SECOND epoch — the
+    # table swap for that epoch has happened, its checkpoint commit
+    # has not, so the restart MUST replay it.
+    seen: list[int] = []
+
+    def crash_on_second(epoch_id: int) -> None:
+        seen.append(epoch_id)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash after swap, before commit")
+
+    q = start_stream_upsert(
+        _stream(spark, src),
+        table,
+        id_col="id",
+        version_col="ver",
+        checkpoint_location=ckpt,
+        post_merge_hook=crash_on_second,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    assert len(seen) == 2  # two epochs merged, second uncommitted
+
+    # The dead query left a PARTIAL table on disk (epochs 1-2 merged,
+    # epoch 3 never ran) — the state a restart must repair from.
+    partial = {tuple(r) for r in spark.read.parquet(table).collect()}
+    all_rows = [t for b in batches for t in b]
+    assert partial != {
+        tuple(r)
+        for r in upsert_latest(
+            spark.createDataFrame(all_rows[:0], SCHEMA),
+            spark.createDataFrame(all_rows, SCHEMA),
+            "id",
+            version_col="ver",
+        ).collect()
+    }
+
+    # Run 2: same checkpoint, no fault. availableNow resumes from the
+    # offset log — replaying the uncommitted epoch, then the rest.
+    q2 = start_stream_upsert(
+        _stream(spark, src),
+        table,
+        id_col="id",
+        version_col="ver",
+        checkpoint_location=ckpt,
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(table)
+    want = upsert_latest(
+        spark.createDataFrame(all_rows[:0], SCHEMA),
+        spark.createDataFrame(all_rows, SCHEMA),
+        "id",
+        version_col="ver",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # Exactly-once outcome: one row per id, and every version-winner
+    # survived the replay (no low-version clobber, no duplicates).
+    rows = got.collect()
+    assert len({r.id for r in rows}) == len(rows) == 5
+    vals = {r.id: r.val for r in rows}
+    assert vals == {1: "a3", 2: "b2", 3: "c1", 4: "d1", 5: "e1"}
+
+
+def test_restart_without_new_data_is_a_noop(spark, tmp_path):
+    """A clean drain followed by a restart on the same checkpoint must
+    not re-merge anything (offsets all committed): the table bytes are
+    untouched, proving the file-source log is what dedups work."""
+    import os
+
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    _write_change_files(spark, src)
+
+    q = start_stream_upsert(
+        _stream(spark, src), table, id_col="id", version_col="ver",
+        checkpoint_location=ckpt,
+    )
+    q.awaitTermination()
+
+    def table_sig():
+        return sorted(
+            (f, os.path.getmtime(os.path.join(table, f)))
+            for f in os.listdir(table)
+        )
+
+    before = table_sig()
+    merged: list[int] = []
+    q2 = start_stream_upsert(
+        _stream(spark, src), table, id_col="id", version_col="ver",
+        checkpoint_location=ckpt, post_merge_hook=merged.append,
+    )
+    q2.awaitTermination()
+    assert merged == []  # zero epochs replayed
+    assert table_sig() == before
