@@ -687,13 +687,13 @@ GROUP BY substr(md5({_SQL_NORM_TEXT}), 1, 16)
 
 # Shingle construction shared by the jaccard/minhash/simhash oracles.
 # toks[i:i+n-1] is DuckDB's inclusive 1-based slice == Spark slice(toks, i, n).
-def _sql_shingles(n: int) -> str:
+def _sql_shingles(n: int, table: str = "documents") -> str:
     return f"""
   toks AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                        t -> t != '') AS tk
-    FROM documents
+    FROM {table}
   ), shing AS (
     SELECT doc_id,
            list_distinct([array_to_string(tk[i:i+{n - 1}], ' ')
@@ -996,6 +996,105 @@ FROM pairs p
 JOIN documents da ON da.doc_id = p.id_a
 JOIN documents db ON db.doc_id = p.id_b
 WHERE da.source != db.source
+"""
+
+
+_LSH_CAP = 2
+
+
+def q_lsh_capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with BOTH hot-bucket guards live: exact-dup
+    pre-collapse (operators/dedup._exact_groups) and the per-band-
+    bucket cap. The cap keeps each band bucket's ``_LSH_CAP`` smallest
+    rep ids — a DETERMINISTIC truncation (rank window over a unique
+    total order), so the full pair set, recall loss included, is
+    value-hash reproducible in DuckDB. At sf0.01 the largest bucket
+    holds 3 reps, so cap=2 genuinely drops candidates at gate scale;
+    at 100 TB this is the bound that keeps templated-boilerplate
+    floods from detonating the banded self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3, collapse_exact=True, max_band_bucket=_LSH_CAP,
+    ).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"),
+        "est_jaccard",
+    )
+
+
+def _oracle_lsh_capped() -> str:
+    """Full SQL twin of the guarded LSH path: collapse identical
+    normalized content to min-id reps, shingle/sign REPS only, cap
+    each band bucket at _LSH_CAP by rep id, pair + threshold, then
+    expand rep pairs to member pairs and add intra-group pairs at
+    est_jaccard 1.0 (signature-identical by construction). At a
+    dup-free SF the collapse is an identity map and the cap is the
+    only behavior difference vs _oracle_minhash."""
+    rows = _MH_HASHES // _MH_BANDS
+    mins = ", ".join(
+        f"min({_SQL_H64.format(i=i)}) AS h{i}" for i in range(_MH_HASHES)
+    )
+    band_keys = ", ".join(
+        "md5(concat_ws(',', '%d', %s)) AS bk%d"
+        % (b, ", ".join(f"h{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows)), b)
+        for b in range(_MH_BANDS)
+    )
+    eq_frac = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_MH_HASHES)
+    )
+    return f"""WITH grp AS (
+  SELECT doc_id, substr(md5({_SQL_NORM_TEXT}), 1, 16) AS fp FROM documents
+),
+groups AS (SELECT fp, min(doc_id) AS rep_id FROM grp GROUP BY fp),
+members AS (
+  SELECT g.doc_id AS id, gr.rep_id FROM grp g JOIN groups gr USING (fp)
+),
+reps AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN groups g ON d.doc_id = g.rep_id
+),
+{_sql_shingles(3, table="reps")},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shing WHERE len(sh) > 0),
+sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+banded AS (SELECT doc_id, {band_keys}, * FROM sig),
+long AS (
+  SELECT doc_id, unnest([bk0, bk1, bk2, bk3]) AS band_key FROM banded
+),
+capped AS (
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, band_key,
+           row_number() OVER (PARTITION BY band_key ORDER BY doc_id) AS rk
+    FROM long
+  ) WHERE rk <= {_LSH_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.id_a, c.id_b, ({eq_frac})::DOUBLE / {_MH_HASHES} AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+  WHERE ({eq_frac})::DOUBLE / {_MH_HASHES} >= 0.3
+),
+inter AS (
+  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+         p.est_jaccard
+  FROM pairs p
+  JOIN members ma ON ma.rep_id = p.id_a
+  JOIN members mb ON mb.rep_id = p.id_b
+),
+intra AS (
+  SELECT a.id AS id_a, b.id AS id_b, 1.0::DOUBLE AS est_jaccard
+  FROM members a
+  JOIN members b ON a.rep_id = b.rep_id AND a.id < b.id
+  WHERE a.rep_id IN (SELECT doc_id FROM sig)
+)
+SELECT id_a, id_b, est_jaccard FROM inter
+UNION ALL
+SELECT id_a, id_b, est_jaccard FROM intra
 """
 
 
@@ -9258,6 +9357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_capped_pairs": q_lsh_capped_pairs,
         "cross_source_dups": q_cross_source_dups,
         "simhash_buckets": q_simhash_buckets,
         "simhash_pairs": q_simhash_pairs,
@@ -9331,6 +9431,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _ORACLE_DEDUP,
         "ngram_jaccard_pairs": _ORACLE_JACCARD,
         "minhash_lsh_pairs": _oracle_minhash(),
+        "lsh_capped_pairs": _oracle_lsh_capped(),
         "cross_source_dups": _oracle_cross_source(),
         "simhash_buckets": _ORACLE_SIMHASH,
         "simhash_pairs": _ORACLE_SIMHASH_PAIRS,
