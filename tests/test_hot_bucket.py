@@ -144,3 +144,49 @@ class TestBandBucketCap:
             docs, max_hamming=3, collapse_exact=False, max_band_bucket=3
         ).collect()
         assert {(r.id_a, r.id_b) for r in got} == {(0, 1), (0, 2), (1, 2)}
+
+
+class TestRandomizedEquivalence:
+    def test_collapse_invisible_on_random_dup_heavy_corpus(self, spark):
+        """Seeded-random corpus engineered for duplicate pressure: few
+        distinct base texts, many copies with whitespace/case mutations
+        (fingerprint-equal) and word-level mutations (near-dup, NOT
+        fingerprint-equal). Collapse on/off must agree for all three
+        pair operators — one corpus, one Spark round trip each."""
+        import random
+
+        rng = random.Random(61)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        bases = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(3, 9)))
+            for _ in range(6)
+        ]
+        rows = []
+        for i in range(120):
+            t = rng.choice(bases)
+            m = rng.randrange(4)
+            if m == 1:      # whitespace/case mutation: same fingerprint
+                t = t.upper() if rng.random() < 0.5 else t.replace(" ", "  ")
+            elif m == 2:    # word mutation: near-dup, different fingerprint
+                toks = t.split()
+                toks[rng.randrange(len(toks))] = rng.choice(words)
+                t = " ".join(toks)
+            elif m == 3 and rng.random() < 0.3:
+                t = ""      # occasional empty doc
+            rows.append((i, t))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        from cs6300_vectordbs_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+
+        for fn, kw, col in (
+            (minhash_lsh_pairs, {"min_jaccard": 0.3}, "est_jaccard"),
+            (ngram_jaccard_pairs, {"min_jaccard": 0.3}, "jaccard"),
+            (simhash_pairs, {"max_hamming": 3}, "hamming"),
+        ):
+            on = _pairset(fn(docs, **kw), col)
+            off = _pairset(fn(docs, collapse_exact=False, **kw), col)
+            assert on == off, fn.__name__
