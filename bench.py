@@ -228,10 +228,13 @@ def main() -> None:
         # the host shows 2-3x run-to-run noise (shared hypervisor), and
         # single-run numbers produced three false regression signals in
         # r04 (all noise on idle re-measure) — the min of three genuine
-        # cold-plan runs is the stable estimator. Per-rep times are
-        # persisted in BENCH_DETAIL.json ("reps") so variance is
-        # visible, not inferred. Extended queries get one run.
-        reps = 3 if name in BENCH_QUERIES else 1
+        # cold-plan runs is the stable estimator. Extended queries get
+        # min-of-2: one run proved +-30% noisy round-over-round, and a
+        # second rep removes the worst of it (first-touch index builds,
+        # JIT) at ~280 s extra wall. Per-rep times are persisted in
+        # BENCH_DETAIL.json ("reps") so variance is visible, not
+        # inferred.
+        reps = 3 if name in BENCH_QUERIES else 2
         best = None
         rep_times: list[float] = []
         try:

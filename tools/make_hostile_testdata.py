@@ -22,7 +22,17 @@ quarantine-at-ingest (``corpus_null_audit`` reports them); this tier
 verifies the queries that must tolerate NULLs in optional cells agree
 with the oracle anyway.
 
-Usage: python tools/make_hostile_testdata.py [outdir] [--nulls]
+With ``--skew``, additionally builds a POWER-LAW events table: one
+hot user is given 9x the whole original table (cloned rows, fresh
+event_ids, original timestamps/types/values), ending up owning ~90%
+of all events — the hot-key shape that breaks per-user shuffles at
+100 TB. Every user-keyed query (sessionization, funnels, retention,
+cumulative/salted aggregates, snapshot diff) must STILL value-hash
+match DuckDB: skew may slow a plan, never change an answer. Duplicate
+(user_id, ts) pairs are intentional — per-user orderings must break
+ties on (ts, event_id), and this tier catches any that don't.
+
+Usage: python tools/make_hostile_testdata.py [outdir] [--nulls] [--skew]
 Then:  SPARK_GRAFT_VERIFY_SF=<outdir> python tools/verify_local.py
 """
 
@@ -38,7 +48,11 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.001"
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 WITH_NULLS = "--nulls" in sys.argv[1:]
-OUT = ARGS[0] if ARGS else ("/tmp/sf_nulls" if WITH_NULLS else "/tmp/sf_hostile")
+WITH_SKEW = "--skew" in sys.argv[1:]
+OUT = ARGS[0] if ARGS else (
+    "/tmp/sf_skew" if WITH_SKEW
+    else ("/tmp/sf_nulls" if WITH_NULLS else "/tmp/sf_hostile")
+)
 
 
 def main() -> None:
@@ -168,6 +182,19 @@ def main() -> None:
             r["user_id"] = lone_user + 2
             r.update(spec)
             evrows.append(r)
+    if WITH_SKEW:
+        # Clone the ORIGINAL table 9x onto one hot user: ~90% of all
+        # rows share one user_id, with duplicated (user_id, ts) pairs
+        # by construction. Deterministic — no RNG, stable event_ids.
+        hot_user = min(r["user_id"] for r in evrows)
+        originals = [dict(r) for r in evrows[: ev.num_rows]]
+        skewnext = max(r["event_id"] for r in evrows) + 1
+        for rep in range(9):
+            for j, src_row in enumerate(originals):
+                r = dict(src_row)
+                r["event_id"] = skewnext + rep * len(originals) + j
+                r["user_id"] = hot_user
+                evrows.append(r)
     pq.write_table(
         pa.Table.from_pylist(evrows, schema=ev.schema),
         f"{OUT}/events.parquet",
