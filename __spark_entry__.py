@@ -9186,20 +9186,67 @@ FROM keyed GROUP BY shard ORDER BY shard
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
-    # cumulative ledger. The r05 window below = the one r04 red
-    # (cumulative_users, re-fixed tz-proof), the search_latency oracle
-    # split pair, the new 384-d gate pin, the 8 r05-queue names that
-    # were registered 51+ in r04, the 10 NEW r05 queries (zordered,
-    # bpe/dsir/null-audit, gopher, dup-span, shard manifest,
-    # edit-distance neardup, ORC, NSW beam search), then
-    # RE-VERIFICATION slots for every query whose code paths this
-    # round touched: the kmeans mean rule, the BRP zero-norm guard,
-    # the CSV arity check, the vector-kernel UNROLL cap, and the
-    # read_events UTC re-pin (the ts/date family) — exactly 50 slots;
-    # displaced tail re-verification names keep their earlier driver
-    # greens and were re-verified locally this round.
+    # cumulative ledger. The r06 window below = the dedup-family block
+    # (the NEW lsh_capped_pairs — both hot-bucket guards under the
+    # value-hash gate — plus every query whose code path the r06
+    # exact-dup collapse touched: the three pair operators and the 12
+    # cluster/survivor/report/sweep queries built on their pair sets),
+    # then 34 stale-green rotation slots whose last driver check was
+    # r02 — re-confirming no drift four rounds on. Displaced names all
+    # keep earlier driver greens (see the ledger) and the whole
+    # 179-query surface was locally differentialed this round at
+    # sf0.01 AND on the power-law skew tier (FIXTURES.md Part C).
     return {
-        # -- r05 window: red-fix + split + new + queue --
+        "lsh_capped_pairs": q_lsh_capped_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "simhash_buckets": q_simhash_buckets,
+        "cross_source_dups": q_cross_source_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "clean_corpus": q_clean_corpus,
+        "best_survivors": q_best_survivors,
+        "dedup_threshold_sweep": q_dedup_threshold_sweep,
+        "dedup_quality_report": q_dedup_quality_report,
+        "lsh_tuning_report": q_lsh_tuning_report,
+        "edit_distance_neardup": q_edit_distance_neardup,
+        "incremental_dedup": q_incremental_dedup,
+        "chunk_dedup": q_chunk_dedup,
+        "dup_ratio_by_source": q_dup_ratio_by_source,
+        "exact_dedup": q_exact_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "topk_cosine_exact": q_topk_cosine_exact,
+        "cosine_pairs": q_cosine_pairs,
+        "pq_topk": q_pq_topk,
+        "sq8_topk": q_sq8_topk,
+        "upsert_latest": q_upsert_latest,
+        "hash_sample": q_hash_sample,
+        "doc_stats": q_doc_stats,
+        "quality_deciles": q_quality_deciles,
+        "bigram_lm": q_bigram_lm,
+        "knn_graph_stats": q_knn_graph_stats,
+        "repetition_stats": q_repetition_stats,
+        "redact_pii": q_redact_pii,
+        "heavy_hitters": q_heavy_hitters,
+        "token_counts": q_token_counts,
+        "label_centroids": q_label_centroids,
+        "chunk_documents": q_chunk_documents,
+        "contamination": q_contamination,
+        "balanced_sample": q_balanced_sample,
+        "sequential_ids": q_sequential_ids,
+        "template_queries": q_template_queries,
+        "clean_query_lines": q_clean_query_lines,
+        "blob_metadata": q_blob_metadata,
+        "audio_features": q_audio_features,
+        "frame_samples": q_frame_samples,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "shipping_priority": q_shipping_priority,
+        "market_share": q_market_share,
+        "latency_percentiles": q_latency_percentiles,
+        "latency_summary": q_latency_summary,
+        "recall_at_k": q_recall_at_k,
+        "ndcg_at_k": q_ndcg_at_k,
         "cumulative_users": q_cumulative_users,
         "search_latency": q_search_latency,
         "search_latency_wallclock": q_search_latency_wallclock,
@@ -9207,13 +9254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_search": q_auto_search,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "jsonl_ingest_stream": q_jsonl_ingest_stream,
-        "lsh_tuning_report": q_lsh_tuning_report,
         "partitioned_events": q_partitioned_events,
         "clean_markup": q_clean_markup,
         "curation_batches": q_curation_batches,
         "csv_ingest_checked": q_csv_ingest_checked,
-        # -- r05 window: new layout query (13), new curation trio
-        #    (14-16), + re-verification of changed code paths --
         "zordered_events": q_zordered_events,
         "bpe_pair_counts": q_bpe_pair_counts,
         "dsir_weights": q_dsir_weights,
@@ -9221,7 +9265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "dup_span_stats": q_dup_span_stats,
         "shard_manifest": q_shard_manifest,
-        "edit_distance_neardup": q_edit_distance_neardup,
         "orc_ingest": q_orc_ingest,
         "nsw_beam_topk": q_nsw_beam_topk,
         "semdedup_survivors": q_semdedup_survivors,
@@ -9239,12 +9282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brp_lsh_pairs": q_brp_lsh_pairs,
         "csv_ingest": q_csv_ingest,
         "jsonl_ingest": q_jsonl_ingest,
-        "topk_cosine_exact": q_topk_cosine_exact,
-        "cosine_pairs": q_cosine_pairs,
         "filtered_topk": q_filtered_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
-        "sq8_topk": q_sq8_topk,
-        "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
         "ivf_topk": q_ivf_topk,
         "retention_cohorts": q_retention_cohorts,
@@ -9269,12 +9308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clicks_before_error_stream": q_clicks_before_error_stream,
         "dormant_customers": q_dormant_customers,
         "funnel": q_funnel,
-        # -- beyond the 50-window: driver-green in r02-r04 (see
-        #    DRIVER_COVERAGE.md). funnel_by_segment / hourly_anomalies /
-        #    user_sessions were displaced from the window's tail
-        #    re-verification slots by the curation trio — all three
-        #    keep their r02 driver greens and their local tz-sim
-        #    re-verification this round. --
         "funnel_by_segment": q_funnel_by_segment,
         "hourly_anomalies": q_hourly_anomalies,
         "user_sessions": q_user_sessions,
@@ -9289,8 +9322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_projection": q_rp_projection,
         "split_summary": q_split_summary,
         "embedding_outliers": q_embedding_outliers,
-        "best_survivors": q_best_survivors,
-        "chunk_dedup": q_chunk_dedup,
         "top_supplier": q_top_supplier,
         "important_parts": q_important_parts,
         "weighted_sample": q_weighted_sample,
@@ -9309,7 +9340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_parts_suppliers": q_excess_parts_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
         "rerank_topk": q_rerank_topk,
-        "incremental_dedup": q_incremental_dedup,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "discount_revenue": q_discount_revenue,
         "ann_tuning_report": q_ann_tuning_report,
@@ -9317,9 +9347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_changes": q_scene_changes,
         "bucketed_revenue": q_bucketed_revenue,
         "ivf_upsert_topk": q_ivf_upsert_topk,
-        "dedup_threshold_sweep": q_dedup_threshold_sweep,
         "ivf_cell_stats": q_ivf_cell_stats,
-        "dedup_quality_report": q_dedup_quality_report,
         "passage_topk": q_passage_topk,
         "image_features": q_image_features,
         "order_priority": q_order_priority,
@@ -9328,7 +9356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_pruned_topk": q_bm25_pruned_topk,
         "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
-        "dup_ratio_by_source": q_dup_ratio_by_source,
         "latency_percentiles_long": q_latency_percentiles_long,
         "doc_length_histogram": q_doc_length_histogram,
         "parts_cube": q_parts_cube,
@@ -9341,52 +9368,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_momentum": q_revenue_momentum,
         "priority_shipping": q_priority_shipping,
         "user_sessions_stream": q_user_sessions_stream,
-        "dedup_clusters": q_dedup_clusters,
-        "clean_corpus": q_clean_corpus,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct": q_kmv_distinct,
         "cms_user_counts": q_cms_user_counts,
         "pipeline_report": q_pipeline_report,
         "ivf_persisted_topk": q_ivf_persisted_topk,
-        "latency_percentiles": q_latency_percentiles,
         "latency_percentiles_by_type": q_latency_percentiles_by_type,
-        "latency_summary": q_latency_summary,
-        "recall_at_k": q_recall_at_k,
         "recall_per_query": q_recall_per_query,
-        "ndcg_at_k": q_ndcg_at_k,
-        "exact_dedup": q_exact_dedup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_capped_pairs": q_lsh_capped_pairs,
-        "cross_source_dups": q_cross_source_dups,
-        "simhash_buckets": q_simhash_buckets,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "upsert_latest": q_upsert_latest,
-        "hash_sample": q_hash_sample,
-        "doc_stats": q_doc_stats,
-        "quality_deciles": q_quality_deciles,
-        "bigram_lm": q_bigram_lm,
-        "knn_graph_stats": q_knn_graph_stats,
-        "repetition_stats": q_repetition_stats,
-        "redact_pii": q_redact_pii,
-        "heavy_hitters": q_heavy_hitters,
-        "token_counts": q_token_counts,
-        "label_centroids": q_label_centroids,
         "events_dedup_stream": q_events_dedup_stream,
-        "chunk_documents": q_chunk_documents,
-        "contamination": q_contamination,
-        "balanced_sample": q_balanced_sample,
-        "sequential_ids": q_sequential_ids,
-        "template_queries": q_template_queries,
-        "clean_query_lines": q_clean_query_lines,
-        "blob_metadata": q_blob_metadata,
-        "audio_features": q_audio_features,
-        "frame_samples": q_frame_samples,
-        "pricing_summary": q_pricing_summary,
-        "revenue_by_nation": q_revenue_by_nation,
-        "shipping_priority": q_shipping_priority,
-        "market_share": q_market_share,
     }
 
 
