@@ -8554,6 +8554,38 @@ def q_nsw_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-graph serving path: ensure the on-disk NSW edge list
+    exists (create-if-absent, content-addressed fingerprint over
+    (vec_id, embedding) + the build degree k — sources/graph_index.py),
+    then beam-search from it. The k-NN build is the expensive half of
+    graph ANN (exact blocked N² one-off); persisting the ~k-rows-per-
+    vector edge list means serving never pays it again — the same
+    build/serve split the reference gets from Chroma's persisted HNSW
+    (/root/reference/src/chroma.py:81-87). Identical parameters and
+    tie rules as nsw_beam_topk -> shares its full value-hash oracle."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+    from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/nsw_graph_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = ensure_nsw_graph(spark, emb, path, k=_NSW_K).localCheckpoint(
+        eager=True
+    )
+    out = nsw_beam_search(
+        emb, _query_batch(emb), TOPK, edges=edges,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        dim=EMB_DIM, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
 def _oracle_nsw_beam() -> str:
     sim = (
         "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
@@ -9213,6 +9245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "chunk_dedup": q_chunk_dedup,
         "dup_ratio_by_source": q_dup_ratio_by_source,
+        "nsw_persisted_topk": q_nsw_persisted_topk,
         "exact_dedup": q_exact_dedup,
         "embedding_neardup": q_embedding_neardup,
         "topk_cosine_exact": q_topk_cosine_exact,
@@ -9246,8 +9279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_percentiles": q_latency_percentiles,
         "latency_summary": q_latency_summary,
         "recall_at_k": q_recall_at_k,
-        "ndcg_at_k": q_ndcg_at_k,
         "cumulative_users": q_cumulative_users,
+        "ndcg_at_k": q_ndcg_at_k,
         "search_latency": q_search_latency,
         "search_latency_wallclock": q_search_latency_wallclock,
         "topk_cosine_384d": q_topk_cosine_384d,
@@ -9396,6 +9429,7 @@ def oracle_sql() -> dict[str, str]:
         "edit_distance_neardup": _oracle_edit_distance(),
         "orc_ingest": _ORACLE_ORC_INGEST,
         "nsw_beam_topk": _oracle_nsw_beam(),
+        "nsw_persisted_topk": _oracle_nsw_beam(),
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,
         "knn_label_classifier": _ORACLE_KNN_VOTE,

@@ -1,0 +1,83 @@
+"""Persisted NSW graph — the create-if-absent lifecycle (reference S9,
+/root/reference/src/chroma.py:81-87 count-guard analog) for the
+graph-ANN serving path.
+
+The graph build is the expensive half of NSW serving: an exact k-NN
+over the whole corpus (the grid kernel — O(N²/B) blocked dot
+products) plus the hash-shortcut long links. At 100 TB that is a
+one-off batch job whose output — an (a, b) edge list, ~k rows per
+vector, two bigints each — is tiny next to the corpus and cheap to
+store; serving (beam search) then never pays the build again. Same
+content-addressed invalidation as every other persisted index
+(sources/index_common.py): corpus count + per-row hash sum + the
+build parameters, so a regenerated corpus or a changed k/salt
+rebuilds, an unchanged one is reused byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .index_common import corpus_fingerprint, read_fingerprint, write_fingerprint
+
+
+def nsw_graph_exists(path: str) -> bool:
+    return os.path.exists(f"{path}/edges") and os.path.exists(
+        f"{path}/FINGERPRINT"
+    )
+
+
+def build_nsw_graph(
+    corpus: DataFrame,
+    path: str,
+    *,
+    k: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Exact symmetric k-NN edges (grid kernel — both sides blocked,
+    never a driver matrix) + deterministic hash shortcuts, written as
+    one parquet edge list with a < b."""
+    from ..operators.ann import nsw_shortcut_edges
+    from ..operators.similarity import similarity_topk_grid
+
+    allq = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    knn = similarity_topk_grid(corpus, allq, k, exclude_self=True)
+    edges = (
+        knn.select(
+            F.least("query_id", F.col(id_col)).alias("a"),
+            F.greatest("query_id", F.col(id_col)).alias("b"),
+        )
+        .unionByName(
+            nsw_shortcut_edges(corpus, id_col=id_col).select("a", "b")
+        )
+        .distinct()
+    )
+    edges.write.mode("overwrite").parquet(f"{path}/edges")
+
+
+def ensure_nsw_graph(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    k: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Create-if-absent, then return the stored edge list. The
+    fingerprint covers (id, vector) content AND the build k — a graph
+    built at a different degree must never serve a caller expecting
+    this one (beam recall depends on degree)."""
+    fp = corpus_fingerprint(corpus, [id_col, vec_col], {"k": k})
+    if not (nsw_graph_exists(path) and read_fingerprint(path) == fp):
+        build_nsw_graph(
+            corpus, path, k=k, id_col=id_col, vec_col=vec_col
+        )
+        write_fingerprint(path, fp)
+    return spark.read.parquet(f"{path}/edges")

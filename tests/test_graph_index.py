@@ -1,0 +1,60 @@
+"""Persisted NSW graph lifecycle (sources/graph_index.py): build once,
+reuse byte-identically while the fingerprint matches, rebuild on
+corpus-content or build-parameter change — the same create-if-absent
+contract as the IVF/BM25/MinHash persisted indexes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+
+
+def _corpus(spark, n=40, dim=8, bump=0.0):
+    rows = [
+        (i, [float(((i * 7 + d * 3) % 11) - 5) + (bump if i == 0 else 0.0)
+             for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _edge_files_sig(path):
+    d = f"{path}/edges"
+    return sorted(
+        (f, os.path.getmtime(os.path.join(d, f))) for f in os.listdir(d)
+    )
+
+
+def test_build_reuse_invalidate(spark, tmp_path):
+    path = str(tmp_path / "nsw")
+    corpus = _corpus(spark)
+
+    e1 = ensure_nsw_graph(spark, corpus, path, k=4)
+    n1 = e1.count()
+    assert n1 > 0
+    sig1 = _edge_files_sig(path)
+    # every edge a < b, ids in range
+    bad = e1.filter(
+        (F.col("a") >= F.col("b")) | (F.col("a") < 0) | (F.col("b") >= 40)
+    ).count()
+    assert bad == 0
+
+    # unchanged corpus + params -> byte-identical reuse (no rebuild)
+    e2 = ensure_nsw_graph(spark, corpus, path, k=4)
+    assert e2.count() == n1
+    assert _edge_files_sig(path) == sig1
+
+    # changed degree -> rebuild (files rewritten, more edges)
+    e3 = ensure_nsw_graph(spark, corpus, path, k=6)
+    assert _edge_files_sig(path) != sig1
+    assert e3.count() > n1
+
+    # changed corpus content (same row count!) -> rebuild
+    sig3 = _edge_files_sig(path)
+    e4 = ensure_nsw_graph(spark, _corpus(spark, bump=9.0), path, k=6)
+    assert _edge_files_sig(path) != sig3
+    assert e4.count() > 0
