@@ -80,37 +80,49 @@ def _exact_groups(
       members   (id, rep_id) — every doc mapped to its group's
                 representative (the min id); slim, localCheckpoint'd
       reps      doc-shaped (id_col, text_col) rows, one per distinct
-                content, text from the min-id member (deterministic)
+                content, text from the min-id member (deterministic);
+                None on the fast path (callers use the original docs)
       has_dups  False when every group has size 1 — callers use it to
                 skip the expansion joins entirely on already-clean
                 corpora (one 1-row driver aggregate on the collapsed
                 group table, the kmeans-centroid collect discipline)
+
+    Scale shape: the dup-existence check shuffles ONLY (fingerprint,
+    id) — 24ish bytes/doc, heavily combinable — so a clean corpus
+    (the common case) pays no text shuffle and no materialization at
+    all. Text is shuffled exactly once (min_by, map-side combined to
+    one text per fingerprint per partition) and only when duplicates
+    actually exist; the corpus-sized text table is never
+    checkpointed — the signature pipelines that consume ``reps``
+    materialize their own compact outputs immediately.
     """
     keyed = _spread(docs).select(
         F.col(id_col).alias("id"),
         doc_fingerprint(text_col).alias("__fp"),
-        F.col(text_col).alias("__text"),
     )
-    groups = (
+    sizes = (
         keyed.groupBy("__fp")
-        .agg(
-            F.min("id").alias("rep_id"),
-            F.min_by("__text", "id").alias("__text"),
-            F.count(F.lit(1)).alias("grp_n"),
-        )
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
         .localCheckpoint(eager=True)
     )
-    has_dups = groups.agg(F.max("grp_n").alias("m")).collect()[0]["m"] > 1
-    reps = groups.select(
-        F.col("rep_id").alias(id_col), F.col("__text").alias(text_col)
+    has_dups = sizes.agg(F.max("grp_n").alias("m")).collect()[0]["m"] > 1
+    if not has_dups:
+        return None, None, False
+    reps = (
+        _spread(docs)
+        .select(
+            doc_fingerprint(text_col).alias("__fp"),
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__text"),
+        )
+        .groupBy("__fp")
+        .agg(F.min("id").alias(id_col), F.min_by("__text", "id").alias(text_col))
+        .select(id_col, text_col)
     )
     members = (
-        keyed.select("id", "__fp")
-        .join(groups.select("__fp", "rep_id"), "__fp")
+        keyed.join(sizes.select("__fp", "rep_id"), "__fp")
         .select("id", "rep_id")
         .localCheckpoint(eager=True)
-        if has_dups
-        else None
     )
     return members, reps, has_dups
 
