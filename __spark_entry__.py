@@ -1043,7 +1043,9 @@ def _oracle_lsh_capped() -> str:
         f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(_MH_HASHES)
     )
     return f"""WITH grp AS (
-  SELECT doc_id, substr(md5({_SQL_NORM_TEXT}), 1, 16) AS fp FROM documents
+  SELECT doc_id,
+         coalesce(substr(md5({_SQL_NORM_TEXT}), 1, 16), '__null__') AS fp
+  FROM documents
 ),
 groups AS (SELECT fp, min(doc_id) AS rep_id FROM grp GROUP BY fp),
 members AS (

@@ -72,9 +72,13 @@ def _exact_groups(
     guaranteed shingle-identical and therefore signature-identical;
     collapse + expansion provably returns the SAME pair set as the
     uncollapsed join (pinned by tests and by the unchanged DuckDB
-    oracles). NULL-text docs share the NULL fingerprint group; whether
-    that group participates is each caller's existing semantics
-    (MinHash/Jaccard: no shingles, no pairs; SimHash: fingerprint 0).
+    oracles). NULL-text docs get a SENTINEL fingerprint (md5 of NULL
+    is NULL, and a NULL key silently falls out of every equi-join —
+    the group machinery would otherwise drop those docs' pairs, a bug
+    the NULL hostile tier caught in r06), forming one proper group
+    whose rep carries NULL text; whether that group pairs is then
+    each caller's existing semantics (MinHash/Jaccard: no shingles,
+    no pairs; SimHash: fingerprint 0, pairs at hamming 0).
 
     Returns ``(members, reps, has_dups)``:
       members   (id, rep_id) — every doc mapped to its group's
@@ -96,9 +100,10 @@ def _exact_groups(
     checkpointed — the signature pipelines that consume ``reps``
     materialize their own compact outputs immediately.
     """
+    fp_col = F.coalesce(doc_fingerprint(text_col), F.lit("__null__"))
     keyed = _spread(docs).select(
         F.col(id_col).alias("id"),
-        doc_fingerprint(text_col).alias("__fp"),
+        fp_col.alias("__fp"),
     )
     sizes = (
         keyed.groupBy("__fp")
@@ -111,7 +116,7 @@ def _exact_groups(
     reps = (
         _spread(docs)
         .select(
-            doc_fingerprint(text_col).alias("__fp"),
+            fp_col.alias("__fp"),
             F.col(id_col).alias("id"),
             F.col(text_col).alias("__text"),
         )

@@ -41,6 +41,11 @@ def boiler(spark):
             (22, "tiny doc"),
             (23, ""),
             (24, "   \t "),
+            # NULL-text docs: md5(NULL) is NULL, and a NULL group key
+            # silently falls out of equi-joins — these two pin the
+            # sentinel-fingerprint fix (caught by the --nulls tier).
+            (25, None),
+            (26, None),
         ]
     )
     return spark.createDataFrame(rows, "doc_id long, text string")
