@@ -105,14 +105,19 @@ def _exact_groups(
         F.col(id_col).alias("id"),
         fp_col.alias("__fp"),
     )
-    sizes = (
-        keyed.groupBy("__fp")
-        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n"))
-        .localCheckpoint(eager=True)
+    sizes_plan = keyed.groupBy("__fp").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("grp_n")
     )
-    has_dups = sizes.agg(F.max("grp_n").alias("m")).collect()[0]["m"] > 1
+    # Fast path costs exactly ONE job: the max-group-size aggregate
+    # (fully map-side combinable — the shuffled rows are one per
+    # distinct fingerprint per partition). Nothing is materialized
+    # unless duplicates actually exist.
+    has_dups = (
+        sizes_plan.agg(F.max("grp_n").alias("m")).collect()[0]["m"] or 0
+    ) > 1
     if not has_dups:
         return None, None, False
+    sizes = sizes_plan.localCheckpoint(eager=True)
     reps = (
         _spread(docs)
         .select(
