@@ -80,25 +80,31 @@ def _exact_groups(
     each caller's existing semantics (MinHash/Jaccard: no shingles,
     no pairs; SimHash: fingerprint 0, pairs at hamming 0).
 
-    Returns ``(members, reps, has_dups)``:
-      members   (id, rep_id) — every doc mapped to its group's
-                representative (the min id); slim, localCheckpoint'd
-      reps      doc-shaped (id_col, text_col) rows, one per distinct
-                content, text from the min-id member (deterministic);
-                None on the fast path (callers use the original docs)
+    Returns ``(members, base, has_dups)``:
+      members   (id, rep_id) for docs in DUPLICATE groups only (group
+                size >= 2, rep = min id); slim, localCheckpoint'd;
+                None on the fast path
+      base      the collapsed corpus, doc-shaped: the original docs
+                minus every non-representative duplicate (so each
+                distinct content keeps exactly its min-id ROW — text
+                untouched); ``docs`` itself on the fast path
       has_dups  False when every group has size 1 — callers use it to
                 skip the expansion joins entirely on already-clean
                 corpora (one 1-row driver aggregate on the collapsed
                 group table, the kmeans-centroid collect discipline)
 
-    Scale shape: the dup-existence check shuffles ONLY (fingerprint,
-    id) — 24ish bytes/doc, heavily combinable — so a clean corpus
-    (the common case) pays no text shuffle and no materialization at
-    all. Text is shuffled exactly once (min_by, map-side combined to
-    one text per fingerprint per partition) and only when duplicates
-    actually exist; the corpus-sized text table is never
-    checkpointed — the signature pipelines that consume ``reps``
-    materialize their own compact outputs immediately.
+    Scale shape — TEXT NEVER SHUFFLES in any path:
+      * dup-existence check: one job over (fingerprint, id) — ~24
+        combinable bytes/doc; nothing materialized on a clean corpus.
+      * sparse collapse (dups exist): ``members`` covers only the
+        duplicate groups — at web scale that is the boilerplate set,
+        orders of magnitude smaller than the corpus — and ``base`` is
+        an id anti-join of docs against the non-rep member ids, which
+        AQE executes as a broadcast anti-join whenever the dup set is
+        broadcastable. The corpus text column rides through untouched
+        projections only; the worst case (dup set too big to
+        broadcast) is one id-keyed shuffle, the same cost the old
+        min_by-collapse paid always.
     """
     fp_col = F.coalesce(doc_fingerprint(text_col), F.lit("__null__"))
     keyed = _spread(docs).select(
@@ -116,25 +122,22 @@ def _exact_groups(
         sizes_plan.agg(F.max("grp_n").alias("m")).collect()[0]["m"] or 0
     ) > 1
     if not has_dups:
-        return None, None, False
-    sizes = sizes_plan.localCheckpoint(eager=True)
-    reps = (
-        _spread(docs)
-        .select(
-            fp_col.alias("__fp"),
-            F.col(id_col).alias("id"),
-            F.col(text_col).alias("__text"),
-        )
-        .groupBy("__fp")
-        .agg(F.min("id").alias(id_col), F.min_by("__text", "id").alias(text_col))
-        .select(id_col, text_col)
+        return None, docs, False
+    dup_groups = sizes_plan.filter(F.col("grp_n") > 1).select(
+        "__fp", "rep_id"
     )
     members = (
-        keyed.join(sizes.select("__fp", "rep_id"), "__fp")
+        keyed.join(dup_groups, "__fp")
         .select("id", "rep_id")
         .localCheckpoint(eager=True)
     )
-    return members, reps, has_dups
+    non_reps = members.filter(F.col("id") != F.col("rep_id")).select(
+        F.col("id").alias("__nr_id")
+    )
+    base = docs.join(
+        non_reps, F.col(id_col) == F.col("__nr_id"), "left_anti"
+    )
+    return members, base, has_dups
 
 
 def _expand_rep_pairs(
@@ -145,8 +148,11 @@ def _expand_rep_pairs(
     pair's score columns (signatures are identical within a group, so
     the score is exact, not an approximation). least/greatest restores
     the id_a < id_b convention; each unordered doc pair appears exactly
-    once because each unordered group pair does. Equi-joins on rep_id
-    — output-sized, no LSH bucket blowup."""
+    once because each unordered group pair does. ``members`` is sparse
+    (duplicate groups only), so the joins are LEFT with a coalesce
+    fallback to the rep id itself: a singleton-group endpoint simply
+    stays as-is, and both join sides are dup-set-sized — broadcastable
+    at scale, output-sized always, never an LSH bucket blowup."""
     m_a = members.select(
         F.col("rep_id").alias("id_a"), F.col("id").alias("__ma")
     )
@@ -154,11 +160,15 @@ def _expand_rep_pairs(
         F.col("rep_id").alias("id_b"), F.col("id").alias("__mb")
     )
     return (
-        rep_pairs.join(m_a, "id_a")
-        .join(m_b, "id_b")
+        rep_pairs.join(m_a, "id_a", "left")
+        .join(m_b, "id_b", "left")
         .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
+            F.least(
+                F.coalesce("__ma", "id_a"), F.coalesce("__mb", "id_b")
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("__ma", "id_a"), F.coalesce("__mb", "id_b")
+            ).alias("id_b"),
             *score_cols,
         )
     )
@@ -274,13 +284,9 @@ def ngram_jaccard_pairs(
     members = None
     base = docs
     if collapse_exact:
-        members, reps, has_dups = _exact_groups(
+        members, base, has_dups = _exact_groups(
             docs, id_col=id_col, text_col=text_col
         )
-        if has_dups:
-            base = reps
-        else:
-            members = None
     sh = shingle_rows(base, id_col=id_col, text_col=text_col, n=n)
     # Carry |shingles| on each row via a window count so no per-doc side
     # table (which must never be broadcast at scale) is needed, then
@@ -493,13 +499,9 @@ def minhash_lsh_pairs(
     members = None
     base = docs
     if collapse_exact:
-        members, reps, has_dups = _exact_groups(
+        members, base, has_dups = _exact_groups(
             docs, id_col=id_col, text_col=text_col
         )
-        if has_dups:
-            base = reps
-        else:
-            members = None
     sig = minhash_signature_table(
         base, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
@@ -737,13 +739,9 @@ def simhash_pairs(
     members = None
     base = docs
     if collapse_exact:
-        members, reps, has_dups = _exact_groups(
+        members, base, has_dups = _exact_groups(
             docs, id_col=id_col, text_col=text_col
         )
-        if has_dups:
-            base = reps
-        else:
-            members = None
     fp = simhash_fingerprints(base, id_col=id_col, text_col=text_col, n=n)
     # Materialize the tiny (id, simhash) table so the expensive
     # text->shingle->vote pipeline runs once, not once per join side.
