@@ -9225,11 +9225,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # value-hash gate — plus every query whose code path the r06
     # exact-dup collapse touched: the three pair operators and the 12
     # cluster/survivor/report/sweep queries built on their pair sets),
-    # then 34 stale-green rotation slots whose last driver check was
-    # r02 — re-confirming no drift four rounds on. Displaced names all
-    # keep earlier driver greens (see the ledger) and the whole
-    # 179-query surface was locally differentialed this round at
-    # sf0.01 AND on the power-law skew tier (FIXTURES.md Part C).
+    # then the NEW nsw_persisted_topk (stored-graph serving, slot 17),
+    # then 33 stale-green rotation slots whose last driver check was
+    # r02 — re-confirming no drift four rounds on (ndcg_at_k was
+    # displaced by the NSW slot and keeps its r02 green). Displaced
+    # names all keep earlier driver greens (see the ledger); the whole
+    # 180-query surface was locally differentialed this round at
+    # sf0.01, sf0.001, AND the hostile/NULL/power-law-skew tiers
+    # (FIXTURES.md Part C) — all green, 178/0/2 each.
     return {
         "lsh_capped_pairs": q_lsh_capped_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
