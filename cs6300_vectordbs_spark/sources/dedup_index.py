@@ -11,10 +11,22 @@ this is north-star extension surface.
 Layout on disk:
 
   {path}/bands/bucket=<b>/...  (band_key, id, sig) rows, one per
-                               (doc, band), partitioned by a stable
-                               hash bucket of the BAND KEY
+                               (REPRESENTATIVE doc, band), partitioned
+                               by a stable hash bucket of the BAND KEY
+  {path}/members               (id, rep_id) rows for docs in exact-
+                               duplicate groups only (empty when the
+                               corpus has none)
   {path}/META                  num_hashes / bands / shingle_n / n_buckets
-  {path}/FINGERPRINT           corpus identity + build params
+  {path}/FINGERPRINT           corpus identity + build params (v2)
+
+Hot-bucket guard (r06): the index stores signatures for exact-dup
+GROUP REPRESENTATIVES only — the same `_exact_groups` collapse the
+in-batch pair operators use. A mega-group of m byte-identical
+boilerplate docs occupies ONE row per band bucket on disk instead of
+m (a flooded stored bucket would otherwise multiply EVERY future
+probe against it, forever); probes expand rep matches back to all
+group members through the tiny members sidecar — output-sized, and
+provably the same result set as the uncollapsed index.
 
 Serving (probe_dedup_index) computes the NEW batch's signatures and
 band keys — O(batch), not O(corpus) — derives the probe bucket set
@@ -53,8 +65,10 @@ from .index_common import (
 
 
 def dedup_index_exists(path: str) -> bool:
-    return os.path.exists(f"{path}/bands/_SUCCESS") and os.path.exists(
-        f"{path}/META"
+    return (
+        os.path.exists(f"{path}/bands/_SUCCESS")
+        and os.path.exists(f"{path}/members/_SUCCESS")
+        and os.path.exists(f"{path}/META")
     )
 
 
@@ -69,9 +83,20 @@ def build_dedup_index(
     shingle_n: int = 3,
     n_buckets: int = 64,
 ) -> None:
-    """Signatures -> exploded band rows -> bucket-partitioned parquet."""
+    """Collapse exact dups -> rep signatures -> exploded band rows ->
+    bucket-partitioned parquet, plus the members sidecar."""
+    from ..operators.dedup import _exact_groups
+
+    members, base, has_dups = _exact_groups(
+        docs, id_col=id_col, text_col=text_col
+    )
+    if not has_dups:
+        members = docs.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
+        ).limit(0)
+    members.write.mode("overwrite").parquet(f"{path}/members")
     sig = minhash_signature_table(
-        docs, id_col=id_col, text_col=text_col,
+        base, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, shingle_n=shingle_n,
     )
     banded = sig.select(
@@ -123,6 +148,11 @@ def ensure_dedup_index(
             "bands": bands,
             "shingle_n": shingle_n,
             "n_buckets": n_buckets,
+            # layout version: v2 = rep-collapsed bands + members
+            # sidecar; bumping it invalidates every v1 index on disk
+            # (a v1 probe against a v2 layout, or vice versa, would
+            # silently mis-serve).
+            "v": 2,
         },
     )
     if dedup_index_exists(path) and read_fingerprint(path) == fp:
@@ -181,21 +211,41 @@ def probe_dedup_index(
     idx = spark.read.parquet(f"{path}/bands").filter(
         F.col("bucket").isin(buckets)
     )
+    # Rep-level candidates. NO new_id != id filter here: the stored id
+    # is a group REPRESENTATIVE — if a re-ingested doc IS the rep of a
+    # group, its pair with the rep must be dropped but its pairs with
+    # the other group members must survive, so self-exclusion happens
+    # AFTER expansion.
     cand = (
         idx.join(F.broadcast(probe), on=["bucket", "band_key"])
-        .filter(F.col("id") != F.col("new_id"))
         .select(
             "new_id",
-            F.col("id").alias("indexed_id"),
+            F.col("id").alias("rep_id"),
             "sig_new",
             F.col("sig").alias("sig_idx"),
         )
-        .dropDuplicates(["new_id", "indexed_id"])
+        .dropDuplicates(["new_id", "rep_id"])
     )
-    return cand.select(
+    est = cand.select(
         "new_id",
-        "indexed_id",
+        "rep_id",
         minhash_est_jaccard(
             "sig_new", "sig_idx", num_hashes=num_hashes
         ).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= min_jaccard)
+    # Expand rep matches to every exact-dup group member (identical
+    # signatures -> the estimate is exact for all of them). members is
+    # dup-groups-only and tiny — a broadcast left join; singleton reps
+    # fall through the coalesce.
+    mem = spark.read.parquet(f"{path}/members").select(
+        "rep_id", F.col("id").alias("__member")
+    )
+    return (
+        est.join(F.broadcast(mem), "rep_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("__member", "rep_id").alias("indexed_id"),
+            "est_jaccard",
+        )
+        .filter(F.col("indexed_id") != F.col("new_id"))
+    )

@@ -75,3 +75,47 @@ def test_probe_scan_prunes_band_buckets(spark, docs, tmp_path):
         if "PartitionFilters" in ln and "bucket" in ln
     ]
     assert pf, plan
+
+
+def test_mega_group_collapsed_in_storage_and_expanded_in_probe(
+    spark, tmp_path
+):
+    """r06 hot-bucket guard: a 30-doc byte-identical mega-group stores
+    ONE band row per band (not 30 — a flooded stored bucket would
+    multiply every future probe against it, forever); a probing
+    near-identical doc still gets all 30 pairs back, expanded through
+    the members sidecar with the rep's exact estimate; and a probe doc
+    whose id IS in the index (re-ingest) is excluded from its own pair
+    but keeps pairs with the other group members."""
+    path = str(tmp_path / "ddx3")
+    banner = "this website uses cookies to improve your experience ok friend"
+    corpus = spark.createDataFrame(
+        [(i, banner) for i in range(30)]
+        + [(100, "completely different text about query planning engines")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(corpus, path, shingle_n=3)
+
+    bands_rows = spark.read.parquet(f"{path}/bands")
+    # 2 distinct contents x 4 bands = 8 stored rows, NOT 30x4+4
+    assert bands_rows.count() == 8
+    assert spark.read.parquet(f"{path}/members").count() == 30
+
+    # identical-content probe doc under a NEW id (signature-identical,
+    # so the band collision is deterministic — a one-word change would
+    # only pair with LSH probability) -> pairs with ALL 30 members
+    probe = spark.createDataFrame(
+        [(500, banner.upper())], "doc_id long, text string"
+    )
+    got = probe_dedup_index(spark, probe, path, min_jaccard=0.3).collect()
+    assert {r.indexed_id for r in got} == set(range(30))
+    assert all(r.est_jaccard == 1.0 for r in got)
+
+    # re-ingest of doc 7 (a non-rep member): excluded from itself,
+    # paired at est 1.0 with the other 29
+    reingest = spark.createDataFrame(
+        [(7, banner)], "doc_id long, text string"
+    )
+    got2 = probe_dedup_index(spark, reingest, path, min_jaccard=0.3).collect()
+    assert {r.indexed_id for r in got2} == set(range(30)) - {7}
+    assert all(r.est_jaccard == 1.0 for r in got2)
