@@ -7,6 +7,11 @@ ReadSchema), with a commentary block stating which plan property the
 properties mechanically; this file is the human-readable audit trail.
 
 Usage: python tools/plan_audit.py   (rewrites /root/repo/PLANS.md)
+
+WARNING: PLANS.md also contains HAND-ADDED sections (the r05
+curation/BPE/dedup-science plans) that are NOT in OPERATORS below — a
+blind regenerate DROPS them. Either add them to OPERATORS first or
+edit PLANS.md surgically (r06 did the latter; caught by diff --stat).
 """
 
 from __future__ import annotations
@@ -40,7 +45,11 @@ Load-bearing properties: signatures built by explode + 16 codegen'd
 min() aggregates with map-side combine; the tiny signature table is
 materialized before the self-join (checkpoint scan) so the text
 pipeline runs once; candidate pairs come from an equi-join on short
-md5 band keys — shuffle volume O(candidates), never all-pairs.""",
+md5 band keys — shuffle volume O(candidates), never all-pairs. The
+r06 exact-dup collapse sits in front: byte-identical mega-groups
+enter banding as one representative (their pairs return via the
+dup-set-sized expansion joins visible as the union branch), so a
+boilerplate flood can never detonate the banded self-join.""",
     "ivf_topk": """\
 Load-bearing properties: centroids and query probes are both BROADCAST
 (two small sides); the only corpus-wide shuffle is the assignment
