@@ -703,3 +703,30 @@ def test_temperature_resample_is_map_only(spark):
     plan = plan_of(temperature_resample(df))
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_collapse_guard_plan_shapes(spark):
+    """The r06 hot-bucket guard's plan contract: on a CLEAN corpus the
+    collapse fast path leaves the pair plan union-free (no expansion
+    branch compiled in), while on a dup-containing corpus the expansion
+    union exists and its joins never introduce a cartesian — the
+    candidate path stays equi-join end to end."""
+    clean = spark.createDataFrame(
+        [(i, f"distinct doc number {i} about planning topic {i}")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(minhash_lsh_pairs(clean, min_jaccard=0.3))
+    assert "Union" not in plan  # fast path: pre-guard plan, unchanged
+    assert "CartesianProduct" not in plan
+
+    dups = clean.unionByName(
+        spark.createDataFrame(
+            [(100 + i, "identical boilerplate banner text here ok")
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+    )
+    plan2 = plan_of(minhash_lsh_pairs(dups, min_jaccard=0.3))
+    assert "Union" in plan2  # expansion branch present
+    assert "CartesianProduct" not in plan2
