@@ -181,6 +181,17 @@ def probe_dedup_index(
     excluded — a re-ingested identical doc is an upsert, not a dup);
     new-vs-new duplicates are the in-batch ``minhash_lsh_pairs`` job.
     """
+    # Layout guard: v2 indexes always carry the members sidecar (an
+    # empty parquet on dup-free corpora). A v1 on-disk index probed
+    # directly — bypassing ensure_dedup_index, whose fingerprint
+    # check would have rebuilt it — must fail legibly here, not with
+    # an opaque parquet path-not-found from the members read below.
+    if not os.path.exists(f"{path}/members/_SUCCESS"):
+        raise ValueError(
+            f"dedup index at {path} has no members sidecar — this is "
+            "a pre-v2 layout (or an incomplete build); rebuild via "
+            "ensure_dedup_index before probing"
+        )
     with open(f"{path}/META", "r", encoding="utf-8") as f:
         meta = json.load(f)
     num_hashes = int(meta["num_hashes"])

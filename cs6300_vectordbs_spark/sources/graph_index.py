@@ -35,6 +35,7 @@ def build_nsw_graph(
     path: str,
     *,
     k: int = 12,
+    salt: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -54,7 +55,9 @@ def build_nsw_graph(
             F.greatest("query_id", F.col(id_col)).alias("b"),
         )
         .unionByName(
-            nsw_shortcut_edges(corpus, id_col=id_col).select("a", "b")
+            nsw_shortcut_edges(corpus, id_col=id_col, salt=salt).select(
+                "a", "b"
+            )
         )
         .distinct()
     )
@@ -67,17 +70,27 @@ def ensure_nsw_graph(
     path: str,
     *,
     k: int = 12,
+    salt: int = 17,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Create-if-absent, then return the stored edge list. The
-    fingerprint covers (id, vector) content AND the build k — a graph
-    built at a different degree must never serve a caller expecting
-    this one (beam recall depends on degree)."""
-    fp = corpus_fingerprint(corpus, [id_col, vec_col], {"k": k})
+    fingerprint covers (id, vector) content AND every build-affecting
+    parameter — the k-NN degree, the shortcut-edge salt, and the
+    shortcut scheme tag — so a graph built under ANY different rule
+    rebuilds instead of silently serving (beam recall depends on
+    degree; the shortcut layout depends on salt/scheme)."""
+    fp = corpus_fingerprint(
+        corpus,
+        [id_col, vec_col],
+        # "scheme" names the shortcut construction (hash(id) mod N
+        # long links); bump it if nsw_shortcut_edges ever changes its
+        # rule without a signature change.
+        {"k": k, "salt": salt, "scheme": "hashmod-v1"},
+    )
     if not (nsw_graph_exists(path) and read_fingerprint(path) == fp):
         build_nsw_graph(
-            corpus, path, k=k, id_col=id_col, vec_col=vec_col
+            corpus, path, k=k, salt=salt, id_col=id_col, vec_col=vec_col
         )
         write_fingerprint(path, fp)
     return spark.read.parquet(f"{path}/edges")

@@ -119,3 +119,35 @@ def test_mega_group_collapsed_in_storage_and_expanded_in_probe(
     got2 = probe_dedup_index(spark, reingest, path, min_jaccard=0.3).collect()
     assert {r.indexed_id for r in got2} == set(range(30)) - {7}
     assert all(r.est_jaccard == 1.0 for r in got2)
+
+
+def test_probe_pre_v2_layout_fails_legibly(spark, tmp_path):
+    """A v1 on-disk index (no members sidecar) probed DIRECTLY —
+    bypassing ensure_dedup_index's fingerprint rebuild — must raise a
+    clear layout error, not an opaque parquet path-not-found from the
+    members read."""
+    import json
+    import os
+
+    import pytest
+
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        build_dedup_index,
+        probe_dedup_index,
+    )
+
+    path = str(tmp_path / "v1idx")
+    docs = spark.createDataFrame(
+        [(0, "some corpus text here"), (1, "other corpus text there")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(docs, path)
+    # simulate a pre-v2 layout: strip the members sidecar
+    import shutil
+
+    shutil.rmtree(f"{path}/members")
+    probe = spark.createDataFrame(
+        [(9, "some corpus text here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="pre-v2|members sidecar"):
+        probe_dedup_index(spark, probe, path)

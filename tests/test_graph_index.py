@@ -58,3 +58,11 @@ def test_build_reuse_invalidate(spark, tmp_path):
     e4 = ensure_nsw_graph(spark, _corpus(spark, bump=9.0), path, k=6)
     assert _edge_files_sig(path) != sig3
     assert e4.count() > 0
+
+    # changed shortcut salt -> rebuild (the fingerprint covers every
+    # build-affecting parameter, not just k — a stale-salt graph would
+    # silently serve a different shortcut layout)
+    sig4 = _edge_files_sig(path)
+    e5 = ensure_nsw_graph(spark, _corpus(spark, bump=9.0), path, k=6, salt=23)
+    assert _edge_files_sig(path) != sig4
+    assert e5.count() > 0

@@ -195,3 +195,93 @@ class TestRandomizedEquivalence:
             on = _pairset(fn(docs, **kw), col)
             off = _pairset(fn(docs, collapse_exact=False, **kw), col)
             assert on == off, fn.__name__
+
+
+class TestGroupMemo:
+    """The exact-dup collapse is memoized per (corpus plan, id_col,
+    text_col) for the session — one guard computation serves the whole
+    LSH family and every composite (the r06 headline regression was
+    exactly this guard re-run per query)."""
+
+    def test_hit_across_separate_reads_of_same_parquet(self, spark, tmp_path):
+        from cs6300_vectordbs_spark.operators.dedup import (
+            _GROUP_CACHE,
+            _exact_groups,
+            clear_exact_group_cache,
+        )
+
+        path = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(0, "same text here"), (1, "same text here"), (2, "other")],
+            "doc_id long, text string",
+        ).write.parquet(path)
+        clear_exact_group_cache()
+
+        r1 = _exact_groups(
+            spark.read.parquet(path), id_col="doc_id", text_col="text"
+        )
+        assert len(_GROUP_CACHE) == 1
+        # a SEPARATE read of the same files must hit (semanticHash of
+        # a parquet scan is path-stable) — identical objects back
+        r2 = _exact_groups(
+            spark.read.parquet(path), id_col="doc_id", text_col="text"
+        )
+        assert r2[0] is r1[0] and r2[1] is r1[1] and r2[2] is r1[2]
+        assert len(_GROUP_CACHE) == 1
+
+        # a semantically DIFFERENT plan (filter) -> miss (a second
+        # cache entry), never a false hit; note a no-op full-column
+        # select canonicalizes to the same plan and correctly hits
+        _exact_groups(
+            spark.read.parquet(path).filter("doc_id >= 0"),
+            id_col="doc_id",
+            text_col="text",
+        )
+        assert len(_GROUP_CACHE) == 2
+        clear_exact_group_cache()
+        assert len(_GROUP_CACHE) == 0
+
+    def test_file_mutation_invalidates(self, spark, tmp_path):
+        from cs6300_vectordbs_spark.operators.dedup import (
+            _exact_groups,
+            clear_exact_group_cache,
+        )
+
+        path = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [(0, "aaa bbb"), (1, "aaa bbb")], "doc_id long, text string"
+        ).write.parquet(path)
+        clear_exact_group_cache()
+        m1, _, has1 = _exact_groups(
+            spark.read.parquet(path), id_col="doc_id", text_col="text"
+        )
+        assert has1 and m1.count() == 2
+
+        # rewrite the corpus in place: the (size, mtime_ns) snapshot in
+        # the key must miss, and the fresh result must see clean data
+        spark.createDataFrame(
+            [(0, "aaa bbb"), (1, "ccc ddd")], "doc_id long, text string"
+        ).write.mode("overwrite").parquet(path)
+        m2, _, has2 = _exact_groups(
+            spark.read.parquet(path), id_col="doc_id", text_col="text"
+        )
+        assert not has2 and m2 is None
+        clear_exact_group_cache()
+
+    def test_local_relations_never_false_hit(self, spark):
+        from cs6300_vectordbs_spark.operators.dedup import (
+            _exact_groups,
+            clear_exact_group_cache,
+        )
+
+        clear_exact_group_cache()
+        a = spark.createDataFrame(
+            [(0, "x y z"), (1, "x y z")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(0, "p q r"), (1, "s t u")], "doc_id long, text string"
+        )
+        _, _, has_a = _exact_groups(a, id_col="doc_id", text_col="text")
+        _, _, has_b = _exact_groups(b, id_col="doc_id", text_col="text")
+        assert has_a is True and has_b is False
+        clear_exact_group_cache()

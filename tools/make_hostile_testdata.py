@@ -32,7 +32,21 @@ match DuckDB: skew may slow a plan, never change an answer. Duplicate
 (user_id, ts) pairs are intentional — per-user orderings must break
 ties on (ts, event_id), and this tier catches any that don't.
 
-Usage: python tools/make_hostile_testdata.py [outdir] [--nulls] [--skew]
+With ``--templated``, additionally floods the documents table with a
+TEMPLATED near-duplicate corpus: 5 boilerplate templates x 25 serial
+numbers each — every instance byte-DISTINCT (the serial defeats the
+exact-dup collapse, so no fingerprint group forms) but shingle-near-
+identical (the serial touches ~3 of ~40 shingles, Jaccard ~0.9), so
+all instances of a template land in the SAME LSH band buckets. This is
+the 100-TB norm (web boilerplate: cookie banners, license stubs,
+error pages differing only in a timestamp/id) and precisely the shape
+the per-band-bucket cap (max_band_bucket) exists for. The UNCAPPED
+family operators must still value-hash match DuckDB on it (both
+engines materialize the same O(m^2) within-template pairs — fine at
+this scale, the cap is the production defense); the capped query
+(`lsh_capped_pairs`) must stay green while genuinely truncating.
+
+Usage: python tools/make_hostile_testdata.py [outdir] [--nulls] [--skew] [--templated]
 Then:  SPARK_GRAFT_VERIFY_SF=<outdir> python tools/verify_local.py
 """
 
@@ -49,10 +63,40 @@ SRC = "/root/testdata/sf0.001"
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 WITH_NULLS = "--nulls" in sys.argv[1:]
 WITH_SKEW = "--skew" in sys.argv[1:]
+WITH_TEMPLATED = "--templated" in sys.argv[1:]
 OUT = ARGS[0] if ARGS else (
-    "/tmp/sf_skew" if WITH_SKEW
+    "/tmp/sf_templated" if WITH_TEMPLATED
+    else "/tmp/sf_skew" if WITH_SKEW
     else ("/tmp/sf_nulls" if WITH_NULLS else "/tmp/sf_hostile")
 )
+
+# Five realistic boilerplate templates; {SER} is replaced by a serial
+# token mid-text so the mutation touches interior shingles (the
+# hardest placement — edge serials would leave even more shingles
+# shared). ~40 words each so shingle overlap stays ~0.9.
+TEMPLATES = [
+    "this website uses cookies to improve your experience and by "
+    "continuing to browse page {SER} of this site you accept our use "
+    "of cookies as described in the privacy policy and terms of "
+    "service which may change at any time without notice",
+    "error code {SER} the requested resource could not be found on "
+    "this server please check the address and try again or contact "
+    "the site administrator if you believe this message is shown in "
+    "error and include the reference number in your report",
+    "copyright notice all rights reserved reproduction of article "
+    "{SER} in whole or in part without written permission is strictly "
+    "prohibited the information provided is for general informational "
+    "purposes only and does not constitute professional advice",
+    "thank you for your order number {SER} your items will be shipped "
+    "within two business days you will receive a confirmation email "
+    "with tracking information once your package leaves our warehouse "
+    "please allow additional time during holiday periods",
+    "welcome to the community forum thread {SER} please read the "
+    "posting guidelines before participating be respectful of other "
+    "members do not post spam or advertisements moderators may remove "
+    "content that violates these rules at their discretion",
+]
+SERIALS_PER_TEMPLATE = 25
 
 
 def main() -> None:
@@ -106,6 +150,18 @@ def main() -> None:
             r["doc_id"] = next_id + len(edge_texts) + i
             r.update(spec)
             base.append(r)
+    if WITH_TEMPLATED:
+        tnext = max(r["doc_id"] for r in base) + 1
+        for ti, tmpl in enumerate(TEMPLATES):
+            for s in range(SERIALS_PER_TEMPLATE):
+                txt = tmpl.replace("{SER}", f"ref{ti}x{s:04d}")
+                r = dict(proto)
+                r["doc_id"] = tnext + ti * SERIALS_PER_TEMPLATE + s
+                r["text"] = txt
+                r["n_chars"] = len(txt)
+                r["lang"] = proto.get("lang", "en")
+                r["source"] = f"template{ti}"
+                base.append(r)
     pq.write_table(
         pa.Table.from_pylist(base, schema=t.schema),
         f"{OUT}/documents.parquet",
