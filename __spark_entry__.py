@@ -8670,6 +8670,108 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     )
 
 
+_STRUCT_N, _STRUCT_COS, _STRUCT_FRAC = 128, 0.6, 0.001
+
+_ORACLE_STRUCT_AGG = f"""
+  SELECT count(*)::BIGINT AS n_pairs,
+         coalesce(sum(CASE WHEN cos >= {_STRUCT_COS} THEN 1 ELSE 0 END),
+                  0)::BIGINT AS n_high
+  FROM (
+    SELECT {{cos}} AS cos
+    FROM (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+          ORDER BY vec_id LIMIT {_STRUCT_N}) a
+    JOIN (SELECT vec_id AS id, embedding AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+          ORDER BY vec_id LIMIT {_STRUCT_N}) b
+      ON a.id < b.id
+  )
+""".format(cos=_sql_cos("a.v", "b.v"))
+
+
+def q_auto_ann_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-family dispatch rule, made executable and oracle-
+    checked: docs/ANN_QUALITY.md measures graph ANN collapsing on
+    structureless (iid-shaped) vectors — recall@5 0.368 on iid 384-d
+    vs 0.984 on a 16-d-intrinsic manifold — with hash/IVF as the
+    documented fallback; operators/search.pair_structure_stat turns
+    that prose into a cheap geometry probe (fraction of sample pairs
+    above cosine 0.6 — iid Gaussians NEVER reach it: measured max
+    0.45 at 64-d / 0.19 at 384-d over 8,128 pairs), and
+    choose_index_strategy maps it to 'nsw' | 'ivf'. This corpus's
+    synthetic embeddings are iid-shaped (zero high pairs), so the
+    honest dispatch here is 'ivf' — exactly the case where silently
+    serving the graph index would return bad neighbors. The whole
+    decision is a ratio of two integer counts over single-expression
+    cosines: exact cross-engine."""
+    from cs6300_vectordbs_spark.operators.search import pair_structure_stat
+
+    emb = _t(spark, sf_dir, "embeddings")
+    stat = pair_structure_stat(emb, dim=EMB_DIM)
+    return stat.select(
+        "n_pairs",
+        "n_high",
+        "frac_high",
+        F.when(F.col("frac_high") >= F.lit(_STRUCT_FRAC), "nsw")
+        .otherwise("ivf")
+        .alias("strategy"),
+    )
+
+
+_ORACLE_AUTO_DISPATCH = f"""
+WITH agg AS ({_ORACLE_STRUCT_AGG})
+SELECT n_pairs, n_high, n_high::DOUBLE / n_pairs AS frac_high,
+       CASE WHEN n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
+            THEN 'nsw' ELSE 'ivf' END AS strategy
+FROM agg
+"""
+
+
+def q_auto_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end auto-dispatched ANN serving: run the structure probe
+    (one bounded 1-row collect), then serve top-k through the chosen
+    index family — NSW beam on structured corpora, IVF cell probing on
+    structureless ones (operators/search.auto_index_search; same
+    beam/cell parameters as the standalone nsw_beam_topk / ivf_topk
+    queries). The ORACLE is fully conditional: it recomputes the same
+    probe in SQL and evaluates BOTH branch twins, keeping only the one
+    the probe selects — so the value-hash gate holds under EITHER
+    dispatch outcome, and a testdata regeneration that flips the
+    corpus geometry flips both engines together."""
+    from cs6300_vectordbs_spark.operators.search import auto_index_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = auto_index_search(
+        emb, _query_batch(emb), TOPK, dim=EMB_DIM, exclude_self=True,
+        sample_n=_STRUCT_N, cos_threshold=_STRUCT_COS, min_frac=_STRUCT_FRAC,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        nsw_k=_NSW_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_auto_ann_topk() -> str:
+    return f"""
+WITH choice AS (
+  SELECT CASE WHEN n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
+              THEN 'nsw' ELSE 'ivf' END AS s
+  FROM ({_ORACLE_STRUCT_AGG})
+)
+SELECT query_id, rank, vec_id, sim
+FROM ({_oracle_nsw_beam()})
+WHERE (SELECT s FROM choice) = 'nsw'
+UNION ALL
+SELECT query_id, rank, vec_id, sim
+FROM ({_ORACLE_IVF})
+WHERE (SELECT s FROM choice) = 'ivf'
+"""
+
+
 def q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) over the embeddings table: IVF
     cells as the clustering step, same-cell cosine pairs above the
@@ -9220,26 +9322,37 @@ FROM keyed GROUP BY shard ORDER BY shard
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
-    # cumulative ledger. The r06 window below = the dedup-family block
-    # (the NEW lsh_capped_pairs — both hot-bucket guards under the
-    # value-hash gate — plus every query whose code path the r06
-    # exact-dup collapse touched: the three pair operators and the 12
-    # cluster/survivor/report/sweep queries built on their pair sets),
-    # then the NEW nsw_persisted_topk (stored-graph serving, slot 17),
-    # then 33 stale-green rotation slots whose last driver check was
-    # r02 — re-confirming no drift four rounds on (ndcg_at_k was
-    # displaced by the NSW slot and keeps its r02 green). Displaced
-    # names all keep earlier driver greens (see the ledger); the whole
-    # 180-query surface was locally differentialed this round at
-    # sf0.01, sf0.001, AND the hostile/NULL/power-law-skew tiers
-    # (FIXTURES.md Part C) — all green, 178/0/2 each.
+    # cumulative ledger. The r07 window = the 2 NEW queries
+    # (auto_ann_dispatch / auto_ann_topk — the executable index-family
+    # dispatch with its conditional oracle), then the 8 names whose
+    # last driver green was r02 (ndcg_at_k was displaced from the r06
+    # tail — fresh row now — plus the event/funnel/latency block), then
+    # the 15 dedup-family queries whose shared code path r07 touched
+    # again (the _exact_groups memo), the 3 search/graph queries
+    # touching r07's fingerprint + dispatch changes, and 22 of the 39
+    # names whose last green was r03 (the rest queue for r08:
+    # ivf_persisted_topk, judge_scores, kmv_distinct,
+    # latency_percentiles_long, order_priority, parts_cube,
+    # pipeline_report, priority_shipping, props_map_stats, props_stats,
+    # revenue_momentum, sales_rollup, session_windows,
+    # stratified_sample, top_customers, user_sessions,
+    # user_sessions_stream). Whole 182-query surface locally
+    # differentialed at sf0.01 this round — see FIXTURES.md Part C.
     return {
+        "auto_ann_dispatch": q_auto_ann_dispatch,
+        "auto_ann_topk": q_auto_ann_topk,
+        "ndcg_at_k": q_ndcg_at_k,
+        "events_dedup_stream": q_events_dedup_stream,
+        "funnel": q_funnel,
+        "funnel_by_segment": q_funnel_by_segment,
+        "hourly_anomalies": q_hourly_anomalies,
+        "latency_percentiles_by_type": q_latency_percentiles_by_type,
+        "recall_per_query": q_recall_per_query,
+        "salted_event_stats": q_salted_event_stats,
         "lsh_capped_pairs": q_lsh_capped_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "simhash_buckets": q_simhash_buckets,
-        "cross_source_dups": q_cross_source_dups,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
         "best_survivors": q_best_survivors,
@@ -9249,8 +9362,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_neardup": q_edit_distance_neardup,
         "incremental_dedup": q_incremental_dedup,
         "chunk_dedup": q_chunk_dedup,
+        "cross_source_dups": q_cross_source_dups,
         "dup_ratio_by_source": q_dup_ratio_by_source,
         "nsw_persisted_topk": q_nsw_persisted_topk,
+        "nsw_beam_topk": q_nsw_beam_topk,
+        "auto_search": q_auto_search,
+        "above_average_customers": q_above_average_customers,
+        "asof_purchase_view": q_asof_purchase_view,
+        "bm25_pruned_topk": q_bm25_pruned_topk,
+        "bm25_topk": q_bm25_topk,
+        "clicks_before_error": q_clicks_before_error,
+        "clicks_before_error_stream": q_clicks_before_error_stream,
+        "cms_user_counts": q_cms_user_counts,
+        "doc_length_histogram": q_doc_length_histogram,
+        "dormant_customers": q_dormant_customers,
+        "embed_documents": q_embed_documents,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "event_transitions": q_event_transitions,
+        "events_enriched": q_events_enriched,
+        "events_enriched_stream": q_events_enriched_stream,
+        "events_pivot": q_events_pivot,
+        "events_sliding": q_events_sliding,
+        "events_sliding_stream": q_events_sliding_stream,
+        "forecast_revenue": q_forecast_revenue,
+        "fresh_fingerprints": q_fresh_fingerprints,
+        "hourly_seasonality": q_hourly_seasonality,
+        "hybrid_topk": q_hybrid_topk,
+        "image_features": q_image_features,
+        "simhash_buckets": q_simhash_buckets,
         "exact_dedup": q_exact_dedup,
         "embedding_neardup": q_embedding_neardup,
         "topk_cosine_exact": q_topk_cosine_exact,
@@ -9285,11 +9424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_summary": q_latency_summary,
         "recall_at_k": q_recall_at_k,
         "cumulative_users": q_cumulative_users,
-        "ndcg_at_k": q_ndcg_at_k,
         "search_latency": q_search_latency,
         "search_latency_wallclock": q_search_latency_wallclock,
         "topk_cosine_384d": q_topk_cosine_384d,
-        "auto_search": q_auto_search,
         "embedding_neardup_ivf": q_embedding_neardup_ivf,
         "jsonl_ingest_stream": q_jsonl_ingest_stream,
         "partitioned_events": q_partitioned_events,
@@ -9304,7 +9441,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "shard_manifest": q_shard_manifest,
         "orc_ingest": q_orc_ingest,
-        "nsw_beam_topk": q_nsw_beam_topk,
         "semdedup_survivors": q_semdedup_survivors,
         "dup_span_removal": q_dup_span_removal,
         "knn_label_classifier": q_knn_label_classifier,
@@ -9329,27 +9465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": q_gap_fill_hourly,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
-        "events_sliding": q_events_sliding,
-        "events_sliding_stream": q_events_sliding_stream,
-        "events_enriched": q_events_enriched,
-        "events_enriched_stream": q_events_enriched_stream,
         "props_stats": q_props_stats,
         "props_map_stats": q_props_map_stats,
         "user_first_events": q_user_first_events,
         "user_state_history": q_user_state_history,
-        "salted_event_stats": q_salted_event_stats,
-        "event_transitions": q_event_transitions,
-        "hourly_seasonality": q_hourly_seasonality,
-        "events_pivot": q_events_pivot,
-        "asof_purchase_view": q_asof_purchase_view,
-        "clicks_before_error": q_clicks_before_error,
-        "clicks_before_error_stream": q_clicks_before_error_stream,
-        "dormant_customers": q_dormant_customers,
-        "funnel": q_funnel,
-        "funnel_by_segment": q_funnel_by_segment,
-        "hourly_anomalies": q_hourly_anomalies,
         "user_sessions": q_user_sessions,
-        "embed_documents": q_embed_documents,
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "pack_sequences": q_pack_sequences,
         "lm_doc_scores": q_lm_doc_scores,
@@ -9387,38 +9507,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_upsert_topk": q_ivf_upsert_topk,
         "ivf_cell_stats": q_ivf_cell_stats,
         "passage_topk": q_passage_topk,
-        "image_features": q_image_features,
         "order_priority": q_order_priority,
         "sales_rollup": q_sales_rollup,
-        "bm25_topk": q_bm25_topk,
-        "bm25_pruned_topk": q_bm25_pruned_topk,
-        "hybrid_topk": q_hybrid_topk,
         "top_customers": q_top_customers,
         "latency_percentiles_long": q_latency_percentiles_long,
-        "doc_length_histogram": q_doc_length_histogram,
         "parts_cube": q_parts_cube,
-        "embedding_norm_stats": q_embedding_norm_stats,
-        "above_average_customers": q_above_average_customers,
-        "fresh_fingerprints": q_fresh_fingerprints,
         "judge_scores": q_judge_scores,
         "session_windows": q_session_windows,
-        "forecast_revenue": q_forecast_revenue,
         "revenue_momentum": q_revenue_momentum,
         "priority_shipping": q_priority_shipping,
         "user_sessions_stream": q_user_sessions_stream,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct": q_kmv_distinct,
-        "cms_user_counts": q_cms_user_counts,
         "pipeline_report": q_pipeline_report,
         "ivf_persisted_topk": q_ivf_persisted_topk,
-        "latency_percentiles_by_type": q_latency_percentiles_by_type,
-        "recall_per_query": q_recall_per_query,
-        "events_dedup_stream": q_events_dedup_stream,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "auto_ann_dispatch": _ORACLE_AUTO_DISPATCH,
+        "auto_ann_topk": _oracle_auto_ann_topk(),
         "topk_cosine_exact": _ORACLE_TOPK,
         "auto_search": _ORACLE_TOPK,
         "embedding_neardup_ivf": _oracle_neardup_ivf(),

@@ -48,6 +48,7 @@ BENCH_QUERIES = [
 # Round-2 extension operators — benched separately so the original
 # 20-query total stays comparable to the recorded BASELINE.md numbers.
 EXTENDED_QUERIES = [
+    "auto_ann_topk",
     "user_sessions_stream",
     "asof_purchase_view",
     "clicks_before_error",

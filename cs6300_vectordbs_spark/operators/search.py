@@ -137,3 +137,182 @@ def search(
         )
         return out
     raise ValueError(f"unknown search strategy: {strategy!r}")
+
+
+# ---------------------------------------------------------------------------
+# Index-FAMILY auto-dispatch: graph (NSW) vs cell-probe (IVF)
+#
+# choose_strategy above picks a PHYSICAL plan for exact/approximate
+# search from row counts alone. Picking the approximate INDEX FAMILY
+# needs one more signal: data geometry. docs/ANN_QUALITY.md measures
+# the graph path collapsing on structureless data (recall@5 0.368 on
+# iid-Gaussian 384-d — intrinsic dimension = ambient) while reaching
+# 0.984 on a 16-d-intrinsic manifold (real text-embedding geometry);
+# hash/IVF is the documented structureless fallback. Serving the
+# graph index on iid-shaped data would silently return bad neighbors
+# — this probe makes the documented prose rule executable.
+# ---------------------------------------------------------------------------
+
+# Structure-probe defaults (pinned in tests/test_plans.py):
+# STRUCT_SAMPLE_N    vectors in the deterministic sample (smallest ids
+#                    — reproducible in any engine; 128 vectors = 8,128
+#                    pairs, enough to expose any cluster/manifold tail).
+# STRUCT_COS_THRESHOLD  a sample PAIR above this cosine is evidence of
+#                    local structure. iid Gaussians concentrate near 0
+#                    (measured max over 8,128 pairs: 0.45 at 64-d,
+#                    0.19 at 384-d — NEVER reaches 0.6), while
+#                    clustered/manifold corpora put a visible fraction
+#                    of pairs above it.
+# STRUCT_MIN_FRAC    minimum fraction of sample pairs >= threshold to
+#                    call the corpus structured (8+ of 8,128).
+STRUCT_SAMPLE_N = 128
+STRUCT_COS_THRESHOLD = 0.6
+STRUCT_MIN_FRAC = 0.001
+
+
+def pair_structure_stat(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = STRUCT_SAMPLE_N,
+    cos_threshold: float = STRUCT_COS_THRESHOLD,
+) -> DataFrame:
+    """1-row cluster-structure probe: over the ``sample_n`` smallest-id
+    vectors, the count and fraction of unordered pairs with cosine >=
+    ``cos_threshold``.
+
+    Scale shape: the sample is a TakeOrderedAndProject (per-partition
+    top-n by id + driver merge of n rows — never a global sort), the
+    pairwise join is sample_n^2/2 rows of single-expression cosine
+    (bit-exact cross-engine: sequential-fold dot, one division), and
+    the output is one combinable aggregate row. Cost is independent of
+    corpus size. Returns (n_pairs, n_high, frac_high) — frac_high is a
+    ratio of the two integer counts, exact in any engine.
+    """
+    s = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_n)
+        .localCheckpoint(eager=True)  # tiny; both join sides reuse it
+    )
+    from ..functions.vector import cosine_sim
+
+    a = s.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = s.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        cosine_sim("va", "vb", dim=dim).alias("cos")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("cos") >= F.lit(float(cos_threshold)), 1).otherwise(0)
+        ).cast("bigint").alias("n_high"),
+    ).select(
+        "n_pairs",
+        "n_high",
+        (F.col("n_high").cast("double") / F.col("n_pairs")).alias("frac_high"),
+    )
+
+
+def choose_index_strategy(
+    n_high: int, n_pairs: int, *, min_frac: float = STRUCT_MIN_FRAC
+) -> str:
+    """Pure dispatch rule: structure-probe counts -> 'nsw' | 'ivf'.
+
+    Structured corpus (>= min_frac of sample pairs above the cosine
+    threshold): the NSW graph path — high recall on clustered/manifold
+    data, O(beam x hops x degree) per-query serving. Structureless
+    (iid-shaped) corpus: IVF — cell probing degrades gracefully where
+    graph greedy search stalls (docs/ANN_QUALITY.md:44-77).
+    """
+    if n_pairs <= 0:
+        return "ivf"
+    return "nsw" if (n_high / n_pairs) >= min_frac else "ivf"
+
+
+def auto_index_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    dim: int,
+    edges: DataFrame | None = None,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    sample_n: int = STRUCT_SAMPLE_N,
+    cos_threshold: float = STRUCT_COS_THRESHOLD,
+    min_frac: float = STRUCT_MIN_FRAC,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    nsw_k: int = 12,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN serving with automatic INDEX-FAMILY dispatch: run the
+    structure probe, then serve through the NSW graph (structured
+    corpus) or IVF cell probing (structureless corpus). The probe's
+    1-row collect is bounded metadata (the kmeans-centroid collect
+    discipline); both branches emit the same
+    (query_id, rank, <corpus_id>, sim) schema.
+
+    ``edges`` supplies a prebuilt NSW edge list (e.g. from
+    sources.graph_index.ensure_nsw_graph); when the probe picks the
+    graph path and no edges are given, the exact-kNN + hash-shortcut
+    graph is built in-session (the expensive one-off batch half —
+    persist it via ensure_nsw_graph in production).
+    """
+    row = pair_structure_stat(
+        corpus, dim=dim, id_col=corpus_id, vec_col=corpus_vec,
+        sample_n=sample_n, cos_threshold=cos_threshold,
+    ).collect()[0]
+    strategy = choose_index_strategy(
+        row["n_high"], row["n_pairs"], min_frac=min_frac
+    )
+    if strategy == "nsw":
+        from .ann import nsw_beam_search
+
+        if edges is None:
+            from .ann import nsw_shortcut_edges
+            from .similarity import similarity_topk_grid
+
+            allq = corpus.select(
+                F.col(corpus_id).alias("query_id"),
+                F.col(corpus_vec).alias("query_vec"),
+            )
+            knn = similarity_topk_grid(
+                corpus, allq, nsw_k, exclude_self=True,
+                corpus_id=corpus_id, corpus_vec=corpus_vec,
+            )
+            edges = (
+                knn.select(
+                    F.least("query_id", F.col(corpus_id)).alias("a"),
+                    F.greatest("query_id", F.col(corpus_id)).alias("b"),
+                )
+                .unionByName(
+                    nsw_shortcut_edges(corpus, id_col=corpus_id).select(
+                        "a", "b"
+                    )
+                )
+                .distinct()
+            )
+        out = nsw_beam_search(
+            corpus, queries, k, edges=edges, beam_width=beam_width,
+            n_iters=n_iters, n_entries=n_entries, dim=dim,
+            exclude_self=exclude_self, id_col=corpus_id, vec_col=corpus_vec,
+        )
+        return out.select("query_id", "rank", corpus_id, "sim")
+    from .ann import ivf_topk
+
+    out = ivf_topk(
+        corpus, queries, k, dim=dim, n_cells=n_cells, n_probe=n_probe,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec, exclude_self=exclude_self,
+    )
+    return out.select("query_id", "rank", corpus_id, "sim")

@@ -730,3 +730,118 @@ def test_collapse_guard_plan_shapes(spark):
     plan2 = plan_of(minhash_lsh_pairs(dups, min_jaccard=0.3))
     assert "Union" in plan2  # expansion branch present
     assert "CartesianProduct" not in plan2
+
+
+def test_index_family_dispatch_rule():
+    """The index-FAMILY rule (operators/search.choose_index_strategy):
+    a structured corpus (>= STRUCT_MIN_FRAC of sample pairs above the
+    cosine threshold) serves through the NSW graph; a structureless
+    one falls back to IVF — the executable form of the
+    docs/ANN_QUALITY.md finding (graph recall 0.368 on iid vs 0.984 on
+    manifold data). These threshold semantics are the contract."""
+    from cs6300_vectordbs_spark.operators.search import (
+        STRUCT_MIN_FRAC,
+        choose_index_strategy,
+    )
+
+    assert choose_index_strategy(0, 8128) == "ivf"
+    assert choose_index_strategy(8, 8128) == "ivf"   # 8/8128 < 0.001
+    assert choose_index_strategy(9, 8128) == "nsw"   # 9/8128 >= 0.001
+    assert choose_index_strategy(100, 8128) == "nsw"
+    assert choose_index_strategy(0, 0) == "ivf"      # degenerate sample
+    assert STRUCT_MIN_FRAC == 0.001
+
+
+def test_structure_probe_separates_iid_from_clustered(spark):
+    """pair_structure_stat must read ~zero high pairs on iid Gaussian
+    vectors (cos concentrates near 0; measured max 0.45 at 64-d over
+    8k pairs) and a visible fraction on clustered vectors — and
+    auto_index_search must therefore serve iid corpora through IVF
+    (row-identical to ivf_topk) and clustered corpora through the NSW
+    graph (row-identical to nsw_beam_search over the same recipe)."""
+    import numpy as np
+
+    from cs6300_vectordbs_spark.operators.ann import (
+        ivf_topk,
+        nsw_beam_search,
+        nsw_shortcut_edges,
+    )
+    from cs6300_vectordbs_spark.operators.search import (
+        auto_index_search,
+        choose_index_strategy,
+        pair_structure_stat,
+    )
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_grid,
+    )
+    from pyspark.sql import functions as F
+
+    # dim 64 = the calibration regime (STRUCT_COS_THRESHOLD is set for
+    # real embedding dims; at very low ambient dim iid cosines spread
+    # wide enough to cross 0.6 occasionally)
+    dim, n = 64, 120
+    rng = np.random.default_rng(42)
+    iid = rng.normal(size=(n, dim))
+    centers = rng.normal(size=(3, dim)) * 4.0
+    clustered = centers[np.arange(n) % 3] + rng.normal(size=(n, dim)) * 0.3
+
+    def df_of(mat):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    iid_df, clu_df = df_of(iid), df_of(clustered)
+    q = lambda df: df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    s_iid = pair_structure_stat(iid_df, dim=dim, sample_n=100).collect()[0]
+    s_clu = pair_structure_stat(clu_df, dim=dim, sample_n=100).collect()[0]
+    assert choose_index_strategy(s_iid["n_high"], s_iid["n_pairs"]) == "ivf"
+    assert choose_index_strategy(s_clu["n_high"], s_clu["n_pairs"]) == "nsw"
+    # clustered: ~1/3 of pairs are intra-cluster at cos >> 0.6
+    assert s_clu["frac_high"] > 0.1
+
+    common = dict(dim=dim, exclude_self=True, sample_n=100)
+
+    # iid -> IVF branch, row-identical to the explicit operator
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in auto_index_search(iid_df, q(iid_df), 5, **common).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in ivf_topk(
+            iid_df, q(iid_df), 5, dim=dim, exclude_self=True
+        ).collect()
+    )
+    assert got == want
+
+    # clustered -> NSW branch, row-identical to beam search over the
+    # same graph recipe (exact 12-NN + hash shortcuts)
+    allq = clu_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    knn = similarity_topk_grid(clu_df, allq, 12, exclude_self=True)
+    edges = (
+        knn.select(
+            F.least("query_id", F.col("vec_id")).alias("a"),
+            F.greatest("query_id", F.col("vec_id")).alias("b"),
+        )
+        .unionByName(nsw_shortcut_edges(clu_df).select("a", "b"))
+        .distinct()
+    )
+    got = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in auto_index_search(clu_df, q(clu_df), 5, **common).collect()
+    )
+    want = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in nsw_beam_search(
+            clu_df, q(clu_df), 5, edges=edges, dim=dim, exclude_self=True
+        ).collect()
+    )
+    assert got == want
