@@ -48,42 +48,53 @@ def probe_doc_stream(
     *,
     min_jaccard: float = 0.3,
     out_path: str | None = None,
+    checkpoint_location: str | None = None,
+    post_batch_hook=None,
 ) -> DataFrame:
     """Drain the document stream against the stored dedup index and
     return the accumulated (new_id, indexed_id, est_jaccard) rows.
 
-    Semantics: availableNow drains everything currently available with
-    a fresh run; within the run, foreachBatch + parquet append is
-    at-least-once per micro-batch (a crash between sink commit and
-    checkpoint commit would replay the batch on restart — a production
-    deployment makes ``handle`` idempotent by writing per-batch
-    directories keyed on batch id, or uses a transactional sink).
+    EXACTLY-ONCE OUTCOME: each micro-batch writes its probe result to
+    its own ``batch=<id>`` directory with overwrite — batch ids are
+    stable across restarts from the same checkpoint, so a crash
+    between the sink write and the checkpoint commit replays the batch
+    into the SAME directory (idempotent overwrite), never duplicating
+    rows. Pass ``checkpoint_location`` to make the drain resumable
+    (the crash-recovery contract, proven in
+    tests/test_stream_recovery.py); omit it for per-drain scratch.
+    ``post_batch_hook(batch_id)`` fires after the sink write and
+    before the checkpoint commit — the crash window — for fault
+    injection.
 
-    ``out_path`` must be empty or nonexistent — the caller owns it and
-    this function will NOT delete pre-existing data; omit it for a
-    fresh temp dir.
+    When no checkpoint is given, ``out_path`` must be empty or
+    nonexistent (a dirty directory under a FRESH offset log would
+    double-count); with a checkpoint, pre-existing ``batch=`` dirs are
+    exactly the committed prefix a restart resumes over.
     """
     import os
 
     from ..sources.dedup_index import probe_dedup_index
 
-    if out_path is not None and os.path.isdir(out_path) and os.listdir(out_path):
+    if (
+        checkpoint_location is None
+        and out_path is not None
+        and os.path.isdir(out_path)
+        and os.listdir(out_path)
+    ):
         raise ValueError(
             f"out_path {out_path!r} is non-empty; refusing to overwrite"
         )
     out = out_path or tempfile.mkdtemp(prefix="dedup_probe_")
-    ckpt = tempfile.mkdtemp(prefix="dedup_probe_ckpt_")
+    ckpt = checkpoint_location or tempfile.mkdtemp(prefix="dedup_probe_ckpt_")
 
-    wrote = {"any": False}
-
-    def handle(batch: DataFrame, _bid: int) -> None:
-        if not batch.take(1):
-            return
-        res = probe_dedup_index(
-            spark, batch, index_path, min_jaccard=min_jaccard
-        )
-        res.write.mode("append").parquet(out)
-        wrote["any"] = True
+    def handle(batch: DataFrame, bid: int) -> None:
+        if batch.take(1):
+            res = probe_dedup_index(
+                spark, batch, index_path, min_jaccard=min_jaccard
+            )
+            res.write.mode("overwrite").parquet(f"{out}/batch={bid}")
+        if post_batch_hook is not None:
+            post_batch_hook(bid)
 
     try:
         (
@@ -94,14 +105,21 @@ def probe_doc_stream(
             .awaitTermination()
         )
     finally:
-        # The checkpoint is per-drain scratch (each call is a fresh
-        # run); never leak it.
-        shutil.rmtree(ckpt, ignore_errors=True)
-    if not wrote["any"]:
+        if checkpoint_location is None:
+            # Per-drain scratch (each call is a fresh run); never leak.
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if not (
+        os.path.isdir(out)
+        and any(e.startswith("batch=") for e in os.listdir(out))
+    ):
         # No micro-batch produced rows — there is no parquet footer to
         # read. Any OTHER read failure below must propagate: swallowing
         # it would report "no duplicates" for admitted dup documents.
         return spark.createDataFrame(
             [], "new_id bigint, indexed_id bigint, est_jaccard double"
         )
-    return spark.read.parquet(out)
+    # drop the partition-discovered `batch` column: it is commit
+    # bookkeeping, not part of the result contract
+    return spark.read.parquet(out).select(
+        "new_id", "indexed_id", "est_jaccard"
+    )

@@ -62,43 +62,56 @@ def serve_query_stream(
     n_probe: int = 4,
     exclude_self: bool = False,
     out_path: str | None = None,
+    checkpoint_location: str | None = None,
+    post_batch_hook=None,
 ) -> DataFrame:
     """Drain the query stream against the stored index (availableNow)
     and return the full result set.
 
     Each micro-batch runs the batch serving plan via ``foreachBatch``
-    and APPENDS to a parquet result sink; the returned DataFrame reads
-    that sink back. Result rows are (query_id, rank, id, sim, dist) —
-    identical to the batch ``search_ivf_index`` output for the same
-    query set, independent of how the stream was micro-batched.
-    Within a drain, foreachBatch + append is at-least-once per
-    micro-batch (crash-between-commits replays); per-query results are
-    idempotent row sets, and a production deployment would key batch
-    output directories on batch id. ``out_path`` must be empty or
-    nonexistent — caller-owned data is never deleted.
+    and writes to its own ``batch=<id>`` directory with overwrite —
+    EXACTLY-ONCE OUTCOME: batch ids are stable across restarts from
+    the same checkpoint, so a crash between sink write and checkpoint
+    commit replays into the same directory (idempotent overwrite),
+    never duplicating result rows. Result rows are
+    (query_id, rank, id, sim, dist) — identical to the batch
+    ``search_ivf_index`` output for the same query set, independent of
+    micro-batching AND of crash/restart placement (proven in
+    tests/test_stream_recovery.py). Pass ``checkpoint_location`` to
+    make the drain resumable; omit for per-drain scratch.
+    ``post_batch_hook(batch_id)`` fires inside the crash window (after
+    the sink write, before the checkpoint commit) for fault injection.
+
+    Without a checkpoint, ``out_path`` must be empty or nonexistent
+    (dirty data under a fresh offset log would double-count); with
+    one, existing ``batch=`` dirs are the committed prefix a restart
+    resumes over.
     """
     import os
 
     from ..sources.vector_index import search_ivf_index
 
-    if out_path is not None and os.path.isdir(out_path) and os.listdir(out_path):
+    if (
+        checkpoint_location is None
+        and out_path is not None
+        and os.path.isdir(out_path)
+        and os.listdir(out_path)
+    ):
         raise ValueError(
             f"out_path {out_path!r} is non-empty; refusing to overwrite"
         )
     out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
-    ckpt = tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
-
-    wrote = {"any": False}
+    ckpt = checkpoint_location or tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        res = search_ivf_index(
-            spark, index_path, batch_df, k,
-            dim=dim, n_probe=n_probe, exclude_self=exclude_self,
-        )
-        res.write.mode("append").parquet(out)
-        wrote["any"] = True
+        if batch_df.take(1):
+            res = search_ivf_index(
+                spark, index_path, batch_df, k,
+                dim=dim, n_probe=n_probe, exclude_self=exclude_self,
+            )
+            res.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        if post_batch_hook is not None:
+            post_batch_hook(batch_id)
 
     q = (
         queries_stream.writeStream.foreachBatch(_serve)
@@ -109,13 +122,21 @@ def serve_query_stream(
     try:
         q.awaitTermination()
     finally:
-        # Per-drain scratch (each call is a fresh run); never leak it.
-        shutil.rmtree(ckpt, ignore_errors=True)
-    if not wrote["any"]:
+        if checkpoint_location is None:
+            # Per-drain scratch (each call is a fresh run); never leak.
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if not (
+        os.path.isdir(out)
+        and any(e.startswith("batch=") for e in os.listdir(out))
+    ):
         # No micro-batch produced rows: no parquet footer exists to
         # read. Any OTHER read failure must propagate.
         return spark.createDataFrame(
             [],
             "query_id bigint, rank int, id bigint, sim double, dist double",
         )
-    return spark.read.parquet(out)
+    # `batch` is commit bookkeeping from partition discovery, not part
+    # of the result contract
+    return spark.read.parquet(out).select(
+        "query_id", "rank", "id", "sim", "dist"
+    )

@@ -140,3 +140,163 @@ def test_restart_without_new_data_is_a_noop(spark, tmp_path):
     q2.awaitTermination()
     assert merged == []  # zero epochs replayed
     assert table_sig() == before
+
+
+def _mk_doc_files(spark, src, n_files=3):
+    """Three single-file document batches; file 2 contains a near-dup
+    of an indexed doc so the crashed epoch has real output to replay."""
+    corpus = [
+        (i, t)
+        for i, t in enumerate(
+            [
+                "the quick brown fox jumps over the lazy dog today",
+                "pack my box with five dozen liquor jugs right now",
+                "how vexingly quick daft zebras jump over fences",
+            ]
+        )
+    ]
+    batches = [
+        [(100, "the quick brown fox jumps over the lazy dog today")],
+        [(101, "pack my box with five dozen liquor jugs right now")],
+        [(102, "completely unrelated text about query planning")],
+    ]
+    for b in batches[:n_files]:
+        spark.createDataFrame(b, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    return corpus
+
+
+def test_dedup_stream_crash_inside_commit_window_converges(spark, tmp_path):
+    """Kill the dedup probe stream AFTER an epoch's sink write but
+    BEFORE its checkpoint commit; restart from the same checkpoint.
+    The final result must be row-identical to the one-shot batch probe
+    over the same documents — the replayed epoch overwrites its own
+    batch directory instead of duplicating rows."""
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        ensure_dedup_index,
+        probe_dedup_index,
+    )
+    from cs6300_vectordbs_spark.streaming.dedup_stream import (
+        probe_doc_stream,
+    )
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "docs_stream")
+    out = str(tmp_path / "probe_out")
+    ckpt = str(tmp_path / "probe_ckpt")
+    corpus = _mk_doc_files(spark, src)
+    ensure_dedup_index(
+        spark,
+        spark.createDataFrame(corpus, "doc_id long, text string"),
+        idx,
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    seen: list[int] = []
+
+    def crash_on_second(bid: int) -> None:
+        seen.append(bid)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash after sink, before commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        probe_doc_stream(
+            spark, stream(), idx, min_jaccard=0.3, out_path=out,
+            checkpoint_location=ckpt, post_batch_hook=crash_on_second,
+        )
+    assert len(seen) == 2  # epoch 2's sink write happened, commit didn't
+
+    got = probe_doc_stream(
+        spark, stream(), idx, min_jaccard=0.3, out_path=out,
+        checkpoint_location=ckpt,
+    )
+    want = probe_dedup_index(
+        spark,
+        spark.read.parquet(src),
+        idx,
+        min_jaccard=0.3,
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+    # exactly-once: the replayed epoch did not duplicate its rows
+    assert len(g) == len(set(g))
+
+
+def test_search_stream_crash_inside_commit_window_converges(spark, tmp_path):
+    """Same kill/restart protocol for the IVF query-serving stream:
+    the post-crash drain must produce exactly the batch serving result
+    — no duplicated (query, rank) rows from the replayed epoch."""
+    from cs6300_vectordbs_spark.sources.vector_index import (
+        ensure_ivf_index,
+        search_ivf_index,
+    )
+    from cs6300_vectordbs_spark.streaming.search import serve_query_stream
+
+    import pyspark.sql.functions as F
+
+    dim, n = 8, 64
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    ensure_ivf_index(spark, emb, idx, dim=dim, n_cells=4)
+
+    qrows = [(i, [float((i * 5 + j) % 7 - 3) for j in range(dim)]) for i in range(6)]
+    for i in range(0, 6, 2):
+        spark.createDataFrame(
+            qrows[i : i + 2], "query_id long, query_vec array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    seen: list[int] = []
+
+    def crash_on_second(bid: int) -> None:
+        seen.append(bid)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash after sink, before commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        serve_query_stream(
+            spark, stream(), idx, 3, dim=dim, out_path=out,
+            checkpoint_location=ckpt, post_batch_hook=crash_on_second,
+        )
+    assert len(seen) == 2
+
+    got = serve_query_stream(
+        spark, stream(), idx, 3, dim=dim, out_path=out,
+        checkpoint_location=ckpt,
+    )
+    want = search_ivf_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            qrows, "query_id long, query_vec array<double>"
+        ),
+        3,
+        dim=dim,
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) == 18  # 6 queries x top-3
+    assert len(g) == len(set(g))
