@@ -2,9 +2,12 @@
 
 
 def test_pipeline_demo_runs_end_to_end():
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     from examples.pipeline_demo import main
 
     report = main("/root/testdata/sf0.001")

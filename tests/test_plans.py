@@ -393,9 +393,12 @@ def test_headline_queries_have_no_scale_smells(spark):
     cluster-killers: cartesian products, single-partition exchanges,
     and row-at-a-time Python UDFs. (tools/plan_sweep.py runs the same
     check over ALL registered queries per round.)"""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     import __spark_entry__ as e
     from bench import BENCH_QUERIES
 
