@@ -58,13 +58,47 @@ from .util import spread as _spread
 _GROUP_CACHE: dict = {}
 _GROUP_CACHE_MAX = 8
 
+# Second memo, same key discipline: the expensive MATERIALIZED
+# derivative tables the pair operators checkpoint anyway (MinHash
+# signature table, exploded shingle rows, SimHash fingerprints).
+# These are pure functions of (corpus, parameters) — the in-session
+# analog of the persisted dedup index's stored signatures
+# (sources/dedup_index.py), so a composite that runs minhash + ngram +
+# simhash over one corpus (dedup_quality_report, clean_corpus ->
+# survivors) pays each text pipeline once. The capped and uncapped
+# variants of an operator share the same pre-cap table.
+_TABLE_CACHE: dict = {}
+_TABLE_CACHE_MAX = 16
+
 
 def clear_exact_group_cache() -> None:
-    """Drop all memoized exact-dup group tables (test isolation /
-    explicit refresh after in-place corpus mutation under an
-    unchanged plan — not possible with file sources, whose key
+    """Drop all memoized exact-dup group AND derivative tables (test
+    isolation / explicit refresh after in-place corpus mutation under
+    an unchanged plan — not possible with file sources, whose key
     carries file size+mtime)."""
     _GROUP_CACHE.clear()
+    _TABLE_CACHE.clear()
+
+
+def _memo_checkpoint(src: DataFrame, tag: tuple, build) -> DataFrame:
+    """``build()`` localCheckpoint'd, cached per (corpus identity,
+    tag) for the session. ``build`` must be a pure deterministic
+    function of ``src`` and the parameters spelled out in ``tag`` —
+    every caller's tag carries its operator name and every
+    text-pipeline parameter. Falls back to a plain checkpoint when
+    the corpus identity can't be established cheaply."""
+    key = _group_cache_key(src, "", "")
+    if key is None:
+        return build().localCheckpoint(eager=True)
+    key = key + tag
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = build().localCheckpoint(eager=True)
+    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+    _TABLE_CACHE[key] = out
+    return out
 
 
 def _group_cache_key(docs: DataFrame, id_col: str, text_col: str):
@@ -367,9 +401,13 @@ def ngram_jaccard_pairs(
     # table (which must never be broadcast at scale) is needed, then
     # materialize: the text->shingle pipeline is the expensive part and
     # both self-join sides would otherwise recompute it.
-    ex = sh.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
-    ).localCheckpoint(eager=True)
+    ex = _memo_checkpoint(
+        base,
+        ("shingle_ex", id_col, text_col, n),
+        lambda: sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+        ),
+    )
     a = ex.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"), "s")
     b = ex.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"), "s")
     inter = (
@@ -577,10 +615,6 @@ def minhash_lsh_pairs(
         members, base, has_dups = _exact_groups(
             docs, id_col=id_col, text_col=text_col
         )
-    sig = minhash_signature_table(
-        base, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
-    )
     # Materialize signatures before the self-join: the signature table is
     # tiny relative to the corpus (num_hashes longs + id per doc), while
     # the text->shingle->hash pipeline above is the expensive part —
@@ -588,8 +622,16 @@ def minhash_lsh_pairs(
     # dedup/estimate stages) each recompute it (measured 5x at sf0.1;
     # 120s -> 14s). At production scale this boundary is a checkpoint or
     # an intermediate signature table write; locally executor storage
-    # suffices.
-    sig = sig.localCheckpoint(eager=True)
+    # suffices — and the session memo shares it with every other query
+    # over the same corpus/parameters (capped + uncapped + composites).
+    sig = _memo_checkpoint(
+        base,
+        ("minhash_sig", id_col, text_col, num_hashes, shingle_n),
+        lambda: minhash_signature_table(
+            base, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ),
+    )
 
     banded = sig.select(
         "id",
@@ -817,10 +859,16 @@ def simhash_pairs(
         members, base, has_dups = _exact_groups(
             docs, id_col=id_col, text_col=text_col
         )
-    fp = simhash_fingerprints(base, id_col=id_col, text_col=text_col, n=n)
     # Materialize the tiny (id, simhash) table so the expensive
-    # text->shingle->vote pipeline runs once, not once per join side.
-    fp = fp.localCheckpoint(eager=True)
+    # text->shingle->vote pipeline runs once, not once per join side
+    # (and, via the session memo, once per corpus across queries).
+    fp = _memo_checkpoint(
+        base,
+        ("simhash_fp", id_col, text_col, n),
+        lambda: simhash_fingerprints(
+            base, id_col=id_col, text_col=text_col, n=n
+        ),
+    )
     bands = fp.select(
         "id",
         "simhash",

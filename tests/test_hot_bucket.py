@@ -285,3 +285,46 @@ class TestGroupMemo:
         _, _, has_b = _exact_groups(b, id_col="doc_id", text_col="text")
         assert has_a is True and has_b is False
         clear_exact_group_cache()
+
+    def test_derivative_table_memo_shares_and_isolates(self, spark, tmp_path):
+        """The materialized signature/shingle/fingerprint tables are
+        memoized per (corpus, operator, parameters): a second query
+        over the same parquet reuses the checkpointed table; different
+        parameters or a different corpus never collide; results are
+        identical to a cold run."""
+        from cs6300_vectordbs_spark.operators.dedup import (
+            _TABLE_CACHE,
+            clear_exact_group_cache,
+            minhash_lsh_pairs,
+        )
+
+        path = str(tmp_path / "docs")
+        spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta epsilon zeta"),
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "one two three four five six seven"),
+            ],
+            "doc_id long, text string",
+        ).write.parquet(path)
+        clear_exact_group_cache()
+
+        cold = _pairset(
+            minhash_lsh_pairs(spark.read.parquet(path), min_jaccard=0.3),
+            "est_jaccard",
+        )
+        n_after_cold = len(_TABLE_CACHE)
+        assert n_after_cold >= 1
+        warm = _pairset(
+            minhash_lsh_pairs(spark.read.parquet(path), min_jaccard=0.3),
+            "est_jaccard",
+        )
+        assert warm == cold and len(_TABLE_CACHE) == n_after_cold
+
+        # different parameters -> a distinct cache entry, not a false hit
+        minhash_lsh_pairs(
+            spark.read.parquet(path), min_jaccard=0.3, num_hashes=8
+        ).collect()
+        assert len(_TABLE_CACHE) > n_after_cold
+        clear_exact_group_cache()
+        assert len(_TABLE_CACHE) == 0
