@@ -809,8 +809,19 @@ def simhash_buckets(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2
 ) -> DataFrame:
     """Group docs by SimHash fingerprint; rows with dup_count > 1 are
-    near-duplicate clusters (identical fingerprints)."""
-    f = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, n=n)
+    near-duplicate clusters (identical fingerprints).
+
+    The fingerprint table shares the session memo TAG with
+    simhash_pairs (same pure function of (corpus, n)): on a clean
+    corpus — where the pair operator's collapsed base IS the input —
+    the two queries reuse one materialized table."""
+    f = _memo_checkpoint(
+        docs,
+        ("simhash_fp", id_col, text_col, n),
+        lambda: simhash_fingerprints(
+            docs, id_col=id_col, text_col=text_col, n=n
+        ),
+    )
     return f.groupBy("simhash").agg(
         F.min("id").alias("min_id"), F.count(F.lit(1)).alias("dup_count")
     )
