@@ -8670,6 +8670,40 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     )
 
 
+def q_dedup_groups_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED exact-dup group table (S9 create-if-absent,
+    sources/dedup_index.ensure_dedup_groups): (id, rep_id) for every
+    document in a duplicate group, rep = min id, NULL-text docs one
+    sentinel group — the cross-session form of the in-session
+    collapse-guard memo. Fully deterministic, so it carries a full
+    value-hash oracle (the same normalized-md5 groupBy the exact_dedup
+    twin uses, restricted to groups of size >= 2 and expanded back to
+    member rows)."""
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        ensure_dedup_groups,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/dedup_groups_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    g = ensure_dedup_groups(spark, docs, path)
+    return g.select(
+        F.col("id").cast("bigint"), F.col("rep_id").cast("bigint")
+    )
+
+
+_ORACLE_DEDUP_GROUPS = f"""
+WITH fp AS (
+  SELECT doc_id AS id,
+         coalesce(substr(md5({_SQL_NORM_TEXT}), 1, 16), '__null__') AS f
+  FROM documents
+),
+g AS (SELECT f, min(id) AS rep_id, count(*) AS c FROM fp GROUP BY f)
+SELECT p.id::BIGINT AS id, g.rep_id::BIGINT AS rep_id
+FROM fp p JOIN g ON p.f = g.f WHERE g.c > 1
+"""
+
+
 _STRUCT_N, _STRUCT_COS, _STRUCT_FRAC = 128, 0.6, 0.001
 
 _ORACLE_STRUCT_AGG = f"""
@@ -9331,7 +9365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # again (the _exact_groups memo), the 3 search/graph queries
     # touching r07's fingerprint + dispatch changes, and 22 of the 39
     # names whose last green was r03 (the rest queue for r08:
-    # ivf_persisted_topk, judge_scores, kmv_distinct,
+    # dedup_groups_persisted (NEW, registered 51st), ivf_persisted_topk, judge_scores, kmv_distinct,
     # latency_percentiles_long, order_priority, parts_cube,
     # pipeline_report, priority_shipping, props_map_stats, props_stats,
     # revenue_momentum, sales_rollup, session_windows,
@@ -9389,6 +9423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_seasonality": q_hourly_seasonality,
         "hybrid_topk": q_hybrid_topk,
         "image_features": q_image_features,
+        "dedup_groups_persisted": q_dedup_groups_persisted,
         "simhash_buckets": q_simhash_buckets,
         "exact_dedup": q_exact_dedup,
         "embedding_neardup": q_embedding_neardup,
@@ -9527,6 +9562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "auto_ann_dispatch": _ORACLE_AUTO_DISPATCH,
+        "dedup_groups_persisted": _ORACLE_DEDUP_GROUPS,
         "auto_ann_topk": _oracle_auto_ann_topk(),
         "topk_cosine_exact": _ORACLE_TOPK,
         "auto_search": _ORACLE_TOPK,

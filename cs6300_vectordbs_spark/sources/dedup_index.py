@@ -165,6 +165,50 @@ def ensure_dedup_index(
     write_fingerprint(path, fp)
 
 
+def ensure_dedup_groups(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """S9 create-if-absent PERSISTED exact-dup group table: one
+    ``(id, rep_id)`` row per document in a duplicate group (group =
+    identical whitespace/case-normalized content, rep = min id;
+    NULL-text docs form one sentinel group — exactly
+    ``operators.dedup._exact_groups`` semantics, which this shares).
+
+    This is the cross-SESSION form of the in-session collapse-guard
+    memo: a curation deployment computes the group table once per
+    corpus version and every job (batch pair operators, composites,
+    index builds, ad-hoc notebooks) reads it from storage instead of
+    re-running the corpus-sized fingerprint aggregate. Same
+    content-addressed invalidation as every persisted index: corpus
+    (id, text) hash + layout version.
+    """
+    from ..operators.dedup import _exact_groups
+
+    fp = corpus_fingerprint(
+        docs, [id_col, text_col], {"kind": "exact_groups", "v": 1}
+    )
+    if (
+        os.path.exists(f"{path}/groups/_SUCCESS")
+        and read_fingerprint(path) == fp
+    ):
+        return spark.read.parquet(f"{path}/groups")
+    members, _base, has_dups = _exact_groups(
+        docs, id_col=id_col, text_col=text_col
+    )
+    if not has_dups:
+        members = docs.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
+        ).limit(0)
+    members.write.mode("overwrite").parquet(f"{path}/groups")
+    write_fingerprint(path, fp)
+    return spark.read.parquet(f"{path}/groups")
+
+
 def probe_dedup_index(
     spark: SparkSession,
     new_docs: DataFrame,

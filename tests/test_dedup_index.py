@@ -151,3 +151,51 @@ def test_probe_pre_v2_layout_fails_legibly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="pre-v2|members sidecar"):
         probe_dedup_index(spark, probe, path)
+
+
+def test_ensure_dedup_groups_lifecycle(spark, tmp_path):
+    """Create-if-absent + content-addressed invalidation for the
+    persisted exact-dup group table: reuse on unchanged corpus,
+    rebuild on changed content, empty-but-present table on dup-free
+    corpora, NULL-text docs grouped via the sentinel."""
+    import os
+
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        ensure_dedup_groups,
+    )
+
+    path = str(tmp_path / "groups")
+
+    def files_sig():
+        d = f"{path}/groups"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f))) for f in os.listdir(d)
+        )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "same text here"),
+            (1, "SAME   text here"),   # normalizes identical to 0
+            (2, "other text entirely"),
+            (3, None),
+            (4, None),                  # NULL group: sentinel key
+        ],
+        "doc_id long, text string",
+    )
+    g1 = ensure_dedup_groups(spark, docs, path)
+    got = {(r.id, r.rep_id) for r in g1.collect()}
+    assert got == {(0, 0), (1, 0), (3, 3), (4, 3)}
+    sig1 = files_sig()
+
+    # unchanged corpus -> byte-identical reuse
+    ensure_dedup_groups(spark, docs, path).collect()
+    assert files_sig() == sig1
+
+    # changed content (same ids/rows) -> rebuild
+    docs2 = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d"), (4, "e")],
+        "doc_id long, text string",
+    )
+    g2 = ensure_dedup_groups(spark, docs2, path)
+    assert g2.count() == 0          # dup-free: empty but readable
+    assert files_sig() != sig1
