@@ -8741,7 +8741,9 @@ def q_auto_ann_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cs6300_vectordbs_spark.operators.search import pair_structure_stat
 
     emb = _t(spark, sf_dir, "embeddings")
-    stat = pair_structure_stat(emb, dim=EMB_DIM)
+    stat = pair_structure_stat(
+        emb, dim=EMB_DIM, sample_n=_STRUCT_N, cos_threshold=_STRUCT_COS
+    )
     return stat.select(
         "n_pairs",
         "n_high",
@@ -8754,8 +8756,9 @@ def q_auto_ann_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_AUTO_DISPATCH = f"""
 WITH agg AS ({_ORACLE_STRUCT_AGG})
-SELECT n_pairs, n_high, n_high::DOUBLE / n_pairs AS frac_high,
-       CASE WHEN n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
+SELECT n_pairs, n_high,
+       CASE WHEN n_pairs > 0 THEN n_high::DOUBLE / n_pairs END AS frac_high,
+       CASE WHEN n_pairs > 0 AND n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
             THEN 'nsw' ELSE 'ivf' END AS strategy
 FROM agg
 """
@@ -8792,7 +8795,7 @@ def q_auto_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_auto_ann_topk() -> str:
     return f"""
 WITH choice AS (
-  SELECT CASE WHEN n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
+  SELECT CASE WHEN n_pairs > 0 AND n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
               THEN 'nsw' ELSE 'ivf' END AS s
   FROM ({_ORACLE_STRUCT_AGG})
 )
@@ -9370,7 +9373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline_report, priority_shipping, props_map_stats, props_stats,
     # revenue_momentum, sales_rollup, session_windows,
     # stratified_sample, top_customers, user_sessions,
-    # user_sessions_stream). Whole 182-query surface locally
+    # user_sessions_stream). Whole 183-query surface locally
     # differentialed at sf0.01 this round — see FIXTURES.md Part C.
     return {
         "auto_ann_dispatch": q_auto_ann_dispatch,

@@ -71,12 +71,31 @@ _TABLE_CACHE: dict = {}
 _TABLE_CACHE_MAX = 16
 
 
+def _release(df) -> None:
+    """Best-effort storage release for an evicted memo entry:
+    unpersist frees the cached plan data synchronously; the
+    localCheckpoint RDD blocks themselves are reclaimed by Spark's
+    ContextCleaner as soon as the last reference drops — which the
+    dict pop does immediately under CPython refcounting. Never lets a
+    cleanup failure break the caller."""
+    try:
+        if df is not None:
+            df.unpersist()
+    except Exception:
+        pass
+
+
 def clear_exact_group_cache() -> None:
     """Drop all memoized exact-dup group AND derivative tables (test
     isolation / explicit refresh after in-place corpus mutation under
     an unchanged plan — not possible with file sources, whose key
-    carries file size+mtime)."""
+    carries file size+mtime). Evicted tables are unpersisted
+    best-effort so executor storage is released deterministically."""
+    for members, _base, _ in _GROUP_CACHE.values():
+        _release(members)
     _GROUP_CACHE.clear()
+    for df in _TABLE_CACHE.values():
+        _release(df)
     _TABLE_CACHE.clear()
 
 
@@ -96,7 +115,7 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, build) -> DataFrame:
         return hit
     out = build().localCheckpoint(eager=True)
     if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
-        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _release(_TABLE_CACHE.pop(next(iter(_TABLE_CACHE))))
     _TABLE_CACHE[key] = out
     return out
 
@@ -244,7 +263,8 @@ def _exact_groups(
         result = (members, base, True)
     if key is not None:
         if len(_GROUP_CACHE) >= _GROUP_CACHE_MAX:
-            _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
+            evicted = _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
+            _release(evicted[0])
         _GROUP_CACHE[key] = result
     return result
 
@@ -806,22 +826,33 @@ def simhash_fingerprints(
 
 
 def simhash_buckets(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    memo: bool = True,
 ) -> DataFrame:
     """Group docs by SimHash fingerprint; rows with dup_count > 1 are
     near-duplicate clusters (identical fingerprints).
 
-    The fingerprint table shares the session memo TAG with
+    With ``memo`` (default ON) the fingerprint table is materialized
+    through the session memo — EAGER at DataFrame-construction time on
+    a cold key, like the collapse guard — and shares its TAG with
     simhash_pairs (same pure function of (corpus, n)): on a clean
-    corpus — where the pair operator's collapsed base IS the input —
-    the two queries reuse one materialized table."""
-    f = _memo_checkpoint(
-        docs,
-        ("simhash_fp", id_col, text_col, n),
-        lambda: simhash_fingerprints(
-            docs, id_col=id_col, text_col=text_col, n=n
-        ),
-    )
+    corpus, where the pair operator's collapsed base IS the input, the
+    two queries reuse one table. Plan-only consumers pass
+    ``memo=False`` for the fully lazy un-checkpointed pipeline."""
+    if memo:
+        f = _memo_checkpoint(
+            docs,
+            ("simhash_fp", id_col, text_col, n),
+            lambda: simhash_fingerprints(
+                docs, id_col=id_col, text_col=text_col, n=n
+            ),
+        )
+    else:
+        f = simhash_fingerprints(docs, id_col=id_col, text_col=text_col, n=n)
     return f.groupBy("simhash").agg(
         F.min("id").alias("min_id"), F.count(F.lit(1)).alias("dup_count")
     )

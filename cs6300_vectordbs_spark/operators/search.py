@@ -205,15 +205,27 @@ def pair_structure_stat(
     pairs = a.join(b, F.col("ia") < F.col("ib")).select(
         cosine_sim("va", "vb", dim=dim).alias("cos")
     )
+    # coalesce + the n_pairs>0 guard mirror the SQL twin exactly on a
+    # degenerate sample (corpus with < 2 scorable vectors): n_high = 0
+    # (never NULL-from-empty-sum) and frac_high = NULL (never a
+    # divide-by-zero artifact), in both engines.
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(
-            F.when(F.col("cos") >= F.lit(float(cos_threshold)), 1).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("cos") >= F.lit(float(cos_threshold)), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("bigint").alias("n_high"),
     ).select(
         "n_pairs",
         "n_high",
-        (F.col("n_high").cast("double") / F.col("n_pairs")).alias("frac_high"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("n_high").cast("double") / F.col("n_pairs"),
+        ).alias("frac_high"),
     )
 
 
@@ -278,6 +290,15 @@ def auto_index_search(
     if strategy == "nsw":
         from .ann import nsw_beam_search
 
+        # nsw_beam_search's query-side contract is fixed
+        # (query_id, query_vec) columns and a literal vec_id output
+        # column — normalize in, rename out, so this facade honors the
+        # same corpus_id/query_id/query_vec parameters on BOTH
+        # branches (ivf_topk already does).
+        q_nsw = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("query_vec"),
+        )
         if edges is None:
             from .ann import nsw_shortcut_edges
             from .similarity import similarity_topk_grid
@@ -303,11 +324,13 @@ def auto_index_search(
                 .distinct()
             )
         out = nsw_beam_search(
-            corpus, queries, k, edges=edges, beam_width=beam_width,
+            corpus, q_nsw, k, edges=edges, beam_width=beam_width,
             n_iters=n_iters, n_entries=n_entries, dim=dim,
             exclude_self=exclude_self, id_col=corpus_id, vec_col=corpus_vec,
         )
-        return out.select("query_id", "rank", corpus_id, "sim")
+        return out.select(
+            "query_id", "rank", F.col("vec_id").alias(corpus_id), "sim"
+        )
     from .ann import ivf_topk
 
     out = ivf_topk(

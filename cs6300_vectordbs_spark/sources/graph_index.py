@@ -48,7 +48,10 @@ def build_nsw_graph(
     allq = corpus.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    knn = similarity_topk_grid(corpus, allq, k, exclude_self=True)
+    knn = similarity_topk_grid(
+        corpus, allq, k, exclude_self=True,
+        corpus_id=id_col, corpus_vec=vec_col,
+    )
     edges = (
         knn.select(
             F.least("query_id", F.col(id_col)).alias("a"),

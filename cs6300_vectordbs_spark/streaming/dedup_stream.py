@@ -75,6 +75,17 @@ def probe_doc_stream(
 
     from ..sources.dedup_index import probe_dedup_index
 
+    if checkpoint_location is not None and out_path is None:
+        # A resumable drain with a throwaway output dir would be a
+        # correctness bug, not a convenience: the checkpoint skips
+        # already-committed batches on restart, so their rows exist
+        # ONLY in the previous call's temp dir — a fresh mkdtemp here
+        # would silently drop them from the returned result.
+        raise ValueError(
+            "checkpoint_location requires an explicit out_path: "
+            "committed batches are replayed into (not re-appended to) "
+            "the SAME output directory across restarts"
+        )
     if (
         checkpoint_location is None
         and out_path is not None

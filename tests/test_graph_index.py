@@ -66,3 +66,25 @@ def test_build_reuse_invalidate(spark, tmp_path):
     e5 = ensure_nsw_graph(spark, _corpus(spark, bump=9.0), path, k=6, salt=23)
     assert _edge_files_sig(path) != sig4
     assert e5.count() > 0
+
+
+def test_build_with_custom_columns(spark, tmp_path):
+    """build_nsw_graph must honor id_col/vec_col end-to-end (the kNN
+    grid kernel, the shortcut edges, and the fingerprint all see the
+    renamed columns)."""
+    corpus = _corpus(spark).select(
+        F.col("vec_id").alias("node_id"), F.col("embedding").alias("vec")
+    )
+    path = str(tmp_path / "nsw_custom")
+    edges = ensure_nsw_graph(
+        spark, corpus, path, k=4, id_col="node_id", vec_col="vec"
+    )
+    n = edges.count()
+    assert n > 0
+    # identical graph to the default-named build over the same vectors
+    want = ensure_nsw_graph(
+        spark, _corpus(spark), str(tmp_path / "nsw_default"), k=4
+    )
+    assert sorted(map(tuple, edges.collect())) == sorted(
+        map(tuple, want.collect())
+    )

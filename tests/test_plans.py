@@ -848,3 +848,23 @@ def test_structure_probe_separates_iid_from_clustered(spark):
         ).collect()
     )
     assert got == want
+
+    # custom column names must work on BOTH branches (the facade
+    # normalizes the NSW path's fixed query/output column contract):
+    # same clustered corpus/queries under renamed columns + the same
+    # prebuilt edges must return identical rows.
+    clu2 = clu_df.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    q2 = clu2.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qv")
+    )
+    got_custom = sorted(
+        (r["query_id"], r["rank"], r["id"], r["sim"])
+        for r in auto_index_search(
+            clu2, q2, 5, dim=dim, exclude_self=True, sample_n=100,
+            corpus_id="id", corpus_vec="vec", query_id="qid",
+            query_vec="qv", edges=edges,
+        ).collect()
+    )
+    assert got_custom == want

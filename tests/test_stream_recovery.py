@@ -300,3 +300,25 @@ def test_search_stream_crash_inside_commit_window_converges(spark, tmp_path):
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) == 18  # 6 queries x top-3
     assert len(g) == len(set(g))
+
+
+def test_resumable_drain_requires_explicit_out_path(spark, tmp_path):
+    """checkpoint_location without out_path must be rejected up front:
+    the checkpoint skips committed batches on restart, so their rows
+    live only in the previous call's output dir — a fresh temp dir
+    would silently drop them from the returned result."""
+    from cs6300_vectordbs_spark.streaming.dedup_stream import (
+        probe_doc_stream,
+    )
+    from cs6300_vectordbs_spark.streaming.search import serve_query_stream
+
+    # the guard fires before the stream or index is touched
+    with pytest.raises(ValueError, match="out_path"):
+        probe_doc_stream(
+            spark, None, "unused", checkpoint_location=str(tmp_path / "c1")
+        )
+    with pytest.raises(ValueError, match="out_path"):
+        serve_query_stream(
+            spark, None, "unused", 3, dim=8,
+            checkpoint_location=str(tmp_path / "c2"),
+        )
