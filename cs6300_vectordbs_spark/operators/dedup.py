@@ -25,6 +25,7 @@ md5() (identical in every engine) rather than engine-native hash().
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -70,14 +71,27 @@ _GROUP_CACHE_MAX = 8
 _TABLE_CACHE: dict = {}
 _TABLE_CACHE_MAX = 16
 
+# One lock for both memo dicts. Multi-threaded drivers (a thread pool
+# constructing queries over a shared SparkSession is a standard Spark
+# pattern) would otherwise race check-then-pop eviction and
+# clear()-during-iteration. The critical sections are dict ops only —
+# Spark builds/jobs always run OUTSIDE the lock, so a slow build never
+# blocks other threads' memo hits.
+_CACHE_LOCK = threading.Lock()
+
 
 def _release(df) -> None:
-    """Best-effort storage release for an evicted memo entry:
-    unpersist frees the cached plan data synchronously; the
-    localCheckpoint RDD blocks themselves are reclaimed by Spark's
-    ContextCleaner as soon as the last reference drops — which the
-    dict pop does immediately under CPython refcounting. Never lets a
-    cleanup failure break the caller."""
+    """Best-effort storage hint for an evicted memo entry. NOTE:
+    ``DataFrame.unpersist`` only uncaches CacheManager entries — for a
+    localCheckpoint'd frame (persisted at the RDD level) it is a
+    no-op, so this does NOT free executor storage synchronously. The
+    checkpoint RDD blocks are reclaimed by Spark's ContextCleaner once
+    the last JVM reference is GC'd, which the dict pop enables (the
+    Python wrapper drops promptly under CPython refcounting; the JVM
+    side follows at its own GC pace). Deliberately NOT unpersisting
+    via the underlying RDD handle: lineage is truncated at checkpoint,
+    so force-dropping blocks would break any evicted-but-still-held
+    DataFrame a caller is using. Never lets cleanup break the caller."""
     try:
         if df is not None:
             df.unpersist()
@@ -89,14 +103,20 @@ def clear_exact_group_cache() -> None:
     """Drop all memoized exact-dup group AND derivative tables (test
     isolation / explicit refresh after in-place corpus mutation under
     an unchanged plan — not possible with file sources, whose key
-    carries file size+mtime). Evicted tables are unpersisted
-    best-effort so executor storage is released deterministically."""
-    for members, _base, _ in _GROUP_CACHE.values():
+    carries file size+mtime). Eviction releases the PYTHON references;
+    the checkpoint blocks themselves are freed asynchronously by the
+    ContextCleaner once the JVM drops its last reference (see
+    ``_release``) — callers must not assume synchronous storage
+    reclamation."""
+    with _CACHE_LOCK:
+        groups = list(_GROUP_CACHE.values())
+        tables = list(_TABLE_CACHE.values())
+        _GROUP_CACHE.clear()
+        _TABLE_CACHE.clear()
+    for members, _base, _ in groups:
         _release(members)
-    _GROUP_CACHE.clear()
-    for df in _TABLE_CACHE.values():
+    for df in tables:
         _release(df)
-    _TABLE_CACHE.clear()
 
 
 def _memo_checkpoint(src: DataFrame, tag: tuple, build) -> DataFrame:
@@ -110,14 +130,65 @@ def _memo_checkpoint(src: DataFrame, tag: tuple, build) -> DataFrame:
     if key is None:
         return build().localCheckpoint(eager=True)
     key = key + tag
-    hit = _TABLE_CACHE.get(key)
+    with _CACHE_LOCK:
+        hit = _TABLE_CACHE.get(key)
     if hit is not None:
         return hit
     out = build().localCheckpoint(eager=True)
-    if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
-        _release(_TABLE_CACHE.pop(next(iter(_TABLE_CACHE))))
-    _TABLE_CACHE[key] = out
-    return out
+    winner, evicted = out, None
+    with _CACHE_LOCK:
+        raced = _TABLE_CACHE.get(key)
+        if raced is not None:
+            # A concurrent builder won the race; serve its table and
+            # release ours (both are correct — build is pure).
+            winner, evicted = raced, out
+        else:
+            if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+                evicted = _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+            _TABLE_CACHE[key] = out
+    if evicted is not None:
+        _release(evicted)
+    return winner
+
+
+def prime_table_memo(src: DataFrame, tag: tuple, df: DataFrame) -> bool:
+    """Insert ``df`` as the session-memo entry for (corpus of ``src``,
+    ``tag``) — the read-through seam for PERSISTED derivative tables
+    (sources/dedup_index.ensure_signature_tables): a table read back
+    from storage replaces the in-session build, so the first
+    construction over the corpus is already warm. The caller owns the
+    correctness contract: ``df`` must equal what the tag's builder
+    would produce over ``src``. No-op (returns False) when the corpus
+    identity can't be keyed, or when the slot is already populated
+    (an existing localCheckpoint'd entry is at least as good)."""
+    key = _group_cache_key(src, "", "")
+    if key is None:
+        return False
+    key = key + tag
+    evicted = None
+    with _CACHE_LOCK:
+        if key in _TABLE_CACHE:
+            return False
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            evicted = _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = df
+    if evicted is not None:
+        _release(evicted)
+    return True
+
+
+# Leaf plan nodes whose semanticHash fully determines their DATA:
+# LocalRelation/OneRowRelation embed the rows in the plan itself,
+# Range is generated from its literal bounds, and LogicalRDD (what
+# createDataFrame analyzes to on this build) hashes by RDD identity —
+# RDDs are immutable and two frames with different rows get different
+# RDD ids (verified: identical-data frames hash DIFFERENTLY, i.e.
+# only misses are possible, never false hits). An "unchanged plan,
+# changed data" situation is impossible for all of these, so they are
+# safe to memoize with no file snapshot. Everything else with empty
+# inputFiles() (catalog/JDBC/DSv2 tables) is mutable-in-place under a
+# stable hash and must NOT be memoized.
+_IMMUTABLE_LEAVES = ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD")
 
 
 def _group_cache_key(docs: DataFrame, id_col: str, text_col: str):
@@ -134,6 +205,18 @@ def _group_cache_key(docs: DataFrame, id_col: str, text_col: str):
                 files.append((uri, st.st_size, st.st_mtime_ns))
             except OSError:
                 files.append((uri, -1, -1))
+        if not files:
+            # No files to snapshot: catalog/JDBC/Delta-style sources
+            # report empty inputFiles() with a STABLE semanticHash, so
+            # an in-place table mutation mid-session would silently
+            # serve stale memoized tables. Memoize only when every
+            # leaf is a plan-embedded immutable relation; otherwise
+            # skip the memo (recompute is merely slower, never wrong).
+            leaves = docs._jdf.queryExecution().analyzed().collectLeaves()
+            for i in range(leaves.size()):
+                name = leaves.apply(i).getClass().getSimpleName()
+                if not any(name.startswith(ok) for ok in _IMMUTABLE_LEAVES):
+                    return None
         return (app, id_col, text_col, sem, tuple(files))
     except Exception:
         return None
@@ -226,8 +309,11 @@ def _exact_groups(
     cache()`` drops the memo.
     """
     key = _group_cache_key(docs, id_col, text_col)
-    if key is not None and key in _GROUP_CACHE:
-        return _GROUP_CACHE[key]
+    if key is not None:
+        with _CACHE_LOCK:
+            hit = _GROUP_CACHE.get(key)
+        if hit is not None:
+            return hit
     fp_col = F.coalesce(doc_fingerprint(text_col), F.lit("__null__"))
     keyed = _spread(docs).select(
         F.col(id_col).alias("id"),
@@ -262,10 +348,19 @@ def _exact_groups(
         )
         result = (members, base, True)
     if key is not None:
-        if len(_GROUP_CACHE) >= _GROUP_CACHE_MAX:
-            evicted = _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
+        evicted = None
+        with _CACHE_LOCK:
+            raced = _GROUP_CACHE.get(key)
+            if raced is not None:
+                # Concurrent builder won; serve its (identical) result
+                # and release our members checkpoint.
+                result, evicted = raced, result
+            else:
+                if len(_GROUP_CACHE) >= _GROUP_CACHE_MAX:
+                    evicted = _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
+                _GROUP_CACHE[key] = result
+        if evicted is not None:
             _release(evicted[0])
-        _GROUP_CACHE[key] = result
     return result
 
 

@@ -97,6 +97,22 @@ def probe_doc_stream(
         )
     out = out_path or tempfile.mkdtemp(prefix="dedup_probe_")
     ckpt = checkpoint_location or tempfile.mkdtemp(prefix="dedup_probe_ckpt_")
+    if checkpoint_location is not None:
+        # Resumable drain: pin the parameterization to the output dir.
+        # Pre-existing batch= dirs are trusted as the committed prefix
+        # ONLY when they were produced by this same (index, threshold,
+        # checkpoint) triple — anything else raises instead of mixing.
+        from .params_guard import check_params_sidecar
+
+        check_params_sidecar(
+            out,
+            {
+                "kind": "dedup_probe",
+                "index_path": os.path.abspath(index_path),
+                "min_jaccard": float(min_jaccard),
+                "checkpoint_location": os.path.abspath(checkpoint_location),
+            },
+        )
 
     def handle(batch: DataFrame, bid: int) -> None:
         if batch.take(1):

@@ -1,0 +1,50 @@
+"""Resume-parameter sidecar for resumable stream drains.
+
+A checkpointed drain (dedup probe, IVF serve, upsert sink) skips
+already-committed batches on restart — so the rows sitting in the
+output/table from the previous run were produced under the PREVIOUS
+call's parameters. Resuming with a different parameterization
+(min_jaccard, k/dim/n_probe, id/version columns), or pointing a fresh
+checkpoint at an output directory populated by an unrelated drain,
+would silently mix rows from two different queries into one result.
+
+The guard: on the first checkpointed run, write the full parameter
+set as ``_PARAMS.json`` into the durable directory (the output dir
+for drains, the checkpoint dir for the upsert sink, whose table dir
+is swapped every epoch); on every later run verify it matches and
+raise a legible error on mismatch. The leading underscore keeps the
+sidecar invisible to Spark's file listing (same convention as
+``_SUCCESS``), so ``spark.read.parquet(out)`` never sees it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+def check_params_sidecar(dir_path: str, params: dict) -> None:
+    """Write ``params`` to ``{dir_path}/_PARAMS.json`` on first use;
+    on later use raise ``ValueError`` unless the stored parameters
+    match exactly. ``params`` must be JSON-round-trippable (strings,
+    ints, floats, bools, None) so equality survives serialization."""
+    sidecar = os.path.join(dir_path, "_PARAMS.json")
+    canonical = json.loads(json.dumps(params))
+    if os.path.exists(sidecar):
+        with open(sidecar, "r", encoding="utf-8") as f:
+            stored = json.load(f)
+        if stored != canonical:
+            raise ValueError(
+                f"resume parameter mismatch at {dir_path!r}: this "
+                f"directory was populated with {stored}, but the "
+                f"current call requests {canonical}. Resuming would "
+                "mix rows from two parameterizations into one result "
+                "— use a fresh out_path/checkpoint, or the original "
+                "parameters."
+            )
+        return
+    os.makedirs(dir_path, exist_ok=True)
+    tmp = sidecar + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(canonical, f)
+    os.replace(tmp, sidecar)

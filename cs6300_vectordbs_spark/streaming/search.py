@@ -113,6 +113,25 @@ def serve_query_stream(
         )
     out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
     ckpt = checkpoint_location or tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
+    if checkpoint_location is not None:
+        # Resumable drain: pin the serving parameterization to the
+        # output dir — resuming with a different k/dim/n_probe (or an
+        # out_path from an unrelated drain) raises instead of mixing
+        # rows from two parameterizations.
+        from .params_guard import check_params_sidecar
+
+        check_params_sidecar(
+            out,
+            {
+                "kind": "ivf_serve",
+                "index_path": os.path.abspath(index_path),
+                "k": int(k),
+                "dim": int(dim),
+                "n_probe": int(n_probe),
+                "exclude_self": bool(exclude_self),
+                "checkpoint_location": os.path.abspath(checkpoint_location),
+            },
+        )
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.take(1):

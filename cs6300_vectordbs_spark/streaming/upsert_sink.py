@@ -63,6 +63,24 @@ def start_stream_upsert(
     """
     spark = changes.sparkSession
 
+    if checkpoint_location is not None:
+        # Restartable sink: pin the merge parameterization to the
+        # checkpoint dir (the table dir is atomically swapped every
+        # epoch, so the sidecar lives with the offsets/epoch log it
+        # guards). Resuming with a different id/version column would
+        # replay committed epochs under different merge semantics.
+        from .params_guard import check_params_sidecar
+
+        check_params_sidecar(
+            checkpoint_location,
+            {
+                "kind": "stream_upsert",
+                "table_path": os.path.abspath(table_path),
+                "id_col": id_col,
+                "version_col": version_col,
+            },
+        )
+
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
         if table_exists(spark, table_path):
             base = spark.read.parquet(table_path)
