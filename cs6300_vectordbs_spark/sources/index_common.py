@@ -7,9 +7,25 @@ index family: ``corpus count + sum of per-row hashes`` of the identity
 columns, plus the BUILD PARAMETERS — an index built with different
 parameters (band count, bucket count, BM25 k1/b) must never be served
 to a caller expecting the new ones, even over an unchanged corpus.
+
+CRASH-SAFETY PROTOCOL (every ``ensure_*`` in the family follows it):
+the fingerprint is written LAST, after every table write has produced
+its ``_SUCCESS`` marker, and the write itself is atomic (temp file +
+``os.replace``). A builder that dies mid-build therefore leaves either
+no fingerprint or the complete previous one — the next ``ensure_*``
+sees a fingerprint mismatch (or an incomplete layout) and rebuilds;
+a torn index is never served. CONCURRENCY CONTRACT: one writer per
+index path. The fingerprint commit is atomic, but the parquet
+directories underneath are not transactional — two builders racing
+the same path can interleave their table overwrites. Run concurrent
+``ensure_*`` calls for the same path behind an external lock or a
+per-job staging path; concurrent READERS of a completed index are
+unrestricted.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -38,5 +54,14 @@ def read_fingerprint(path: str) -> str | None:
 
 
 def write_fingerprint(path: str, fp: str) -> None:
-    with open(f"{path}/FINGERPRINT", "w", encoding="utf-8") as f:
+    """Atomic commit marker: temp-write + ``os.replace`` so a reader
+    (or a crash) can never observe a torn fingerprint — it sees the
+    old complete value or the new complete value, nothing between.
+    Callers must invoke this only AFTER the index tables are fully
+    written (the _SUCCESS markers exist); see the module docstring."""
+    tmp = f"{path}/FINGERPRINT.tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
         f.write(fp)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, f"{path}/FINGERPRINT")
