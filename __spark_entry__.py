@@ -738,6 +738,42 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_signatures_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED signature-table store (S9 create-if-absent,
+    sources/dedup_index.ensure_signature_tables) serving the MinHash
+    pair operator end-to-end: the session memo is CLEARED first (a
+    fresh-session simulation), the store is ensured (built once per
+    corpus version, reused after), its tables are primed into the
+    memo, and ``minhash_lsh_pairs`` runs entirely off the stored
+    signatures — the oracle is the full from-scratch MinHash recompute
+    in DuckDB, so a wrong or stale stored table value-hash-fails here.
+    This is the cross-session amortization path SCALING.md names: at
+    cluster scale the signature write is one linear pass per corpus
+    version, and every later job (pairs, composites, index builds)
+    starts from the stored tables instead of the raw text."""
+    from cs6300_vectordbs_spark.operators.dedup import (
+        clear_exact_group_cache,
+    )
+    from cs6300_vectordbs_spark.sources.dedup_index import (
+        ensure_signature_tables,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/sig_store_{tag}"
+    docs = _t(spark, sf_dir, "documents")
+    clear_exact_group_cache()
+    ensure_signature_tables(
+        spark, docs, path,
+        num_hashes=_MH_HASHES, shingle_n=3, ngram_n=3, simhash_n=2,
+    )
+    return minhash_lsh_pairs(
+        docs, num_hashes=_MH_HASHES, bands=_MH_BANDS, shingle_n=3,
+        min_jaccard=0.3,
+    ).select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"), "est_jaccard"
+    )
+
+
 def q_dedup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality evaluation for the MinHash-LSH dedup path —
     the dedup analog of ann_tuning_report: the banded-LSH candidate
@@ -9376,6 +9412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # user_sessions_stream). Whole 183-query surface locally
     # differentialed at sf0.01 this round — see FIXTURES.md Part C.
     return {
+        "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "auto_ann_dispatch": q_auto_ann_dispatch,
         "auto_ann_topk": q_auto_ann_topk,
         "ndcg_at_k": q_ndcg_at_k,
@@ -9607,6 +9644,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": _ORACLE_DEDUP,
         "ngram_jaccard_pairs": _ORACLE_JACCARD,
         "minhash_lsh_pairs": _oracle_minhash(),
+        "dedup_signatures_persisted": _oracle_minhash(),
         "lsh_capped_pairs": _oracle_lsh_capped(),
         "cross_source_dups": _oracle_cross_source(),
         "simhash_buckets": _ORACLE_SIMHASH,

@@ -177,6 +177,39 @@ def prime_table_memo(src: DataFrame, tag: tuple, df: DataFrame) -> bool:
     return True
 
 
+def prime_group_memo(
+    docs: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    members: DataFrame | None,
+    base: DataFrame,
+    has_dups: bool,
+) -> bool:
+    """Insert a precomputed ``_exact_groups`` result into the session
+    memo — the read-through seam for the PERSISTED group table
+    (sources/dedup_index.ensure_signature_tables): a fresh session
+    reads (members, base, has_dups) back from storage instead of
+    re-running the corpus-sized fingerprint aggregate. The caller
+    owns the correctness contract: the tuple must equal what
+    ``_exact_groups(docs, ...)`` would compute. No-op (False) when
+    the corpus can't be keyed or the slot is already populated."""
+    key = _group_cache_key(docs, id_col, text_col)
+    if key is None:
+        return False
+    entry = (members if has_dups else None, base, has_dups)
+    evicted = None
+    with _CACHE_LOCK:
+        if key in _GROUP_CACHE:
+            return False
+        if len(_GROUP_CACHE) >= _GROUP_CACHE_MAX:
+            evicted = _GROUP_CACHE.pop(next(iter(_GROUP_CACHE)))
+        _GROUP_CACHE[key] = entry
+    if evicted is not None:
+        _release(evicted[0])
+    return True
+
+
 # Leaf plan nodes whose semanticHash fully determines their DATA:
 # LocalRelation/OneRowRelation embed the rows in the plan itself,
 # Range is generated from its literal bounds, and LogicalRDD (what
@@ -511,15 +544,18 @@ def ngram_jaccard_pairs(
         members, base, has_dups = _exact_groups(
             docs, id_col=id_col, text_col=text_col
         )
-    sh = shingle_rows(base, id_col=id_col, text_col=text_col, n=n)
     # Carry |shingles| on each row via a window count so no per-doc side
     # table (which must never be broadcast at scale) is needed, then
     # materialize: the text->shingle pipeline is the expensive part and
-    # both self-join sides would otherwise recompute it.
+    # both self-join sides would otherwise recompute it. The whole
+    # pipeline is constructed INSIDE the builder so a memo hit (session
+    # or persisted signature store) does zero plan work.
     ex = _memo_checkpoint(
         base,
         ("shingle_ex", id_col, text_col, n),
-        lambda: sh.withColumn(
+        lambda: shingle_rows(
+            base, id_col=id_col, text_col=text_col, n=n
+        ).withColumn(
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
         ),
     )

@@ -209,6 +209,155 @@ def ensure_dedup_groups(
     return spark.read.parquet(f"{path}/groups")
 
 
+def ensure_signature_tables(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+    ngram_n: int = 3,
+    simhash_n: int = 2,
+) -> dict:
+    """S9 create-if-absent PERSISTED derivative-table store — the
+    cross-session form of the dedup family's session memo
+    (operators/dedup._memo_checkpoint): the expensive text-pipeline
+    products are computed once per corpus version and written down,
+    and every later session READS them instead of rebuilding.
+
+    Layout (all derived from the exact-dup-collapsed base corpus,
+    exactly as the pair operators compute them in-session):
+
+      {path}/groups    (id, rep_id) rows for docs in exact-duplicate
+                       groups — empty parquet when the corpus is clean
+      {path}/minhash   (id, sig array<bigint>) MinHash signatures for
+                       (num_hashes, shingle_n)
+      {path}/shingles  (id, s, n_sh) distinct word-``ngram_n``-gram
+                       rows with the per-doc shingle count — the
+                       ngram_jaccard inverted-index input
+      {path}/simhash   (id, simhash) 64-bit fingerprints for
+                       word-``simhash_n``-grams
+      {path}/FINGERPRINT  commit marker, written LAST and atomically
+                       (index_common protocol): corpus (id, text)
+                       content hash + ALL pipeline params + layout v
+
+    READ-THROUGH: on both the build and reuse paths this function
+    primes the session memo (prime_group_memo / prime_table_memo with
+    the operators' exact tags), so a subsequent ``minhash_lsh_pairs``
+    / ``ngram_jaccard_pairs`` / ``simhash_pairs`` construction over
+    the same ``docs`` plan serves the stored tables and skips the
+    whole text→shingle→hash pipeline — the measured-cold first-query
+    cost drops to the warm floor.
+
+    At cluster scale these writes are the "persisted signature table"
+    SCALING.md names: one linear pass over the corpus per version,
+    amortized across every downstream job; bucket the tables by id
+    for co-located joins when the corpus outgrows broadcast sizes.
+    Single-writer-per-path, like every ensure_* (see index_common).
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import (
+        _exact_groups,
+        _memo_checkpoint,
+        prime_group_memo,
+        prime_table_memo,
+        shingle_rows,
+        simhash_fingerprints,
+    )
+
+    tags = {
+        "minhash": ("minhash_sig", id_col, text_col, num_hashes, shingle_n),
+        "shingles": ("shingle_ex", id_col, text_col, ngram_n),
+        "simhash": ("simhash_fp", id_col, text_col, simhash_n),
+    }
+    fp = corpus_fingerprint(
+        docs,
+        [id_col, text_col],
+        {
+            "kind": "signature_tables",
+            "num_hashes": num_hashes,
+            "shingle_n": shingle_n,
+            "ngram_n": ngram_n,
+            "simhash_n": simhash_n,
+            "v": 1,
+        },
+    )
+    parts = ("groups", "minhash", "shingles", "simhash")
+    complete = all(
+        os.path.exists(f"{path}/{p}/_SUCCESS") for p in parts
+    ) and read_fingerprint(path) == fp
+
+    if complete:
+        # Reuse: reconstruct the collapsed base EXACTLY as
+        # _exact_groups builds it (anti-join of docs against the
+        # non-representative ids) so downstream plans are identical,
+        # then prime both memos from storage. Costs one tiny groups
+        # read — never the corpus-sized fingerprint aggregate.
+        members = spark.read.parquet(f"{path}/groups")
+        has_dups = bool(members.take(1))
+        if has_dups:
+            non_reps = members.filter(
+                F.col("id") != F.col("rep_id")
+            ).select(F.col("id").alias("__nr_id"))
+            base = docs.join(
+                non_reps, F.col(id_col) == F.col("__nr_id"), "left_anti"
+            )
+        else:
+            members, base = None, docs
+        prime_group_memo(
+            docs, id_col=id_col, text_col=text_col,
+            members=members, base=base, has_dups=has_dups,
+        )
+        out = {"groups": spark.read.parquet(f"{path}/groups")}
+        for name, tag in tags.items():
+            df = spark.read.parquet(f"{path}/{name}")
+            prime_table_memo(base, tag, df)
+            out[name] = df
+        return out
+
+    # Build: run the operators' own builders THROUGH the session memo
+    # (so the in-session state and the stored tables are one and the
+    # same), write each table, commit the fingerprint last.
+    members, base, has_dups = _exact_groups(
+        docs, id_col=id_col, text_col=text_col
+    )
+    groups = members if has_dups else docs.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
+    ).limit(0)
+    groups.write.mode("overwrite").parquet(f"{path}/groups")
+
+    built = {
+        "minhash": _memo_checkpoint(
+            base, tags["minhash"],
+            lambda: minhash_signature_table(
+                base, id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, shingle_n=shingle_n,
+            ),
+        ),
+        "shingles": _memo_checkpoint(
+            base, tags["shingles"],
+            lambda: shingle_rows(
+                base, id_col=id_col, text_col=text_col, n=ngram_n
+            ).withColumn(
+                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+            ),
+        ),
+        "simhash": _memo_checkpoint(
+            base, tags["simhash"],
+            lambda: simhash_fingerprints(
+                base, id_col=id_col, text_col=text_col, n=simhash_n
+            ),
+        ),
+    }
+    for name, df in built.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+    write_fingerprint(path, fp)
+    return {"groups": spark.read.parquet(f"{path}/groups"), **built}
+
+
 def probe_dedup_index(
     spark: SparkSession,
     new_docs: DataFrame,

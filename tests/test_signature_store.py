@@ -1,0 +1,161 @@
+"""Persisted signature-table store lifecycle (r08 task #4): the
+cross-session form of the dedup family's session memo. Build once per
+corpus version; a fresh session reads the stored tables through the
+memo and the pair operators produce byte-identical results without
+re-running the text pipeline.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import cs6300_vectordbs_spark.operators.dedup as dedup_mod
+from cs6300_vectordbs_spark.operators.dedup import (
+    clear_exact_group_cache,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cs6300_vectordbs_spark.sources.dedup_index import (
+    ensure_signature_tables,
+)
+from cs6300_vectordbs_spark.sources.index_common import read_fingerprint
+
+CORPUS = [
+    (1, "alpha beta gamma delta epsilon zeta"),
+    (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+    (3, "ALPHA  beta gamma delta epsilon zeta"),  # normalized dup of 1
+    (4, "alpha beta gamma delta epsilon eta"),  # near dup
+    (5, "the quick brown fox jumps over the lazy dog today"),
+    (6, "completely unrelated text about something else entirely"),
+    (7, None),  # NULL text
+    (8, "short"),  # unshingleable at n=3
+]
+
+PARAMS = dict(num_hashes=16, shingle_n=3, ngram_n=3, simhash_n=2)
+
+
+def _pairs(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    # file-backed so the memo key (and therefore the priming) is
+    # plan-stable across separate reads — the cross-session shape
+    p = str(tmp_path / "corpus")
+    spark.createDataFrame(CORPUS, "doc_id long, text string").write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_build_reuse_and_param_invalidation(spark, corpus, tmp_path, monkeypatch):
+    store = str(tmp_path / "sig_store")
+    builds = []
+    real = dedup_mod.minhash_signature_table
+
+    def counting(*a, **kw):
+        builds.append(1)
+        return real(*a, **kw)
+
+    # ensure_signature_tables imports the symbol lazily from the
+    # operators module, so patching the module attr is enough
+    monkeypatch.setattr(dedup_mod, "minhash_signature_table", counting)
+    import cs6300_vectordbs_spark.sources.dedup_index as di
+
+    monkeypatch.setattr(di, "minhash_signature_table", counting)
+
+    clear_exact_group_cache()
+    t1 = ensure_signature_tables(spark, corpus, store, **PARAMS)
+    assert len(builds) == 1
+    assert read_fingerprint(store) is not None
+    assert set(t1) == {"groups", "minhash", "shingles", "simhash"}
+    # groups: docs 1,2,3 share normalized content (rep=1)
+    assert _pairs(t1["groups"], "id", "rep_id") == [(1, 1), (2, 1), (3, 1)]
+
+    # fresh "session": memo cleared, store complete -> read, no build
+    clear_exact_group_cache()
+    t2 = ensure_signature_tables(spark, corpus, store, **PARAMS)
+    assert len(builds) == 1  # reused from disk
+    assert _pairs(t2["minhash"], "id") == _pairs(t1["minhash"], "id")
+
+    # param change invalidates even over the unchanged corpus
+    clear_exact_group_cache()
+    ensure_signature_tables(
+        spark, corpus, store, num_hashes=8, shingle_n=3, ngram_n=3,
+        simhash_n=2,
+    )
+    assert len(builds) == 2
+
+
+def test_primed_memo_serves_operators_without_rebuild(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """After a reuse-path ensure, the pair operators must run entirely
+    off the stored tables: the signature/shingle/fingerprint builders
+    are forbidden (monkeypatched to raise) and the results still match
+    a from-scratch computation."""
+    store = str(tmp_path / "sig_store")
+    clear_exact_group_cache()
+    ensure_signature_tables(spark, corpus, store, **PARAMS)
+
+    # ground truth, computed with the live builders (memo warm here)
+    want_mh = _pairs(
+        minhash_lsh_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+    )
+    want_ng = _pairs(
+        ngram_jaccard_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+    )
+    want_sh = _pairs(
+        simhash_pairs(corpus, max_hamming=3), "id_a", "id_b"
+    )
+    assert (1, 2) in want_mh and (1, 3) in want_mh  # exact-dup expansion
+
+    # fresh session: memo cleared, builders disabled, store primes
+    clear_exact_group_cache()
+
+    def boom(*a, **kw):
+        raise AssertionError("text pipeline ran despite persisted store")
+
+    import cs6300_vectordbs_spark.sources.dedup_index as di
+
+    for mod in (dedup_mod, di):
+        for name in ("minhash_signature_table",):
+            monkeypatch.setattr(mod, name, boom)
+    monkeypatch.setattr(dedup_mod, "simhash_fingerprints", boom)
+    monkeypatch.setattr(dedup_mod, "shingle_rows", boom)
+
+    ensure_signature_tables(spark, corpus, store, **PARAMS)
+    got_mh = _pairs(
+        minhash_lsh_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+    )
+    got_ng = _pairs(
+        ngram_jaccard_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+    )
+    got_sh = _pairs(simhash_pairs(corpus, max_hamming=3), "id_a", "id_b")
+    assert got_mh == want_mh
+    assert got_ng == want_ng
+    assert got_sh == want_sh
+    clear_exact_group_cache()
+
+
+def test_clean_corpus_store_roundtrip(spark, tmp_path):
+    """No exact dups: groups persists EMPTY, the reuse path primes
+    (None, docs, False), and operators still serve from the store."""
+    p = str(tmp_path / "clean_corpus")
+    spark.createDataFrame(
+        [(i, f"totally distinct document number {i} with words {i * 7}")
+         for i in range(1, 7)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    store = str(tmp_path / "store")
+    clear_exact_group_cache()
+    t = ensure_signature_tables(spark, docs, store, **PARAMS)
+    assert t["groups"].count() == 0
+    clear_exact_group_cache()
+    t2 = ensure_signature_tables(spark, docs, store, **PARAMS)
+    assert t2["minhash"].count() == 6
+    # memo primed on docs itself (base == docs on a clean corpus)
+    out = minhash_lsh_pairs(docs, min_jaccard=0.0)
+    assert out.count() >= 0  # plan constructs and runs off the store
+    clear_exact_group_cache()
