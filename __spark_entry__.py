@@ -5412,10 +5412,13 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 # IVF is deterministic end-to-end (sampled centroids, id tie-breaks), so
-# unlike the LSH paths it gets a full value-hash oracle.
-_ORACLE_IVF = f"""
+# unlike the LSH paths it gets a full value-hash oracle. ``src`` lets
+# the auto-dispatch twins re-run the identical plan over a derived
+# corpus CTE (the clustered fixture) instead of the embeddings table.
+def _oracle_ivf(src: str = "embeddings") -> str:
+    return f"""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  SELECT vec_id AS cid, embedding AS cvec FROM {src}
   ORDER BY vec_id LIMIT {_IVF_CELLS}
 ),
 assign AS (
@@ -5423,7 +5426,7 @@ assign AS (
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
-  FROM embeddings e CROSS JOIN cent c
+  FROM {src} e CROSS JOIN cent c
 ),
 cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
 probes AS (
@@ -5431,7 +5434,7 @@ probes AS (
          row_number() OVER (
            PARTITION BY q.vec_id
            ORDER BY {_sql_cos('q.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
-  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
+  FROM {src} q CROSS JOIN cent c WHERE q.vec_id < {N_QUERIES}
 ),
 cand AS (
   SELECT p.query_id, p.qvec, e.vec_id, e.embedding
@@ -5448,6 +5451,9 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, vec_id, sim, 1.0 - sim AS dist
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+_ORACLE_IVF = _oracle_ivf()
 
 
 _TUNE_PROBES = (1, 4, 16)
@@ -8624,7 +8630,9 @@ def q_nsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_nsw_beam() -> str:
+def _oracle_nsw_beam(src: str = "embeddings") -> str:
+    # ``src`` lets the auto-dispatch twins re-run the identical beam
+    # over a derived corpus CTE (the clustered fixture).
     sim = (
         "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
         " / (q.nrm * n.nrm)"
@@ -8633,7 +8641,7 @@ def _oracle_nsw_beam() -> str:
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
            AS nrm
-  FROM embeddings
+  FROM {src}
 ),
 sims12 AS (
   SELECT q.vec_id AS query_id, e.vec_id,
@@ -8646,10 +8654,10 @@ knn12 AS (
   QUALIFY row_number() OVER (
     PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
 ),
-ncnt AS (SELECT count(*) AS n FROM embeddings),
+ncnt AS (SELECT count(*) AS n FROM {src}),
 sc AS (
   SELECT e.vec_id AS src, d.vec_id AS dst
-  FROM embeddings e JOIN embeddings d
+  FROM {src} e JOIN {src} d
     ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
                    % (SELECT n FROM ncnt))
   WHERE e.vec_id != d.vec_id
@@ -8742,21 +8750,26 @@ FROM fp p JOIN g ON p.f = g.f WHERE g.c > 1
 
 _STRUCT_N, _STRUCT_COS, _STRUCT_FRAC = 128, 0.6, 0.001
 
-_ORACLE_STRUCT_AGG = f"""
+
+def _oracle_struct_agg(src: str = "embeddings") -> str:
+    return f"""
   SELECT count(*)::BIGINT AS n_pairs,
          coalesce(sum(CASE WHEN cos >= {_STRUCT_COS} THEN 1 ELSE 0 END),
                   0)::BIGINT AS n_high
   FROM (
-    SELECT {{cos}} AS cos
-    FROM (SELECT vec_id AS id, embedding AS v FROM embeddings
+    SELECT {_sql_cos("a.v", "b.v")} AS cos
+    FROM (SELECT vec_id AS id, embedding AS v FROM {src}
           WHERE embedding IS NOT NULL
           ORDER BY vec_id LIMIT {_STRUCT_N}) a
-    JOIN (SELECT vec_id AS id, embedding AS v FROM embeddings
+    JOIN (SELECT vec_id AS id, embedding AS v FROM {src}
           WHERE embedding IS NOT NULL
           ORDER BY vec_id LIMIT {_STRUCT_N}) b
       ON a.id < b.id
   )
-""".format(cos=_sql_cos("a.v", "b.v"))
+"""
+
+
+_ORACLE_STRUCT_AGG = _oracle_struct_agg()
 
 
 def q_auto_ann_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8841,6 +8854,93 @@ WHERE (SELECT s FROM choice) = 'nsw'
 UNION ALL
 SELECT query_id, rank, vec_id, sim
 FROM ({_ORACLE_IVF})
+WHERE (SELECT s FROM choice) = 'ivf'
+"""
+
+
+# Clustered-fixture corpus for the NSW arm of the auto-dispatch: the
+# testdata embeddings are iid-shaped (labels carry no geometry), so the
+# probe honestly picks IVF there — which left the NSW branch of the
+# conditional oracle driver-unexercised (r07 verdict, What's-missing
+# #1). This corpus injects cluster structure DETERMINISTICALLY from
+# the embeddings table's ids (vec_id < 512, 8 clusters of 64): element
+# j of vector i is an integer "center" term from (i mod 8, j) plus a
+# 0.01-scaled integer perturbation from (i, j) — integer arithmetic
+# and one multiply/add per element, bit-identical in Spark and DuckDB
+# (single-expression double policy). Same-cluster vectors sit at
+# cosine ~1, so the 128-vector probe sample (16 per cluster) puts
+# ~12% of its pairs above the 0.6 threshold — far over the 0.001
+# dispatch floor: the probe MUST pick 'nsw'.
+_CLUST_N, _CLUST_DIM, _CLUST_CLUSTERS = 512, 16, 8
+
+
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    elems = []
+    for j in range(_CLUST_DIM):
+        center = ((vid % _CLUST_CLUSTERS) * 31 + 7 * j) % 13 - 6
+        pert = (vid * 17 + 3 * j) % 5 - 2
+        elems.append(
+            center.cast("double") + F.lit(0.01) * pert.cast("double")
+        )
+    return emb.filter(vid < _CLUST_N).select(
+        "vec_id", F.array(*elems).alias("embedding")
+    )
+
+
+_SQL_CLUST_CORPUS = f"""
+  SELECT vec_id,
+         list_transform(range(0, {_CLUST_DIM}), j ->
+           (((vec_id % {_CLUST_CLUSTERS}) * 31 + 7 * j) % 13 - 6)::DOUBLE
+           + 0.01 * ((vec_id * 17 + 3 * j) % 5 - 2)::DOUBLE) AS embedding
+  FROM embeddings WHERE vec_id < {_CLUST_N}
+"""
+
+
+def q_auto_ann_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto_index_search with the probe LANDING ON THE GRAPH BRANCH:
+    same dispatch rule, same conditional oracle shape as
+    auto_ann_topk, but over the deterministic clustered corpus above —
+    the geometry a real text-embedding corpus has. The DuckDB twin
+    recomputes the corpus AND the probe from the same integer rule and
+    evaluates both branch twins; on this corpus the probe must select
+    'nsw', so the NSW arm of the conditional oracle — dead on the iid
+    testdata — is the live one here. Together with auto_ann_topk
+    (IVF-live, NSW-dead) both dispatch outcomes now carry full
+    value-hash driver evidence."""
+    from cs6300_vectordbs_spark.operators.search import auto_index_search
+
+    corpus = _clustered_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    out = auto_index_search(
+        corpus, _query_batch(corpus), TOPK, dim=_CLUST_DIM,
+        exclude_self=True,
+        sample_n=_STRUCT_N, cos_threshold=_STRUCT_COS, min_frac=_STRUCT_FRAC,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        nsw_k=_NSW_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_auto_ann_clustered() -> str:
+    return f"""
+WITH cemb AS ({_SQL_CLUST_CORPUS}),
+choice AS (
+  SELECT CASE WHEN n_pairs > 0 AND n_high::DOUBLE / n_pairs >= {_STRUCT_FRAC}
+              THEN 'nsw' ELSE 'ivf' END AS s
+  FROM ({_oracle_struct_agg("cemb")})
+)
+SELECT query_id, rank, vec_id, sim
+FROM ({_oracle_nsw_beam("cemb")})
+WHERE (SELECT s FROM choice) = 'nsw'
+UNION ALL
+SELECT query_id, rank, vec_id, sim
+FROM ({_oracle_ivf("cemb")})
 WHERE (SELECT s FROM choice) = 'ivf'
 """
 
@@ -9413,6 +9513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # differentialed at sf0.01 this round — see FIXTURES.md Part C.
     return {
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
+        "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
         "auto_ann_dispatch": q_auto_ann_dispatch,
         "auto_ann_topk": q_auto_ann_topk,
         "ndcg_at_k": q_ndcg_at_k,
@@ -9604,6 +9705,7 @@ def oracle_sql() -> dict[str, str]:
         "auto_ann_dispatch": _ORACLE_AUTO_DISPATCH,
         "dedup_groups_persisted": _ORACLE_DEDUP_GROUPS,
         "auto_ann_topk": _oracle_auto_ann_topk(),
+        "auto_ann_topk_clustered": _oracle_auto_ann_clustered(),
         "topk_cosine_exact": _ORACLE_TOPK,
         "auto_search": _ORACLE_TOPK,
         "embedding_neardup_ivf": _oracle_neardup_ivf(),
