@@ -9495,35 +9495,45 @@ FROM keyed GROUP BY shard ORDER BY shard
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
-    # cumulative ledger. The r07 window = the 2 NEW queries
-    # (auto_ann_dispatch / auto_ann_topk — the executable index-family
-    # dispatch with its conditional oracle), then the 8 names whose
-    # last driver green was r02 (ndcg_at_k was displaced from the r06
-    # tail — fresh row now — plus the event/funnel/latency block), then
-    # the 15 dedup-family queries whose shared code path r07 touched
-    # again (the _exact_groups memo), the 3 search/graph queries
-    # touching r07's fingerprint + dispatch changes, and 22 of the 39
-    # names whose last green was r03 (the rest queue for r08:
-    # dedup_groups_persisted (NEW, registered 51st), ivf_persisted_topk, judge_scores, kmv_distinct,
-    # latency_percentiles_long, order_priority, parts_cube,
-    # pipeline_report, priority_shipping, props_map_stats, props_stats,
-    # revenue_momentum, sales_rollup, session_windows,
-    # stratified_sample, top_customers, user_sessions,
-    # user_sessions_stream). Whole 183-query surface locally
-    # differentialed at sf0.01 this round — see FIXTURES.md Part C.
+    # cumulative ledger. The r08 window = the 2 NEW queries
+    # (dedup_signatures_persisted — the persisted signature store
+    # serving minhash off storage against the full recompute oracle —
+    # and auto_ann_topk_clustered — the NSW arm of the auto-dispatch,
+    # live for the first time on the deterministic clustered fixture),
+    # then the committed r08 queue from DRIVER_COVERAGE.md
+    # (dedup_groups_persisted's first driver row, simhash_buckets
+    # displaced from the r07 tail by the late group-table addition,
+    # and the 17 names whose last green was r03 — retiring the
+    # stale-rotation debt entirely), then the 16-name dedup family
+    # whose shared paths r08 touched again (memo lock + non-file-
+    # source guard + persisted-store read-through + the ngram
+    # lazy-builder change), the 7 search/stream names covering the
+    # oracle-builder parametrization and the params-sidecar guard,
+    # and 5 of the oldest (r04) remainder. After this window every
+    # registered query's newest green is >= r04, with the r04 cohort
+    # next in line for r09.
     return {
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
-        "auto_ann_dispatch": q_auto_ann_dispatch,
-        "auto_ann_topk": q_auto_ann_topk,
-        "ndcg_at_k": q_ndcg_at_k,
-        "events_dedup_stream": q_events_dedup_stream,
-        "funnel": q_funnel,
-        "funnel_by_segment": q_funnel_by_segment,
-        "hourly_anomalies": q_hourly_anomalies,
-        "latency_percentiles_by_type": q_latency_percentiles_by_type,
-        "recall_per_query": q_recall_per_query,
-        "salted_event_stats": q_salted_event_stats,
+        "dedup_groups_persisted": q_dedup_groups_persisted,
+        "simhash_buckets": q_simhash_buckets,
+        "ivf_persisted_topk": q_ivf_persisted_topk,
+        "judge_scores": q_judge_scores,
+        "kmv_distinct": q_kmv_distinct,
+        "latency_percentiles_long": q_latency_percentiles_long,
+        "order_priority": q_order_priority,
+        "parts_cube": q_parts_cube,
+        "pipeline_report": q_pipeline_report,
+        "priority_shipping": q_priority_shipping,
+        "props_map_stats": q_props_map_stats,
+        "props_stats": q_props_stats,
+        "revenue_momentum": q_revenue_momentum,
+        "sales_rollup": q_sales_rollup,
+        "session_windows": q_session_windows,
+        "stratified_sample": q_stratified_sample,
+        "top_customers": q_top_customers,
+        "user_sessions": q_user_sessions,
+        "user_sessions_stream": q_user_sessions_stream,
         "lsh_capped_pairs": q_lsh_capped_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -9539,9 +9549,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "cross_source_dups": q_cross_source_dups,
         "dup_ratio_by_source": q_dup_ratio_by_source,
-        "nsw_persisted_topk": q_nsw_persisted_topk,
-        "nsw_beam_topk": q_nsw_beam_topk,
+        "exact_dedup": q_exact_dedup,
+        "auto_ann_dispatch": q_auto_ann_dispatch,
+        "auto_ann_topk": q_auto_ann_topk,
         "auto_search": q_auto_search,
+        "nsw_beam_topk": q_nsw_beam_topk,
+        "nsw_persisted_topk": q_nsw_persisted_topk,
+        "ivf_topk": q_ivf_topk,
+        "ivf_search_stream": q_ivf_search_stream,
+        "incremental_dedup_stream": q_incremental_dedup_stream,
+        "ann_tuning_report": q_ann_tuning_report,
+        "bm25_persisted_topk": q_bm25_persisted_topk,
+        "ivf_upsert_topk": q_ivf_upsert_topk,
+        "pagerank_knn": q_pagerank_knn,
+        "user_first_events": q_user_first_events,
+        "ndcg_at_k": q_ndcg_at_k,
+        "events_dedup_stream": q_events_dedup_stream,
+        "funnel": q_funnel,
+        "funnel_by_segment": q_funnel_by_segment,
+        "hourly_anomalies": q_hourly_anomalies,
+        "latency_percentiles_by_type": q_latency_percentiles_by_type,
+        "recall_per_query": q_recall_per_query,
+        "salted_event_stats": q_salted_event_stats,
         "above_average_customers": q_above_average_customers,
         "asof_purchase_view": q_asof_purchase_view,
         "bm25_pruned_topk": q_bm25_pruned_topk,
@@ -9564,9 +9593,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_seasonality": q_hourly_seasonality,
         "hybrid_topk": q_hybrid_topk,
         "image_features": q_image_features,
-        "dedup_groups_persisted": q_dedup_groups_persisted,
-        "simhash_buckets": q_simhash_buckets,
-        "exact_dedup": q_exact_dedup,
         "embedding_neardup": q_embedding_neardup,
         "topk_cosine_exact": q_topk_cosine_exact,
         "cosine_pairs": q_cosine_pairs,
@@ -9635,17 +9661,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_topk": q_filtered_topk,
         "srp_lsh_topk": q_srp_lsh_topk,
         "ivfpq_topk": q_ivfpq_topk,
-        "ivf_topk": q_ivf_topk,
         "retention_cohorts": q_retention_cohorts,
         "rolling_events": q_rolling_events,
         "gap_fill_hourly": q_gap_fill_hourly,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
-        "props_stats": q_props_stats,
-        "props_map_stats": q_props_map_stats,
-        "user_first_events": q_user_first_events,
         "user_state_history": q_user_state_history,
-        "user_sessions": q_user_sessions,
         "latency_percentiles_approx": q_latency_percentiles_approx,
         "pack_sequences": q_pack_sequences,
         "lm_doc_scores": q_lm_doc_scores,
@@ -9660,8 +9681,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": q_important_parts,
         "weighted_sample": q_weighted_sample,
         "dim_stats": q_dim_stats,
-        "ivf_search_stream": q_ivf_search_stream,
-        "bm25_persisted_topk": q_bm25_persisted_topk,
         "integrity_report": q_integrity_report,
         "min_cost_supplier": q_min_cost_supplier,
         "volume_shipping": q_volume_shipping,
@@ -9674,29 +9693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_parts_suppliers": q_excess_parts_suppliers,
         "waiting_suppliers": q_waiting_suppliers,
         "rerank_topk": q_rerank_topk,
-        "incremental_dedup_stream": q_incremental_dedup_stream,
         "discount_revenue": q_discount_revenue,
-        "ann_tuning_report": q_ann_tuning_report,
-        "pagerank_knn": q_pagerank_knn,
         "scene_changes": q_scene_changes,
         "bucketed_revenue": q_bucketed_revenue,
-        "ivf_upsert_topk": q_ivf_upsert_topk,
         "ivf_cell_stats": q_ivf_cell_stats,
         "passage_topk": q_passage_topk,
-        "order_priority": q_order_priority,
-        "sales_rollup": q_sales_rollup,
-        "top_customers": q_top_customers,
-        "latency_percentiles_long": q_latency_percentiles_long,
-        "parts_cube": q_parts_cube,
-        "judge_scores": q_judge_scores,
-        "session_windows": q_session_windows,
-        "revenue_momentum": q_revenue_momentum,
-        "priority_shipping": q_priority_shipping,
-        "user_sessions_stream": q_user_sessions_stream,
-        "stratified_sample": q_stratified_sample,
-        "kmv_distinct": q_kmv_distinct,
-        "pipeline_report": q_pipeline_report,
-        "ivf_persisted_topk": q_ivf_persisted_topk,
     }
 
 

@@ -218,7 +218,12 @@ def main() -> None:
         for n in qs
         if n not in BENCH_QUERIES and n not in EXTENDED_QUERIES
     )
+    from cs6300_vectordbs_spark.operators.dedup import (
+        clear_exact_group_cache as clear_memo,
+    )
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     rep_detail: dict[str, list[float]] = {}
     for name in BENCH_QUERIES + extended:
         if name not in qs:
@@ -239,6 +244,14 @@ def main() -> None:
         best = None
         rep_times: list[float] = []
         try:
+            # COLD/WARM SPLIT (r08): the session memo makes reps 2+ of
+            # every dedup-family query memo-warm, so min-of-N alone
+            # would hide a cold-path regression under the warm floor.
+            # Clearing the memo before rep 1 makes first_rep a genuine
+            # cold measurement (what a single-query user pays) while
+            # min_rep stays the session-shaped warm number the bar
+            # comparison uses. Both are reported per query.
+            clear_memo()
             for _ in range(reps):
                 t0 = time.time()
                 qs[name](spark, sf_dir).count()
@@ -250,6 +263,7 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(best, 3)
+        cold[name] = rep_times[0]
         if reps > 1:
             rep_detail[name] = rep_times
 
@@ -268,11 +282,22 @@ def main() -> None:
     )
     # Full per-query detail goes to a file; the printed line carries
     # only the headline block so it fits the driver's output-tail cap.
+    headline_cold = (
+        None
+        if any(n not in cold for n in BENCH_QUERIES)
+        else round(sum(cold[n] for n in BENCH_QUERIES), 3)
+    )
     detail = {
         "metric": "headline_queries_total_wall",
         "value": headline,
         "unit": "sec",
         "queries": timings,
+        # first_rep per query, measured with the session memo cleared:
+        # the cold single-query cost. The bar metric ("value") stays
+        # min-of-N — the realistic session shape — cold is tracked so
+        # a cold-path regression can't hide under the warm floor.
+        "cold": cold,
+        "headline_cold_total": headline_cold,
         "reps": rep_detail,
         "extended_total": extended_total,
         "failed": failed,
@@ -294,6 +319,7 @@ def main() -> None:
                 "value": headline,
                 "unit": "sec",
                 "queries": {n: timings.get(n) for n in BENCH_QUERIES},
+                "headline_cold_total": headline_cold,
                 "extended_total": extended_total,
                 "failed": failed,
                 "sf": sf,
