@@ -3021,6 +3021,7 @@ def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two hottest interaction types."""
     from cs6300_vectordbs_spark.sources.index_common import (
         corpus_fingerprint,
+        invalidate_fingerprint,
         read_fingerprint,
         write_fingerprint,
     )
@@ -3041,6 +3042,7 @@ def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # file at the dataset root breaks Hive partition discovery.
     meta = f"{path}__meta"
     if read_fingerprint(meta) != fp:
+        invalidate_fingerprint(meta)  # crash mid-rebuild => no marker
         write_table(ev, path, partition_by=["event_type"])
         import os
 
@@ -3093,6 +3095,7 @@ def q_zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the rows survive."""
     from cs6300_vectordbs_spark.sources.index_common import (
         corpus_fingerprint,
+        invalidate_fingerprint,
         read_fingerprint,
         write_fingerprint,
     )
@@ -3107,6 +3110,7 @@ def q_zordered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = f"{path}__meta"
     if read_fingerprint(meta) != fp:
+        invalidate_fingerprint(meta)  # crash mid-rebuild => no marker
         write_zordered(
             ev.withColumn("__ts_us", F.unix_micros("ts")),
             path,
@@ -8488,6 +8492,7 @@ def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     capable, the same scan plan shape at 100 TB."""
     from cs6300_vectordbs_spark.sources.index_common import (
         corpus_fingerprint,
+        invalidate_fingerprint,
         read_fingerprint,
         write_fingerprint,
     )
@@ -8505,6 +8510,7 @@ def q_orc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = f"{path}__meta"
     if read_fingerprint(meta) != fp:
+        invalidate_fingerprint(meta)  # crash mid-rebuild => no marker
         docs.write.mode("overwrite").orc(path)
         import os
 

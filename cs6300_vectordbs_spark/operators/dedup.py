@@ -177,6 +177,19 @@ def prime_table_memo(src: DataFrame, tag: tuple, df: DataFrame) -> bool:
     return True
 
 
+def peek_group_memo(docs: DataFrame, *, id_col: str, text_col: str):
+    """The session's existing ``_exact_groups`` memo entry for this
+    corpus, or None. Lets the persisted-store reuse path key its
+    table primes off the base plan operators will ACTUALLY resolve
+    to (the memoized one), instead of inserting dead entries under a
+    freshly reconstructed base nobody looks up."""
+    key = _group_cache_key(docs, id_col, text_col)
+    if key is None:
+        return None
+    with _CACHE_LOCK:
+        return _GROUP_CACHE.get(key)
+
+
 def prime_group_memo(
     docs: DataFrame,
     *,

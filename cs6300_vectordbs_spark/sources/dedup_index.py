@@ -59,6 +59,7 @@ from ..operators.dedup import (
 )
 from .index_common import (
     corpus_fingerprint,
+    invalidate_fingerprint,
     read_fingerprint,
     write_fingerprint,
 )
@@ -157,6 +158,7 @@ def ensure_dedup_index(
     )
     if dedup_index_exists(path) and read_fingerprint(path) == fp:
         return
+    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
     build_dedup_index(
         docs, path, id_col=id_col, text_col=text_col,
         num_hashes=num_hashes, bands=bands,
@@ -197,6 +199,7 @@ def ensure_dedup_groups(
         and read_fingerprint(path) == fp
     ):
         return spark.read.parquet(f"{path}/groups")
+    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
     members, _base, has_dups = _exact_groups(
         docs, id_col=id_col, text_col=text_col
     )
@@ -256,12 +259,21 @@ def ensure_signature_tables(
     amortized across every downstream job; bucket the tables by id
     for co-located joins when the corpus outgrows broadcast sizes.
     Single-writer-per-path, like every ensure_* (see index_common).
+
+    COST HONESTY: every call — reuse included — pays the content-
+    addressed corpus fingerprint, a full columnar (id, text) scan
+    into a count+hash aggregate. The store eliminates the expensive
+    stages (shingle explosion, per-shingle hashing, vote aggregation,
+    their shuffles), not the identity check; swap the scan for a
+    table-snapshot version at cluster scale to make reuse
+    metadata-only.
     """
     from pyspark.sql.window import Window
 
     from ..operators.dedup import (
         _exact_groups,
         _memo_checkpoint,
+        peek_group_memo,
         prime_group_memo,
         prime_table_memo,
         shingle_rows,
@@ -294,8 +306,11 @@ def ensure_signature_tables(
         # Reuse: reconstruct the collapsed base EXACTLY as
         # _exact_groups builds it (anti-join of docs against the
         # non-representative ids) so downstream plans are identical,
-        # then prime both memos from storage. Costs one tiny groups
-        # read — never the corpus-sized fingerprint aggregate.
+        # then prime both memos from storage. Beyond the corpus
+        # fingerprint aggregate this function already paid (one
+        # columnar (id, text) scan — see the docstring cost model),
+        # the reuse path costs a tiny groups read; the text
+        # pipelines never run.
         members = spark.read.parquet(f"{path}/groups")
         has_dups = bool(members.take(1))
         if has_dups:
@@ -307,10 +322,27 @@ def ensure_signature_tables(
             )
         else:
             members, base = None, docs
-        prime_group_memo(
+        if not prime_group_memo(
             docs, id_col=id_col, text_col=text_col,
             members=members, base=base, has_dups=has_dups,
-        )
+        ):
+            # The session already holds a group entry for this corpus
+            # (an operator ran first, or the corpus is unkeyable).
+            # Operators resolve THAT entry's base, so table primes
+            # must key off it — priming the reconstructed base would
+            # insert dead FIFO entries that evict live tables.
+            existing = peek_group_memo(
+                docs, id_col=id_col, text_col=text_col
+            )
+            if existing is None:
+                return {
+                    "groups": spark.read.parquet(f"{path}/groups"),
+                    **{
+                        n: spark.read.parquet(f"{path}/{n}")
+                        for n in tags
+                    },
+                }
+            base = existing[1]
         out = {"groups": spark.read.parquet(f"{path}/groups")}
         for name, tag in tags.items():
             df = spark.read.parquet(f"{path}/{name}")
@@ -320,7 +352,10 @@ def ensure_signature_tables(
 
     # Build: run the operators' own builders THROUGH the session memo
     # (so the in-session state and the stored tables are one and the
-    # same), write each table, commit the fingerprint last.
+    # same), write each table, commit the fingerprint last. Any
+    # previous marker is removed FIRST so a crash mid-rebuild can
+    # never leave a committed-looking mix of old and new tables.
+    invalidate_fingerprint(path)
     members, base, has_dups = _exact_groups(
         docs, id_col=id_col, text_col=text_col
     )

@@ -21,7 +21,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .index_common import corpus_fingerprint, read_fingerprint, write_fingerprint
+from .index_common import (
+    corpus_fingerprint,
+    invalidate_fingerprint,
+    read_fingerprint,
+    write_fingerprint,
+)
 
 
 def nsw_graph_exists(path: str) -> bool:
@@ -92,6 +97,7 @@ def ensure_nsw_graph(
         {"k": k, "salt": salt, "scheme": "hashmod-v1"},
     )
     if not (nsw_graph_exists(path) and read_fingerprint(path) == fp):
+        invalidate_fingerprint(path)  # crash mid-rebuild => no marker
         build_nsw_graph(
             corpus, path, k=k, salt=salt, id_col=id_col, vec_col=vec_col
         )

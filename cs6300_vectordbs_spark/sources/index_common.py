@@ -9,12 +9,17 @@ parameters (band count, bucket count, BM25 k1/b) must never be served
 to a caller expecting the new ones, even over an unchanged corpus.
 
 CRASH-SAFETY PROTOCOL (every ``ensure_*`` in the family follows it):
-the fingerprint is written LAST, after every table write has produced
-its ``_SUCCESS`` marker, and the write itself is atomic (temp file +
-``os.replace``). A builder that dies mid-build therefore leaves either
-no fingerprint or the complete previous one — the next ``ensure_*``
-sees a fingerprint mismatch (or an incomplete layout) and rebuilds;
-a torn index is never served. CONCURRENCY CONTRACT: one writer per
+a REBUILD first REMOVES any previous fingerprint
+(``invalidate_fingerprint``), then writes the tables, then commits
+the new fingerprint LAST — after every table write has produced its
+``_SUCCESS`` marker — with an atomic write (temp file +
+``os.replace``). A builder that dies mid-build therefore leaves NO
+fingerprint at all (the previous one was removed up front, the new
+one was never committed), so the next ``ensure_*`` rebuilds
+unconditionally; a torn or interleaved old/new layout is never
+served, even when the crash interrupted a REBUILD over a previously
+committed index whose directories still carry ``_SUCCESS`` markers.
+CONCURRENCY CONTRACT: one writer per
 index path. The fingerprint commit is atomic, but the parquet
 directories underneath are not transactional — two builders racing
 the same path can interleave their table overwrites. Run concurrent
@@ -51,6 +56,19 @@ def read_fingerprint(path: str) -> str | None:
             return f.read().strip()
     except OSError:
         return None
+
+
+def invalidate_fingerprint(path: str) -> None:
+    """Remove the commit marker BEFORE a rebuild's first table write.
+    Without this, a rebuild that crashes partway over a previously
+    committed index leaves the OLD complete fingerprint next to a mix
+    of old and new tables — and a later caller whose parameters match
+    the old fingerprint would serve the torn layout. With it, the
+    crash window of a rebuild is always 'no fingerprint' = rebuild."""
+    try:
+        os.remove(f"{path}/FINGERPRINT")
+    except FileNotFoundError:
+        pass
 
 
 def write_fingerprint(path: str, fp: str) -> None:

@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 from ..operators.dedup import shingle_rows
 from .index_common import (
     corpus_fingerprint,
+    invalidate_fingerprint,
     read_fingerprint,
     write_fingerprint,
 )
@@ -133,6 +134,7 @@ def ensure_text_index(
     )
     if text_index_exists(path) and read_fingerprint(path) == fp:
         return
+    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
     build_text_index(
         docs, path, id_col=id_col, text_col=text_col,
         k1=k1, b=b, n_buckets=n_buckets,

@@ -36,6 +36,7 @@ from ..functions.vector import cosine_sim
 from ..operators.util import spread
 from .index_common import (
     corpus_fingerprint,
+    invalidate_fingerprint,
     read_fingerprint,
     write_fingerprint,
 )
@@ -124,6 +125,7 @@ def ensure_ivf_index(
     )
     if ivf_index_exists(path) and read_fingerprint(path) == fp:
         return
+    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
     build_ivf_index(
         corpus, path, dim=dim, n_cells=n_cells,
         corpus_id=corpus_id, corpus_vec=corpus_vec,

@@ -112,6 +112,10 @@ def probe_doc_stream(
                 "min_jaccard": float(min_jaccard),
                 "checkpoint_location": os.path.abspath(checkpoint_location),
             },
+            # a sidecar with zero committed batch dirs pins nothing —
+            # a retry after an immediately-failed first run may re-pin
+            has_progress=os.path.isdir(out)
+            and any(e.startswith("batch=") for e in os.listdir(out)),
         )
 
     def handle(batch: DataFrame, bid: int) -> None:

@@ -23,17 +23,29 @@ import json
 import os
 
 
-def check_params_sidecar(dir_path: str, params: dict) -> None:
+def check_params_sidecar(
+    dir_path: str, params: dict, *, has_progress: bool = True
+) -> None:
     """Write ``params`` to ``{dir_path}/_PARAMS.json`` on first use;
     on later use raise ``ValueError`` unless the stored parameters
     match exactly. ``params`` must be JSON-round-trippable (strings,
-    ints, floats, bools, None) so equality survives serialization."""
+    ints, floats, bools, None) so equality survives serialization.
+
+    ``has_progress``: whether the run being resumed actually
+    COMMITTED anything (batch dirs for drains, epoch commits for the
+    upsert sink). A sidecar whose first run died before any commit
+    pins nothing — there are no rows from the old parameterization
+    to mix with — so a mismatched retry just rewrites the sidecar
+    instead of forcing a manual cleanup. Callers that can't tell
+    pass True (the safe default: refuse)."""
     sidecar = os.path.join(dir_path, "_PARAMS.json")
     canonical = json.loads(json.dumps(params))
     if os.path.exists(sidecar):
         with open(sidecar, "r", encoding="utf-8") as f:
             stored = json.load(f)
-        if stored != canonical:
+        if stored == canonical:
+            return
+        if has_progress:
             raise ValueError(
                 f"resume parameter mismatch at {dir_path!r}: this "
                 f"directory was populated with {stored}, but the "
@@ -42,7 +54,7 @@ def check_params_sidecar(dir_path: str, params: dict) -> None:
                 "— use a fresh out_path/checkpoint, or the original "
                 "parameters."
             )
-        return
+        # fall through: no committed progress, re-pin to the new params
     os.makedirs(dir_path, exist_ok=True)
     tmp = sidecar + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:

@@ -131,6 +131,10 @@ def serve_query_stream(
                 "exclude_self": bool(exclude_self),
                 "checkpoint_location": os.path.abspath(checkpoint_location),
             },
+            # a sidecar with zero committed batch dirs pins nothing —
+            # a retry after an immediately-failed first run may re-pin
+            has_progress=os.path.isdir(out)
+            and any(e.startswith("batch=") for e in os.listdir(out)),
         )
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:

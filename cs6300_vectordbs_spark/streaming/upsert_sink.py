@@ -71,6 +71,7 @@ def start_stream_upsert(
         # replay committed epochs under different merge semantics.
         from .params_guard import check_params_sidecar
 
+        commits = os.path.join(checkpoint_location, "commits")
         check_params_sidecar(
             checkpoint_location,
             {
@@ -79,6 +80,10 @@ def start_stream_upsert(
                 "id_col": id_col,
                 "version_col": version_col,
             },
+            # epoch commits are the progress marker: a first run that
+            # died before any commit pinned nothing and may re-pin
+            has_progress=os.path.isdir(commits)
+            and any(not e.startswith(".") for e in os.listdir(commits)),
         )
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:

@@ -143,6 +143,18 @@ def test_params_sidecar_roundtrip_and_mismatch(tmp_path):
         check_params_sidecar(d, {**params, "min_jaccard": 0.5})
 
 
+def test_params_sidecar_repins_when_no_progress(tmp_path):
+    """A first run that died before committing anything pinned
+    nothing: a mismatched retry with has_progress=False re-pins the
+    sidecar instead of demanding manual cleanup."""
+    d = str(tmp_path / "out")
+    check_params_sidecar(d, {"k": 1})
+    check_params_sidecar(d, {"k": 2}, has_progress=False)  # re-pins
+    check_params_sidecar(d, {"k": 2})  # now the stored params
+    with pytest.raises(ValueError, match="mismatch"):
+        check_params_sidecar(d, {"k": 3})  # progress default: refuse
+
+
 def test_dedup_resume_param_mismatch_rejected(spark, tmp_path):
     """A drain resumed over an out_path populated under different
     parameters must raise before any stream work happens."""
@@ -163,6 +175,8 @@ def test_dedup_resume_param_mismatch_rejected(spark, tmp_path):
             "checkpoint_location": os.path.abspath(ckpt),
         },
     )
+    # committed progress exists -> a mismatched resume must refuse
+    os.makedirs(os.path.join(out, "batch=0"), exist_ok=True)
     with pytest.raises(ValueError, match="mismatch"):
         probe_doc_stream(
             spark,
@@ -193,6 +207,9 @@ def test_serve_resume_param_mismatch_rejected(spark, tmp_path):
             "checkpoint_location": os.path.abspath(ckpt),
         },
     )
+    import os as _os
+
+    _os.makedirs(_os.path.join(out, "batch=0"), exist_ok=True)
     with pytest.raises(ValueError, match="mismatch"):
         serve_query_stream(
             spark, None, str(tmp_path / "ivf"), 5,

@@ -138,6 +138,44 @@ def test_primed_memo_serves_operators_without_rebuild(
     clear_exact_group_cache()
 
 
+def test_reuse_after_operator_primes_onto_live_base(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """If an operator already ran this session, the group memo holds
+    ITS base — the ensure reuse path must key its table primes off
+    that live base (the one operators resolve), not a reconstructed
+    plan nobody looks up. Proof: after the reuse-ensure, the ngram
+    pipeline builder is forbidden and the operator still runs off
+    the primed shingle table."""
+    store = str(tmp_path / "sig_store")
+    clear_exact_group_cache()
+    ensure_signature_tables(spark, corpus, store, **PARAMS)  # build
+    want = _pairs(
+        ngram_jaccard_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+    )
+
+    clear_exact_group_cache()
+    # a DIFFERENT operator first: the session now holds groups +
+    # minhash under ITS OWN base — but no ngram shingle table yet
+    _ = _pairs(minhash_lsh_pairs(corpus, min_jaccard=0.3), "id_a", "id_b")
+
+    # reuse-ensure with the group slot occupied: shingles/simhash must
+    # be primed onto the EXISTING (live) base
+    ensure_signature_tables(spark, corpus, store, **PARAMS)
+
+    # the ngram builder must never run: its table was primed onto the
+    # base the session is actually using
+    def boom(*a, **kw):
+        raise AssertionError("shingle pipeline ran despite primed store")
+
+    monkeypatch.setattr(dedup_mod, "shingle_rows", boom)
+    got = _pairs(
+        ngram_jaccard_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+    )
+    assert got == want
+    clear_exact_group_cache()
+
+
 def test_clean_corpus_store_roundtrip(spark, tmp_path):
     """No exact dups: groups persists EMPTY, the reuse path primes
     (None, docs, False), and operators still serve from the store."""
