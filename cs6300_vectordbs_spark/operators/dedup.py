@@ -231,16 +231,62 @@ def prime_group_memo(
 # RDD ids (verified: identical-data frames hash DIFFERENTLY, i.e.
 # only misses are possible, never false hits). An "unchanged plan,
 # changed data" situation is impossible for all of these, so they are
-# safe to memoize with no file snapshot. Everything else with empty
-# inputFiles() (catalog/JDBC/DSv2 tables) is mutable-in-place under a
-# stable hash and must NOT be memoized.
+# safe to memoize with no file snapshot.
 _IMMUTABLE_LEAVES = ("LocalRelation", "OneRowRelation", "Range", "LogicalRDD")
+
+
+def _leaf_audit(docs: DataFrame) -> tuple[bool, bool]:
+    """(snapshotable, has_file_leaf) over the analyzed plan's leaves.
+
+    ``snapshotable`` is True iff EVERY leaf is either a plan-embedded
+    immutable relation (_IMMUTABLE_LEAVES) or a file-scan relation
+    whose data the key observes through the inputFiles()
+    (uri, size, mtime) snapshot. Anything else — JDBC relations, Hive
+    tables, DSv2 tables (Delta/Iceberg/Kafka), streaming relations —
+    is mutable in place under a STABLE semanticHash with no file
+    evidence, so a plan containing one must not be memoized. This is
+    checked on EVERY keying, not only when inputFiles() is empty: a
+    plan that JOINS a parquet corpus with a catalog/JDBC side reports
+    the parquet files and would otherwise hide the mutable leaf
+    behind them. Subquery-expression plans are not main-tree leaves
+    and are not walked — same blind spot as inputFiles() itself;
+    callers embedding subqueries against mutable sources must clear
+    the memo by hand.
+
+    ``has_file_leaf`` lets the caller keep the empty-dir
+    conservatism: a file scan with ZERO current files has a stable
+    semanticHash but files can appear under it later."""
+    leaves = docs._jdf.queryExecution().analyzed().collectLeaves()
+    has_file_leaf = False
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        name = leaf.getClass().getSimpleName()
+        if any(name.startswith(ok) for ok in _IMMUTABLE_LEAVES):
+            continue
+        if name.startswith("LogicalRelation"):
+            # V1 relation wrapper: file scans (HadoopFsRelation) are
+            # snapshotted via inputFiles; JDBCRelation and friends
+            # have no file evidence — decline.
+            rel = leaf.relation().getClass().getSimpleName()
+            if rel.startswith("HadoopFsRelation"):
+                has_file_leaf = True
+                continue
+            return (False, has_file_leaf)
+        return (False, has_file_leaf)
+    return (True, has_file_leaf)
 
 
 def _group_cache_key(docs: DataFrame, id_col: str, text_col: str):
     """Cache key for _exact_groups, or None when identity can't be
     established cheaply (then the guard just recomputes)."""
     try:
+        snapshotable, has_file_leaf = _leaf_audit(docs)
+        if not snapshotable:
+            # A leaf is mutable-in-place under a stable semanticHash
+            # (catalog/JDBC/DSv2 table): an in-place mutation
+            # mid-session would silently serve stale memoized tables.
+            # Skip the memo (recompute is merely slower, never wrong).
+            return None
         sem = docs._jdf.queryExecution().analyzed().semanticHash()
         app = docs.sparkSession.sparkContext.applicationId
         files = []
@@ -251,18 +297,11 @@ def _group_cache_key(docs: DataFrame, id_col: str, text_col: str):
                 files.append((uri, st.st_size, st.st_mtime_ns))
             except OSError:
                 files.append((uri, -1, -1))
-        if not files:
-            # No files to snapshot: catalog/JDBC/Delta-style sources
-            # report empty inputFiles() with a STABLE semanticHash, so
-            # an in-place table mutation mid-session would silently
-            # serve stale memoized tables. Memoize only when every
-            # leaf is a plan-embedded immutable relation; otherwise
-            # skip the memo (recompute is merely slower, never wrong).
-            leaves = docs._jdf.queryExecution().analyzed().collectLeaves()
-            for i in range(leaves.size()):
-                name = leaves.apply(i).getClass().getSimpleName()
-                if not any(name.startswith(ok) for ok in _IMMUTABLE_LEAVES):
-                    return None
+        if not files and has_file_leaf:
+            # A file scan with zero current files (empty-dir read):
+            # stable semanticHash, but files can appear under the
+            # same plan later — nothing to snapshot, so don't memoize.
+            return None
         return (app, id_col, text_col, sem, tuple(files))
     except Exception:
         return None

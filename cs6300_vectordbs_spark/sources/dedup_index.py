@@ -306,14 +306,27 @@ def ensure_signature_tables(
         # Reuse: reconstruct the collapsed base EXACTLY as
         # _exact_groups builds it (anti-join of docs against the
         # non-representative ids) so downstream plans are identical,
-        # then prime both memos from storage. Beyond the corpus
-        # fingerprint aggregate this function already paid (one
-        # columnar (id, text) scan — see the docstring cost model),
-        # the reuse path costs a tiny groups read; the text
-        # pipelines never run.
-        members = spark.read.parquet(f"{path}/groups")
-        has_dups = bool(members.take(1))
+        # then prime both memos from storage. Every frame that enters
+        # the memo is localCheckpoint'd EAGERLY first — never a lazy
+        # read of the store files — so the memo entries are DECOUPLED
+        # from the store directory: a later same-session rebuild of
+        # the store (param change, another writer) can overwrite the
+        # parquet underneath without breaking or silently changing a
+        # primed entry, and the build path can overwrite-write a
+        # table that came back off a memo hit (a lazy store read
+        # there would throw 'cannot overwrite a path that is also
+        # being read from'). Beyond the corpus fingerprint aggregate
+        # this function already paid (one columnar (id, text) scan —
+        # see the docstring cost model), the reuse path costs the
+        # checkpoint materialization of the stored tables — the same
+        # blocks an in-session build would have checkpointed, minus
+        # the whole text pipeline that produced them.
+        groups_df = spark.read.parquet(f"{path}/groups").localCheckpoint(
+            eager=True
+        )
+        has_dups = bool(groups_df.take(1))
         if has_dups:
+            members = groups_df
             non_reps = members.filter(
                 F.col("id") != F.col("rep_id")
             ).select(F.col("id").alias("__nr_id"))
@@ -336,16 +349,18 @@ def ensure_signature_tables(
             )
             if existing is None:
                 return {
-                    "groups": spark.read.parquet(f"{path}/groups"),
+                    "groups": groups_df,
                     **{
                         n: spark.read.parquet(f"{path}/{n}")
                         for n in tags
                     },
                 }
             base = existing[1]
-        out = {"groups": spark.read.parquet(f"{path}/groups")}
+        out = {"groups": groups_df}
         for name, tag in tags.items():
-            df = spark.read.parquet(f"{path}/{name}")
+            df = spark.read.parquet(f"{path}/{name}").localCheckpoint(
+                eager=True
+            )
             prime_table_memo(base, tag, df)
             out[name] = df
         return out

@@ -98,24 +98,37 @@ def probe_doc_stream(
     out = out_path or tempfile.mkdtemp(prefix="dedup_probe_")
     ckpt = checkpoint_location or tempfile.mkdtemp(prefix="dedup_probe_ckpt_")
     if checkpoint_location is not None:
-        # Resumable drain: pin the parameterization to the output dir.
-        # Pre-existing batch= dirs are trusted as the committed prefix
-        # ONLY when they were produced by this same (index, threshold,
-        # checkpoint) triple — anything else raises instead of mixing.
-        from .params_guard import check_params_sidecar
+        # Resumable drain: pin the parameterization BOTH ways.
+        # Out-dir sidecar: pre-existing batch= dirs are trusted as the
+        # committed prefix ONLY when they were produced by this same
+        # (index, threshold, checkpoint) triple — anything else raises
+        # instead of mixing. Checkpoint-dir sidecar: the checkpoint
+        # pins its out_path, so resuming an old checkpoint against a
+        # FRESH output directory (whose own sidecar would just re-pin)
+        # raises instead of silently skipping every already-committed
+        # batch — those rows live in the ORIGINAL out dir, and the new
+        # one would underreport.
+        from .params_guard import (
+            check_params_sidecar,
+            checkpoint_has_progress,
+            drain_has_progress,
+        )
 
+        params = {
+            "kind": "dedup_probe",
+            "index_path": os.path.abspath(index_path),
+            "min_jaccard": float(min_jaccard),
+            "checkpoint_location": os.path.abspath(checkpoint_location),
+        }
+        # a sidecar with zero committed progress pins nothing —
+        # a retry after an immediately-failed first run may re-pin
         check_params_sidecar(
-            out,
-            {
-                "kind": "dedup_probe",
-                "index_path": os.path.abspath(index_path),
-                "min_jaccard": float(min_jaccard),
-                "checkpoint_location": os.path.abspath(checkpoint_location),
-            },
-            # a sidecar with zero committed batch dirs pins nothing —
-            # a retry after an immediately-failed first run may re-pin
-            has_progress=os.path.isdir(out)
-            and any(e.startswith("batch=") for e in os.listdir(out)),
+            out, params, has_progress=drain_has_progress(out)
+        )
+        check_params_sidecar(
+            checkpoint_location,
+            {**params, "out_path": os.path.abspath(out)},
+            has_progress=checkpoint_has_progress(checkpoint_location),
         )
 
     def handle(batch: DataFrame, bid: int) -> None:

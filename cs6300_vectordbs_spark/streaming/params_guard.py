@@ -60,3 +60,27 @@ def check_params_sidecar(
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(canonical, f)
     os.replace(tmp, sidecar)
+
+
+def drain_has_progress(out_dir: str) -> bool:
+    """Progress marker for per-batch-dir drains (dedup probe, IVF
+    serve): any committed ``batch=`` directory in the output. One
+    home for the convention so the two drains can't diverge."""
+    return os.path.isdir(out_dir) and any(
+        e.startswith("batch=") for e in os.listdir(out_dir)
+    )
+
+
+def checkpoint_has_progress(checkpoint_location: str) -> bool:
+    """Progress marker for a Structured Streaming checkpoint: any
+    entry in the ``offsets`` dir. Offsets are written BEFORE a batch
+    is processed, so this is the conservative 'work may have
+    happened under the old parameters' signal — the right marker
+    when the guarded side effect (a table swap, a batch dir write)
+    lands before the checkpoint's own ``commits`` entry, leaving a
+    crash window in which ``commits`` is empty but the effect is
+    already durable."""
+    offsets = os.path.join(checkpoint_location, "offsets")
+    return os.path.isdir(offsets) and any(
+        not e.startswith(".") for e in os.listdir(offsets)
+    )

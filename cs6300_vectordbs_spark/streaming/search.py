@@ -114,27 +114,38 @@ def serve_query_stream(
     out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
     ckpt = checkpoint_location or tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
     if checkpoint_location is not None:
-        # Resumable drain: pin the serving parameterization to the
-        # output dir — resuming with a different k/dim/n_probe (or an
-        # out_path from an unrelated drain) raises instead of mixing
-        # rows from two parameterizations.
-        from .params_guard import check_params_sidecar
+        # Resumable drain: pin the serving parameterization BOTH ways
+        # (see dedup_stream.probe_doc_stream for the full rationale).
+        # Out-dir sidecar: refuse to mix rows from a different
+        # k/dim/n_probe (or an unrelated drain) into this output.
+        # Checkpoint-dir sidecar: the checkpoint pins its out_path, so
+        # resuming an old checkpoint against a fresh output directory
+        # raises instead of silently dropping every already-committed
+        # batch from the returned result.
+        from .params_guard import (
+            check_params_sidecar,
+            checkpoint_has_progress,
+            drain_has_progress,
+        )
 
+        params = {
+            "kind": "ivf_serve",
+            "index_path": os.path.abspath(index_path),
+            "k": int(k),
+            "dim": int(dim),
+            "n_probe": int(n_probe),
+            "exclude_self": bool(exclude_self),
+            "checkpoint_location": os.path.abspath(checkpoint_location),
+        }
+        # a sidecar with zero committed progress pins nothing —
+        # a retry after an immediately-failed first run may re-pin
         check_params_sidecar(
-            out,
-            {
-                "kind": "ivf_serve",
-                "index_path": os.path.abspath(index_path),
-                "k": int(k),
-                "dim": int(dim),
-                "n_probe": int(n_probe),
-                "exclude_self": bool(exclude_self),
-                "checkpoint_location": os.path.abspath(checkpoint_location),
-            },
-            # a sidecar with zero committed batch dirs pins nothing —
-            # a retry after an immediately-failed first run may re-pin
-            has_progress=os.path.isdir(out)
-            and any(e.startswith("batch=") for e in os.listdir(out)),
+            out, params, has_progress=drain_has_progress(out)
+        )
+        check_params_sidecar(
+            checkpoint_location,
+            {**params, "out_path": os.path.abspath(out)},
+            has_progress=checkpoint_has_progress(checkpoint_location),
         )
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:

@@ -69,9 +69,8 @@ def start_stream_upsert(
         # epoch, so the sidecar lives with the offsets/epoch log it
         # guards). Resuming with a different id/version column would
         # replay committed epochs under different merge semantics.
-        from .params_guard import check_params_sidecar
+        from .params_guard import check_params_sidecar, checkpoint_has_progress
 
-        commits = os.path.join(checkpoint_location, "commits")
         check_params_sidecar(
             checkpoint_location,
             {
@@ -80,10 +79,16 @@ def start_stream_upsert(
                 "id_col": id_col,
                 "version_col": version_col,
             },
-            # epoch commits are the progress marker: a first run that
-            # died before any commit pinned nothing and may re-pin
-            has_progress=os.path.isdir(commits)
-            and any(not e.startswith(".") for e in os.listdir(commits)),
+            # OFFSETS are the progress marker, not epoch commits: the
+            # table swap lands BEFORE the checkpoint's commits entry,
+            # so a crash in that window leaves commits/ empty while the
+            # table has already absorbed a merge under the old
+            # parameters — a mismatched retry must refuse, not re-pin
+            # and replay the epoch under different merge semantics.
+            # Offsets are written before any processing, so they cover
+            # the whole window; a first run that died before even
+            # logging an offset pinned nothing and may re-pin.
+            has_progress=checkpoint_has_progress(checkpoint_location),
         )
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:

@@ -247,3 +247,39 @@ def test_upsert_resume_param_mismatch_rejected(spark, tmp_path):
             stream, table, id_col="id", version_col=None,
             checkpoint_location=ckpt,
         )
+
+
+def test_memo_key_none_for_mutable_leaf_behind_files(spark, docs):
+    """r08 review finding: a plan that JOINS a file corpus with a
+    non-file, non-immutable leaf reports the parquet files from the
+    file side, so the pre-fix guard (which walked leaves only when
+    inputFiles() was empty) memoized it — and an in-place mutation of
+    the non-file side would then serve stale tables. The leaf audit
+    must run unconditionally and disqualify the whole plan."""
+    from cs6300_vectordbs_spark.operators.dedup import _leaf_audit
+
+    rate = spark.readStream.format("rate").load()
+    # a streaming relation is the sandbox-constructible member of the
+    # mutable-under-stable-hash leaf class (JDBC/Hive/DSv2 tables
+    # behave the same: no file evidence, data changes in place)
+    assert _leaf_audit(rate)[0] is False
+    mixed = docs.join(rate, docs.doc_id == rate.value)
+    assert _leaf_audit(mixed)[0] is False
+    assert _group_cache_key(mixed, "doc_id", "text") is None
+
+
+def test_leaf_audit_accepts_snapshotable_plans(spark, docs):
+    """File scans, LocalRelation, Range, and RDD-backed frames — and
+    compositions of them — all pass the audit (and file leaves are
+    reported so the empty-dir conservatism can key off them)."""
+    from cs6300_vectordbs_spark.operators.dedup import _leaf_audit
+
+    ok, has_files = _leaf_audit(docs)
+    assert ok and has_files
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    ok, has_files = _leaf_audit(local)
+    assert ok and not has_files
+    joined = docs.join(local, "doc_id", "left")
+    ok, has_files = _leaf_audit(joined)
+    assert ok and has_files
+    assert _group_cache_key(joined, "doc_id", "text") is not None

@@ -197,3 +197,73 @@ def test_clean_corpus_store_roundtrip(spark, tmp_path):
     out = minhash_lsh_pairs(docs, min_jaccard=0.0)
     assert out.count() >= 0  # plan constructs and runs off the store
     clear_exact_group_cache()
+
+
+def test_param_change_rebuild_with_primed_memo_succeeds(
+    spark, corpus, tmp_path
+):
+    """r08 review finding: the reuse path used to prime the memo with
+    LAZY reads of the store files, so a later same-session ensure with
+    CHANGED params (fingerprint miss -> build path) would resolve its
+    memo hits to frames reading from the very paths it overwrites —
+    'Cannot overwrite a path that is also being read from' — leaving
+    the store fingerprint-less until the memo was cleared by hand.
+    Primes are now eager localCheckpoints (decoupled from the store),
+    so the rebuild must succeed without any manual clear, and both
+    parameterizations must keep producing correct pairs."""
+    store = str(tmp_path / "sig_store")
+    clear_exact_group_cache()
+    ensure_signature_tables(spark, corpus, store, **PARAMS)  # build v1
+    clear_exact_group_cache()
+    ensure_signature_tables(spark, corpus, store, **PARAMS)  # reuse+prime
+
+    # no clear here — the primed entries are live; changed num_hashes
+    # fingerprint-misses into the build path (minhash tag changes,
+    # shingles/simhash tags DON'T — those hit the primed entries and
+    # get written back onto their own store paths)
+    ensure_signature_tables(
+        spark, corpus, store, num_hashes=8, shingle_n=3, ngram_n=3,
+        simhash_n=2,
+    )
+    assert read_fingerprint(store) is not None  # rebuild committed
+
+    got = _pairs(
+        minhash_lsh_pairs(
+            corpus, num_hashes=8, min_jaccard=0.3
+        ),
+        "id_a", "id_b",
+    )
+    clear_exact_group_cache()
+    want = _pairs(
+        minhash_lsh_pairs(corpus, num_hashes=8, min_jaccard=0.3),
+        "id_a", "id_b",
+    )
+    assert got == want
+    clear_exact_group_cache()
+
+
+def test_primed_entries_survive_store_rewrite(spark, corpus, tmp_path):
+    """r08 review finding: primed entries must be DECOUPLED from the
+    store directory — after another writer rewrites the path, a primed
+    operator keeps serving the (checkpointed) tables it was primed
+    with instead of failing on vanished part files or silently reading
+    different rows."""
+    import shutil
+
+    store = str(tmp_path / "sig_store")
+    clear_exact_group_cache()
+    ensure_signature_tables(spark, corpus, store, **PARAMS)  # build
+    want = _pairs(
+        simhash_pairs(corpus, max_hamming=3), "id_a", "id_b"
+    )
+    clear_exact_group_cache()
+    ensure_signature_tables(spark, corpus, store, **PARAMS)  # reuse+prime
+
+    # another writer nukes and rewrites the store out from under the
+    # session (the cross-job race the single-writer contract allows
+    # for DIFFERENT sessions; this session must stay self-consistent)
+    shutil.rmtree(store)
+
+    got = _pairs(simhash_pairs(corpus, max_hamming=3), "id_a", "id_b")
+    assert got == want
+    clear_exact_group_cache()

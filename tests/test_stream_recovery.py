@@ -322,3 +322,141 @@ def test_resumable_drain_requires_explicit_out_path(spark, tmp_path):
             spark, None, "unused", 3, dim=8,
             checkpoint_location=str(tmp_path / "c2"),
         )
+
+
+def test_dedup_drain_checkpoint_pins_out_path(spark, tmp_path):
+    """r08 review finding: the sidecar lived only in the out dir, so
+    resuming an EXISTING checkpoint against a FRESH out_path (whose
+    own sidecar just re-pins) silently skipped every already-committed
+    batch — their rows live in the original out dir and the new one
+    underreports. The checkpoint now pins its out_path and refuses."""
+    from cs6300_vectordbs_spark.sources.dedup_index import ensure_dedup_index
+    from cs6300_vectordbs_spark.streaming.dedup_stream import probe_doc_stream
+
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "docs_stream")
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt")
+    _mk_doc_files(spark, src)
+    ensure_dedup_index(
+        spark,
+        spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id long, text string",
+        ),
+        idx,
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    got = probe_doc_stream(
+        spark, stream(), idx, min_jaccard=0.3, out_path=out1,
+        checkpoint_location=ckpt,
+    )
+    assert got.count() > 0  # batches committed under (ckpt, out1)
+    with pytest.raises(ValueError, match="mismatch"):
+        probe_doc_stream(
+            spark, stream(), idx, min_jaccard=0.3, out_path=out2,
+            checkpoint_location=ckpt,
+        )
+    # the original pairing still resumes cleanly (no new data: no-op)
+    again = probe_doc_stream(
+        spark, stream(), idx, min_jaccard=0.3, out_path=out1,
+        checkpoint_location=ckpt,
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, got.collect())
+    )
+
+
+def test_serve_drain_checkpoint_pins_out_path(spark, tmp_path):
+    """Same direction-guard for the IVF serving drain."""
+    from cs6300_vectordbs_spark.sources.vector_index import ensure_ivf_index
+    from cs6300_vectordbs_spark.streaming.search import serve_query_stream
+
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+         for i in range(32)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "ivf")
+    src = str(tmp_path / "q_stream")
+    ckpt = str(tmp_path / "ckpt")
+    ensure_ivf_index(spark, emb, idx, dim=dim, n_cells=4)
+    spark.createDataFrame(
+        [(1, [1.0] * dim)], "query_id long, query_vec array<double>"
+    ).coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "query_id long, query_vec array<double>"
+            ).parquet(src)
+        )
+
+    out1 = str(tmp_path / "out1")
+    got = serve_query_stream(
+        spark, stream(), idx, 3, dim=dim, out_path=out1,
+        checkpoint_location=ckpt,
+    )
+    assert got.count() == 3
+    with pytest.raises(ValueError, match="mismatch"):
+        serve_query_stream(
+            spark, stream(), idx, 3, dim=dim,
+            out_path=str(tmp_path / "out2"), checkpoint_location=ckpt,
+        )
+
+
+def test_upsert_crash_window_retry_with_new_params_refused(spark, tmp_path):
+    """r08 review finding: the sink's progress marker was the
+    checkpoint's commits dir, but the table swap lands BEFORE the
+    commit — a crash in that window left commits/ empty, so a retry
+    under DIFFERENT merge params re-pinned and replayed the epoch with
+    the new semantics over a table that had already absorbed the old
+    merge. Offsets (written before processing) are the marker now: the
+    mismatched retry must refuse."""
+    src = str(tmp_path / "changes")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "a1", 2), (1, "a0-late", 1)], SCHEMA
+    ).coalesce(1).write.parquet(src)
+
+    def crash(epoch_id: int) -> None:
+        raise RuntimeError("injected crash after swap, before commit")
+
+    q = start_stream_upsert(
+        _stream(spark, src), table, id_col="id", version_col="ver",
+        checkpoint_location=ckpt, post_merge_hook=crash,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    # crash window state: table swapped, epoch NOT committed
+    import os
+
+    commits = os.path.join(ckpt, "commits")
+    assert not (
+        os.path.isdir(commits)
+        and any(not e.startswith(".") for e in os.listdir(commits))
+    )
+    assert os.path.exists(table)
+    with pytest.raises(ValueError, match="mismatch"):
+        start_stream_upsert(
+            _stream(spark, src), table, id_col="id", version_col=None,
+            checkpoint_location=ckpt,
+        )
+    # the ORIGINAL parameters still resume and converge
+    q2 = start_stream_upsert(
+        _stream(spark, src), table, id_col="id", version_col="ver",
+        checkpoint_location=ckpt,
+    )
+    q2.awaitTermination()
+    rows = {tuple(r) for r in spark.read.parquet(table).collect()}
+    assert rows == {(1, "a1", 2)}
