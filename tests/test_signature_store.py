@@ -267,3 +267,98 @@ def test_primed_entries_survive_store_rewrite(spark, corpus, tmp_path):
     got = _pairs(simhash_pairs(corpus, max_hamming=3), "id_a", "id_b")
     assert got == want
     clear_exact_group_cache()
+
+
+def test_store_lifecycle_fuzz(spark, corpus, tmp_path):
+    """Randomized lifecycle sequences against the store+memo interplay
+    — the newest, most stateful code path in the engine. For each
+    seeded sequence of {ensure(params A), ensure(params B), memo
+    clear, external store deletion, pair query under A or B}, every
+    pair-operator result must equal the from-scratch ground truth
+    computed before the fuzz began. This covers orderings the
+    targeted tests above don't enumerate: param flip-flop rebuilds
+    over primed memos, queries between a store deletion and the next
+    ensure, ensures racing a warm memo, repeated builds over the same
+    path."""
+    import random
+    import shutil
+
+    A = dict(num_hashes=16, shingle_n=3, ngram_n=3, simhash_n=2)
+    B = dict(num_hashes=8, shingle_n=3, ngram_n=3, simhash_n=2)
+
+    clear_exact_group_cache()
+    want = {
+        "mh_a": _pairs(
+            minhash_lsh_pairs(corpus, num_hashes=16, min_jaccard=0.3),
+            "id_a", "id_b",
+        ),
+        "mh_b": _pairs(
+            minhash_lsh_pairs(corpus, num_hashes=8, min_jaccard=0.3),
+            "id_a", "id_b",
+        ),
+        "ng": _pairs(
+            ngram_jaccard_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+        ),
+        "sh": _pairs(simhash_pairs(corpus, max_hamming=3), "id_a", "id_b"),
+    }
+    assert want["mh_a"]  # the fixture corpus must produce real pairs
+
+    store = str(tmp_path / "fuzz_store")
+
+    def op_ensure_a():
+        ensure_signature_tables(spark, corpus, store, **A)
+
+    def op_ensure_b():
+        ensure_signature_tables(spark, corpus, store, **B)
+
+    def op_clear():
+        clear_exact_group_cache()
+
+    def op_delete_store():
+        shutil.rmtree(store, ignore_errors=True)
+
+    def op_query_mh_a():
+        got = _pairs(
+            minhash_lsh_pairs(corpus, num_hashes=16, min_jaccard=0.3),
+            "id_a", "id_b",
+        )
+        assert got == want["mh_a"]
+
+    def op_query_mh_b():
+        got = _pairs(
+            minhash_lsh_pairs(corpus, num_hashes=8, min_jaccard=0.3),
+            "id_a", "id_b",
+        )
+        assert got == want["mh_b"]
+
+    def op_query_ng():
+        got = _pairs(
+            ngram_jaccard_pairs(corpus, min_jaccard=0.3), "id_a", "id_b"
+        )
+        assert got == want["ng"]
+
+    def op_query_sh():
+        got = _pairs(
+            simhash_pairs(corpus, max_hamming=3), "id_a", "id_b"
+        )
+        assert got == want["sh"]
+
+    ops = [
+        op_ensure_a, op_ensure_b, op_clear, op_delete_store,
+        op_query_mh_a, op_query_mh_b, op_query_ng, op_query_sh,
+    ]
+    for seed in (11, 47):
+        rng = random.Random(seed)
+        clear_exact_group_cache()
+        op_delete_store()
+        trace = []
+        for _ in range(10):
+            op = rng.choice(ops)
+            trace.append(op.__name__)
+            try:
+                op()
+            except AssertionError as exc:
+                raise AssertionError(
+                    f"seed {seed}, trace {trace}: {exc}"
+                ) from exc
+    clear_exact_group_cache()
