@@ -362,3 +362,24 @@ def test_store_lifecycle_fuzz(spark, corpus, tmp_path):
                     f"seed {seed}, trace {trace}: {exc}"
                 ) from exc
     clear_exact_group_cache()
+
+
+def test_empty_corpus_store_roundtrip(spark, tmp_path):
+    """Degenerate corpus: zero documents. Both the build and reuse
+    paths must produce empty tables (not crash on the empty
+    aggregate / take(1) / anti-join), and the pair operators must
+    return zero rows."""
+    p = str(tmp_path / "empty_corpus")
+    spark.createDataFrame([], "doc_id long, text string").write.parquet(p)
+    docs = spark.read.parquet(p)
+    store = str(tmp_path / "store")
+    clear_exact_group_cache()
+    t = ensure_signature_tables(spark, docs, store, **PARAMS)
+    assert {k: v.count() for k, v in t.items()} == {
+        "groups": 0, "minhash": 0, "shingles": 0, "simhash": 0
+    }
+    clear_exact_group_cache()
+    t2 = ensure_signature_tables(spark, docs, store, **PARAMS)
+    assert t2["minhash"].count() == 0
+    assert minhash_lsh_pairs(docs, min_jaccard=0.3).count() == 0
+    clear_exact_group_cache()
