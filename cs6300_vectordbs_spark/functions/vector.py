@@ -127,10 +127,24 @@ def l2_normalize(v: ColumnOrName, dim: int | None = None) -> Column:
 
     Normalized-L2 distance relates to cosine as ``cos = 1 - d^2/2`` —
     the bridge used by the LSH approximate path (operators/ann.py).
+
+    The norm is BOUND once per row before the element transform (via a
+    single-element array the outer transform's lambda variable
+    captures): embedding the norm subtree directly in the per-element
+    lambda would re-evaluate the whole sqrt-of-sum fold for every
+    element — HOF lambdas run interpreted with no cross-invocation
+    CSE, turning an O(dim) projection into O(dim^2) per row.
     """
     dv = as_double(v)
     n = l2_norm(v, dim)
-    return F.when(n == 0.0, dv).otherwise(F.transform(dv, lambda x: x / n))
+    normalized = F.element_at(
+        F.transform(
+            F.array(n),
+            lambda nn: F.transform(dv, lambda x: x / nn),
+        ),
+        1,
+    )
+    return F.when(n == 0.0, dv).otherwise(normalized)
 
 
 def cosine_sim(

@@ -110,6 +110,16 @@ def _band_keys_from_vec(
     Only corpus/query self-consistency matters for bucketing (the
     operator is rows-only + recall-tested), and both sides share this
     expression."""
+    if not 1 <= bands <= n_bits or n_bits % bands != 0:
+        # Silent truncation would quietly change effective recall;
+        # worse, bands > n_bits gives zero rows per band, making every
+        # band key just the band index — every corpus row collides
+        # with every query and the candidate join degenerates to the
+        # full cross product the LSH path exists to avoid.
+        raise ValueError(
+            f"bands={bands} must divide n_bits={n_bits} "
+            "(1 <= bands <= n_bits)"
+        )
     bits = srp_bits(vec_col, dim, n_bits, seed)
     rows = n_bits // bands
     keys = [
@@ -299,11 +309,12 @@ def ivf_topk_kmeans(
 
 
 # Quantization scale for the order-independent k-means mean: each
-# coordinate becomes round(x * 1e12)::bigint before the (exact,
+# coordinate becomes round(x * scale)::bigint before the (exact,
 # order-free) integer sum. 1e12 keeps |sum| << 2^53 for the bounded
 # training sample while leaving the 9-dp rounded mean unchanged at
-# double precision.
-_MEAN_SCALE = 1e12
+# double precision. Spelled as the SQL literal both expr strings
+# embed, so the quantize and divide paths can never drift apart.
+_MEAN_SCALE_SQL = "1.0E12"
 
 
 def kmeans_centroids_det(
@@ -458,7 +469,7 @@ def kmeans_centroids_det(
                     *[
                         F.expr(
                             f"sum(CAST(ROUND(CAST(vec[{d}] AS DOUBLE)"
-                            f" * 1.0E12) AS BIGINT))"
+                            f" * {_MEAN_SCALE_SQL}) AS BIGINT))"
                         ).alias(f"__s{d}")
                         for d in range(dim)
                     ],
@@ -468,7 +479,7 @@ def kmeans_centroids_det(
                     *[
                         F.expr(
                             f"round(CAST(__s{d} AS DOUBLE) / __n"
-                            f" / 1.0E12, {round_dp})"
+                            f" / {_MEAN_SCALE_SQL}, {round_dp})"
                         ).alias(f"c{d}")
                         for d in range(dim)
                     ],
@@ -750,12 +761,16 @@ def brp_lsh_pairs_det(
 ) -> DataFrame:
     """Deterministic BRP-LSH candidate pairs with exact cosine.
 
-    Same contract as :func:`brp_lsh_pairs` (candidates = bucket
-    collision in ANY of ``n_tables`` tables; survivors filtered by
-    exact cosine >= ``min_sim``, which on unit vectors is EXACTLY
-    MLlib's Euclidean threshold ``d <= sqrt(2 (1 - min_sim))``), but
-    with literal projections so the operator is bit-reproducible by a
-    SQL twin. Plan shape: corpus never shuffles before bucketing; the
+    Same contract SHAPE as :func:`brp_lsh_pairs` (candidates = bucket
+    collision in ANY of ``n_tables`` tables; survivors filtered by a
+    cosine threshold — on unit vectors ``cos >= min_sim`` corresponds
+    to MLlib's Euclidean ``d <= sqrt(2 (1 - min_sim))``), but with
+    literal projections so the operator is bit-reproducible by a SQL
+    twin — and with the engine's INCLUSIVE boundary: a pair landing
+    exactly on ``min_sim`` is kept here, while MLlib's
+    approxSimilarityJoin filters strictly below its threshold and
+    drops it (see the brp_lsh_pairs docstring for the zero-vector
+    corner as well). Plan shape: corpus never shuffles before bucketing; the
     (small-by-contract) query side's keys broadcast into the bucket
     equi-join, so shuffle volume is O(candidates).
     """
@@ -808,7 +823,19 @@ def brp_lsh_pairs(
 ) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH candidate pairs with exact
     cosine attached. Vectors are L2-normalized first so the Euclidean
-    threshold maps to a cosine floor: d = sqrt(2 * (1 - min_sim))."""
+    threshold maps to a cosine floor: d = sqrt(2 * (1 - min_sim)).
+
+    Boundary semantics differ from brp_lsh_pairs_det in two corners:
+    MLlib's approxSimilarityJoin filters distCol STRICTLY below the
+    threshold, so a pair whose cosine lands exactly ON min_sim is
+    excluded here but kept by the det twin's inclusive >=; and a
+    zero-norm vector survives the Normalizer as all-zeros, giving it
+    L2 distance 1.0 to every unit vector — i.e. reported sim 0.5 —
+    where the engine's cosine convention (functions/vector.cosine_sim)
+    defines zero-norm similarity as 0.0. Both are inherent to the
+    MLlib estimator this wrapper exists to interoperate with; use
+    brp_lsh_pairs_det (the oracle-checked twin) when the engine's own
+    boundary contract matters."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
@@ -959,6 +986,23 @@ def sq8_topk(
     )
 
 
+def _pq_d2_slice(a: str, b: str, mi: int, sub: int) -> Column:
+    """Squared L2 distance over subspace ``mi`` (elements
+    [mi*sub, (mi+1)*sub)) of two array columns, as ONE parsed SQL
+    expression with the engine's sequential left-associated addition.
+    Shared by pq_topk and ivfpq_topk — the PQ determinism contract
+    (exact IEEE order, identical to the SQL oracle's unrolled twin)
+    lives here once."""
+    o = mi * sub
+    return F.expr(
+        " + ".join(
+            f"((CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE))"
+            f" * (CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE)))"
+            for i in range(sub)
+        )
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1020,14 +1064,7 @@ def pq_topk(
     # Column trees cost a driver round-trip per node (see functions/
     # vector.py dot); a parsed string is one call for the whole slice.
     def d2_slice(a: str, b: str, mi: int) -> Column:
-        o = mi * sub
-        return F.expr(
-            " + ".join(
-                f"((CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE))"
-                f" * (CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE)))"
-                for i in range(sub)
-            )
-        )
+        return _pq_d2_slice(a, b, mi, sub)
 
     def dot_slice(a: str, b: str, mi: int) -> Column:
         o = mi * sub
@@ -1188,14 +1225,7 @@ def ivfpq_topk(
     )
 
     def d2_slice(a: str, b: str, mi: int) -> Column:
-        o = mi * sub
-        return F.expr(
-            " + ".join(
-                f"((CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE))"
-                f" * (CAST(`{a}`[{o + i}] AS DOUBLE) - CAST(`{b}`[{o + i}] AS DOUBLE)))"
-                for i in range(sub)
-            )
-        )
+        return _pq_d2_slice(a, b, mi, sub)
 
     # Index build pass 1: coarse cell assignment (argmax cosine, ties
     # to lowest centroid id).
@@ -1305,8 +1335,15 @@ def ivfpq_topk(
             rows.append(
                 (r["__qid"], [float(x) for x in qv], cids[i], *tabs)
             )
+    # The probe table's id columns keep their NATIVE types: `cell`
+    # carries raw corpus ids (the sampled-centroid scheme uses the
+    # corpus_id domain, not a dense 0..n_cells index), so narrowing it
+    # to int would crash createDataFrame on 64-bit id corpora; same
+    # for non-bigint query ids.
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
     schema = (
-        "__qid bigint, __qvec array<double>, cell int, "
+        f"__qid {qid_t}, __qvec array<double>, cell {cid_t}, "
         + ", ".join(f"tab{mi} array<double>" for mi in range(m))
     )
     probe_tabs = spark.createDataFrame(rows, schema)
@@ -1390,6 +1427,10 @@ def nsw_beam_search(
     corpus is never scanned after the graph build; lineage is
     truncated per hop exactly like the other iterative operators.
     """
+    # ef >= k, the HNSW convention: the final ranking can only pick
+    # from the beam, which is capped at beam_width rows per query —
+    # a narrower beam than k would silently return short results.
+    beam_width = max(beam_width, k)
     dirs = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))

@@ -33,6 +33,64 @@ from pyspark.sql.window import Window
 from ..functions.vector import cosine_from_parts, cosine_sim, dot, l2_norm
 
 
+def _col_norms(T):
+    """L2 norms of the COLUMNS of a (d, n) transposed matrix, with the
+    engine's dimension-sequential IEEE accumulation order."""
+    import numpy as np
+
+    sq = T[0] * T[0]
+    for j in range(1, T.shape[0]):
+        sq = sq + T[j] * T[j]
+    return np.sqrt(sq)
+
+
+def _sims_matrix(L, RT, rnorm):
+    """(n_l, n_r) cosine matrix between row matrix ``L`` (n_l, d) and
+    transposed matrix ``RT`` (d, n_r) with precomputed right norms.
+
+    ONE home for the bit-identity invariant every vectorized kernel
+    (blocked top-k, grid top-k, blocked pairs, grid pairs) and their
+    SQL oracles share: dots and both squared norms accumulate
+    dimension-sequentially (vectorized across pairs, sequential across
+    dims — the exact IEEE-754 addition order of the unrolled JVM
+    expression and DuckDB's list fold), and zero-norm denominators
+    yield sim 0.0, matching functions/vector.cosine_sim."""
+    import numpy as np
+
+    d = RT.shape[0]
+    dots = L[:, [0]] * RT[[0], :]
+    for j in range(1, d):
+        dots += L[:, [j]] * RT[[j], :]
+    lsq = L[:, 0] * L[:, 0]
+    for j in range(1, d):
+        lsq = lsq + L[:, j] * L[:, j]
+    denom = np.sqrt(lsq)[:, None] * rnorm[None, :]
+    zeros = denom == 0.0
+    return np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+
+
+def _topk_order(col, lids):
+    """Candidate index order for the kernel-local top-k:
+    (sim DESC, id ASC) with NaN treated as greatest (Spark's in-plan
+    convention) — np.lexsort on the raw negated column would sort NaN
+    LAST and silently drop such rows from the local candidate set.
+
+    Honest scope note: a NaN sim (only possible from non-finite vector
+    ELEMENTS — zero norms map to 0.0) cannot survive the Arrow
+    boundary as NaN: pandas uses NaN as its null sentinel, so the
+    emitted row reaches the final JVM window as sim NULL and ranks
+    LAST there, while the all-JVM path ranks the same row FIRST
+    (NaN-is-greatest). The bit-identity contract between the kernel
+    and JVM paths therefore covers finite vector elements; non-finite
+    elements are out of contract (quarantine-at-ingest), and this
+    ordering merely guarantees the row is carried, never silently
+    dropped."""
+    import numpy as np
+
+    key = np.where(np.isnan(col), np.inf, col)
+    return np.lexsort((lids, -key))
+
+
 def label_centroids(
     vectors: DataFrame,
     *,
@@ -140,8 +198,11 @@ def similarity_topk(
         F.col(corpus_id),
         sim.alias("sim"),
     )
-    # Unscorable rows (null/zero vectors -> null sim) never enter the
-    # ranking — otherwise they'd fill trailing top-k slots.
+    # Unscorable rows (NULL vectors -> null sim) never enter the
+    # ranking — otherwise they'd fill trailing top-k slots. Zero-NORM
+    # vectors are scorable by contract: cosine_sim maps them to 0.0
+    # (identically in the SQL twin), so they legitimately outrank
+    # negative-sim neighbors.
     scored = scored.filter(F.col("sim").isNotNull())
 
     w = Window.partitionBy("query_id").orderBy(
@@ -175,8 +236,12 @@ def similarity_topk_blocked(
 ) -> DataFrame:
     """Exact top-k cosine search via an Arrow-batched vectorized kernel —
     the measured-fast form of :func:`similarity_topk`, bit-identical
-    output (same dot/norm IEEE addition order, same (sim desc, id asc)
-    total order).
+    output for FINITE vector elements (same dot/norm IEEE addition
+    order via the shared _sims_matrix kernel, same (sim desc, id asc)
+    total order, and the same NULL-vector quarantine the JVM path's
+    isNotNull sim filter gives). Non-finite elements are out of the
+    bit-identity contract — see _topk_order for why NaN sims can't
+    cross the Arrow boundary intact.
 
     Two-phase top-k, the same shape WindowGroupLimit gives the JVM path:
     each corpus partition emits its LOCAL top-k per query under the full
@@ -191,9 +256,17 @@ def similarity_topk_blocked(
     from .util import spread
 
     spark = corpus.sparkSession
-    qrows = queries.select(
-        F.col(query_id).alias("id"), F.col(query_vec).alias("v")
-    ).collect()
+    # NULL query vectors can never score (the JVM path's null sim is
+    # filtered before ranking, so such a query returns no rows there);
+    # dropping them here gives the same result instead of a numpy
+    # object-array TypeError.
+    qrows = [
+        r
+        for r in queries.select(
+            F.col(query_id).alias("id"), F.col(query_vec).alias("v")
+        ).collect()
+        if r.v is not None
+    ]
     qids = np.array([r.id for r in qrows], dtype=np.int64)
     Q = np.array([r.v for r in qrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((qids, Q))
@@ -206,33 +279,21 @@ def similarity_topk_blocked(
         import pandas as pd
 
         qids_b, Q_b = bc.value
-        d = Q_b.shape[1]
         QT = np.ascontiguousarray(Q_b.T)  # (d, nq)
-        qsq = QT[0] * QT[0]
-        for j in range(1, d):
-            qsq = qsq + QT[j] * QT[j]
-        qnorm = np.sqrt(qsq)
+        qnorm = _col_norms(QT)
         nq = len(qids_b)
         for pdf in batches:
             for s in range(0, len(pdf), block_rows):
                 blk = pdf.iloc[s : s + block_rows]
                 lids = blk["id"].to_numpy(dtype=np.int64)
                 L = np.array(list(blk["v"]), dtype=np.float64)
-                dots = L[:, [0]] * QT[[0], :]
-                for j in range(1, d):
-                    dots += L[:, [j]] * QT[[j], :]
-                lsq = L[:, 0] * L[:, 0]
-                for j in range(1, d):
-                    lsq = lsq + L[:, j] * L[:, j]
-                denom = np.sqrt(lsq)[:, None] * qnorm[None, :]
-                zeros = denom == 0.0
-                sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+                sims = _sims_matrix(L, QT, qnorm)
                 out_q, out_id, out_sim = [], [], []
                 for qi in range(nq):
                     col = sims[:, qi]
                     # full (sim desc, id asc) order so boundary ties keep
                     # the id-ascending winner, exactly like the window
-                    order = np.lexsort((lids, -col))
+                    order = _topk_order(col, lids)
                     if exclude_self:
                         order = order[lids[order] != qids_b[qi]]
                     top = order[:k]
@@ -249,8 +310,11 @@ def similarity_topk_blocked(
 
     # spread BEFORE the projection: if corpus_vec is a computed column
     # (e.g. an embedding expression), projecting first would evaluate it
-    # on the unspread input's few partitions.
-    src = spread(c).select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+    # on the unspread input's few partitions. NULL corpus vectors are
+    # quarantined exactly like the JVM path's isNotNull sim filter.
+    src = spread(c).select(
+        F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v")
+    ).filter(F.col("v").isNotNull())
     cand = src.mapInPandas(gen, schema="query_id bigint, cid bigint, sim double")
 
     w = Window.partitionBy("query_id").orderBy(
@@ -341,9 +405,16 @@ def pairwise_similarity_blocked(
     from .util import spread
 
     spark = left.sparkSession
-    rrows = right.select(
-        F.col(right_id).alias("id"), F.col(vec_col).alias("v")
-    ).collect()
+    # NULL vectors are quarantined on both sides: the JVM path's null
+    # sim fails every threshold anyway, and the numpy kernel would
+    # otherwise TypeError on the object array.
+    rrows = [
+        r
+        for r in right.select(
+            F.col(right_id).alias("id"), F.col(vec_col).alias("v")
+        ).collect()
+        if r.v is not None
+    ]
     rids = np.array([r.id for r in rrows], dtype=np.int64)
     R = np.array([r.v for r in rrows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((rids, R))
@@ -355,32 +426,19 @@ def pairwise_similarity_blocked(
         import pandas as pd
 
         rids_b, R_b = bc.value
-        d = R_b.shape[1]
         RT = np.ascontiguousarray(R_b.T)  # (d, m)
-        # right-side norms, dim-sequential accumulation
-        rsq = RT[0] * RT[0]
-        for j in range(1, d):
-            rsq = rsq + RT[j] * RT[j]
-        rnorm = np.sqrt(rsq)
+        rnorm = _col_norms(RT)
         for pdf in batches:
             n = len(pdf)
             for s in range(0, n, block_rows):
                 blk = pdf.iloc[s : s + block_rows]
                 lids = blk["id"].to_numpy(dtype=np.int64)
                 L = np.array(list(blk["v"]), dtype=np.float64)  # (b, d)
-                dots = L[:, [0]] * RT[[0], :]
-                for j in range(1, d):
-                    dots += L[:, [j]] * RT[[j], :]
-                lsq = L[:, 0] * L[:, 0]
-                for j in range(1, d):
-                    lsq = lsq + L[:, j] * L[:, j]
-                denom = np.sqrt(lsq)[:, None] * rnorm[None, :]
-                zeros = denom == 0.0
-                sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+                sims = _sims_matrix(L, RT, rnorm)
                 mask = (
                     sims >= want_min
                     if want_min is not None
-                    else np.ones_like(zeros)
+                    else np.ones(sims.shape, dtype=bool)
                 )
                 if want_upper:
                     mask &= lids[:, None] < rids_b[None, :]
@@ -389,7 +447,9 @@ def pairwise_similarity_blocked(
                     {"id_a": lids[ia], "id_b": rids_b[ib], "sim": sims[ia, ib]}
                 )
 
-    src = spread(left).select(F.col(left_id).alias("id"), F.col(vec_col).alias("v"))
+    src = spread(left).select(
+        F.col(left_id).alias("id"), F.col(vec_col).alias("v")
+    ).filter(F.col("v").isNotNull())
     return src.mapInPandas(gen, schema="id_a bigint, id_b bigint, sim double")
 
 
@@ -406,7 +466,10 @@ def _grid_replicate(
 ) -> DataFrame:
     """Tag each row with its own hash-block and replicate it across all
     blocks of the OTHER side: row i of side L lands in every grid cell
-    (block(i), *). One narrow explode — no driver round-trip."""
+    (block(i), *). One narrow explode — no driver round-trip. NULL
+    vectors are quarantined here (both grid kernels would TypeError on
+    a numpy object array; the JVM twin's null sims never pass a
+    threshold or enter a ranking either)."""
     spark = df.sparkSession
     other = F.broadcast(
         spark.range(other_blocks).select(F.col("id").cast("int").alias(other_name))
@@ -419,6 +482,7 @@ def _grid_replicate(
             .cast("int")
             .alias(own_name),
         )
+        .filter(F.col("v").isNotNull())
         .join(other, how="cross")
         .withColumn("side", F.lit(side))
     )
@@ -485,25 +549,15 @@ def pairwise_similarity_grid(
             )
         rids = rpdf["id"].to_numpy(dtype=np.int64)
         R = np.array(list(rpdf["v"]), dtype=np.float64)
-        d = R.shape[1]
         RT = np.ascontiguousarray(R.T)
-        rsq = RT[0] * RT[0]
-        for j in range(1, d):
-            rsq = rsq + RT[j] * RT[j]
-        rnorm = np.sqrt(rsq)
+        rnorm = _col_norms(RT)
         lids = lpdf["id"].to_numpy(dtype=np.int64)
         L = np.array(list(lpdf["v"]), dtype=np.float64)
-        dots = L[:, [0]] * RT[[0], :]
-        for j in range(1, d):
-            dots += L[:, [j]] * RT[[j], :]
-        lsq = L[:, 0] * L[:, 0]
-        for j in range(1, d):
-            lsq = lsq + L[:, j] * L[:, j]
-        denom = np.sqrt(lsq)[:, None] * rnorm[None, :]
-        zeros = denom == 0.0
-        sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+        sims = _sims_matrix(L, RT, rnorm)
         mask = (
-            sims >= want_min if want_min is not None else np.ones_like(zeros)
+            sims >= want_min
+            if want_min is not None
+            else np.ones(sims.shape, dtype=bool)
         )
         if want_upper:
             mask &= lids[:, None] < rids[None, :]
@@ -573,27 +627,15 @@ def similarity_topk_grid(
             )
         qids = qpdf["id"].to_numpy(dtype=np.int64)
         Q = np.array(list(qpdf["v"]), dtype=np.float64)
-        d = Q.shape[1]
         QT = np.ascontiguousarray(Q.T)  # (d, nq)
-        qsq = QT[0] * QT[0]
-        for j in range(1, d):
-            qsq = qsq + QT[j] * QT[j]
-        qnorm = np.sqrt(qsq)
+        qnorm = _col_norms(QT)
         lids = cpdf["id"].to_numpy(dtype=np.int64)
         L = np.array(list(cpdf["v"]), dtype=np.float64)
-        dots = L[:, [0]] * QT[[0], :]
-        for j in range(1, d):
-            dots += L[:, [j]] * QT[[j], :]
-        lsq = L[:, 0] * L[:, 0]
-        for j in range(1, d):
-            lsq = lsq + L[:, j] * L[:, j]
-        denom = np.sqrt(lsq)[:, None] * qnorm[None, :]
-        zeros = denom == 0.0
-        sims = np.where(zeros, 0.0, dots / np.where(zeros, 1.0, denom))
+        sims = _sims_matrix(L, QT, qnorm)
         out_q, out_id, out_sim = [], [], []
         for qi in range(len(qids)):
             col = sims[:, qi]
-            order = np.lexsort((lids, -col))
+            order = _topk_order(col, lids)
             if exclude_self:
                 order = order[lids[order] != qids[qi]]
             top = order[:k]

@@ -83,3 +83,24 @@ def test_ivfpq_recall_against_exact(spark, emb):
         ).collect()
     }
     assert again == got
+
+
+def test_ivfpq_64bit_ids(spark):
+    """r08 kernel review: the driver-built probe table declared
+    `cell int` although cells carry raw corpus ids — 64-bit ids
+    crashed createDataFrame. The schema now keeps the native types."""
+    from cs6300_vectordbs_spark.operators.ann import ivfpq_topk
+
+    big = spark.createDataFrame(
+        [(2 ** 40 + i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+         for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    bq = spark.createDataFrame(
+        [(2 ** 40 + i, [float((i * 3 + j) % 4 - 1) for j in range(8)])
+         for i in range(3)],
+        "query_id long, query_vec array<double>",
+    )
+    out = ivfpq_topk(big, bq, 3, dim=8, m=2, n_cells=4, n_probe=2)
+    assert out.count() == 9
+    assert all(r["vec_id"] >= 2 ** 40 for r in out.collect())

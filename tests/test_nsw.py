@@ -106,3 +106,32 @@ def test_shortcut_edges_contract(spark, emb):
     # deterministic: same input -> same edge set
     sc2 = nsw_shortcut_edges(emb).collect()
     assert sorted(map(tuple, sc)) == sorted(map(tuple, sc2))
+
+
+def test_beam_width_widens_to_k(spark):
+    """r08 kernel review: the final ranking picks only from the beam,
+    so k > beam_width silently returned short results. The effective
+    beam is now max(beam_width, k) — every query gets exactly k rows
+    on a connected graph with enough nodes."""
+    from pyspark.sql import functions as F
+
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(4)])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).limit(2)
+    ring = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)], "a long, b long"
+    )
+    out = nsw_beam_search(
+        emb, q, 10, edges=ring, beam_width=4, n_iters=12, n_entries=4,
+        dim=4,
+    )
+    counts = [r["count"] for r in out.groupBy("query_id").count().collect()]
+    assert counts == [10, 10]

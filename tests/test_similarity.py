@@ -284,3 +284,66 @@ def test_label_centroids_golden(spark):
         (1, 0): (10.0, 1),
         (1, 1): (-2.0, 1),
     }
+
+
+def test_kernel_paths_quarantine_null_and_zero_vectors(spark):
+    """r08 kernel review: NULL vectors used to TypeError the numpy
+    kernels (object array) while the JVM path filtered them; zero-NORM
+    vectors score 0.0 on every path (they are scorable by contract).
+    All three top-k paths and both pairwise kernels must now agree on
+    a corpus containing NULL, zero, and negative-sim vectors."""
+    from cs6300_vectordbs_spark.operators.similarity import (
+        pairwise_similarity_blocked,
+        pairwise_similarity_grid,
+        similarity_topk,
+        similarity_topk_blocked,
+        similarity_topk_grid,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (3, [0.9, 0.1]), (4, None), (5, [0.0, 0.0]),
+         (6, [-0.5, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None)],
+        "query_id long, query_vec array<double>",
+    )
+    a = sorted(map(tuple, similarity_topk(corpus, qs, 5).collect()))
+    b = sorted(map(tuple, similarity_topk_blocked(corpus, qs, 5).collect()))
+    g = sorted(
+        map(
+            tuple,
+            similarity_topk_grid(
+                corpus, qs.filter("query_vec is not null"), 5
+            ).collect(),
+        )
+    )
+    assert a == b == g
+    # the NULL query contributed no rows; zero vector ranks with 0.0
+    assert {r[0] for r in a} == {10}
+    assert any(r[2] == 5 and r[3] == 0.0 for r in a)
+    p1 = sorted(
+        map(tuple, pairwise_similarity_blocked(corpus, corpus, min_sim=-1.0).collect())
+    )
+    p2 = sorted(
+        map(tuple, pairwise_similarity_grid(corpus, corpus, min_sim=-1.0).collect())
+    )
+    assert p1 == p2
+    # 4 scorable vectors -> C(4,2) upper-triangle pairs
+    assert len(p1) == 6
+
+
+def test_band_count_validation(spark):
+    """bands must divide n_bits: silent truncation changes effective
+    recall, and bands > n_bits degenerates every band key to the band
+    index (full cross product)."""
+    import pytest
+
+    from cs6300_vectordbs_spark.operators.ann import _band_keys_from_vec
+
+    with pytest.raises(ValueError, match="must divide"):
+        _band_keys_from_vec("v", 4, 16, 5, 42)
+    with pytest.raises(ValueError, match="must divide"):
+        _band_keys_from_vec("v", 4, 16, 20, 42)
+    _band_keys_from_vec("v", 4, 16, 4, 42)  # divides: fine
