@@ -1398,6 +1398,9 @@ def nsw_beam_search(
     exclude_self: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    serve: str = "joins",
+    max_broadcast_nodes: int = 2_000_000,
+    max_broadcast_edges: int = 32_000_000,
 ) -> DataFrame:
     """Graph-ANN serving: greedy BEAM SEARCH over a navigable
     small-world kNN graph — the single-layer core of the reference's
@@ -1426,11 +1429,43 @@ def nsw_beam_search(
     window per query over <= beam_width * (degree + 1) rows. The
     corpus is never scanned after the graph build; lineage is
     truncated per hop exactly like the other iterative operators.
+
+    ``serve`` picks between two physical strategies for the SAME
+    logical search (results bit-identical; every real ANN system has
+    this split):
+
+    - ``"joins"`` (default): each hop is a distributed join as above —
+      the shape for a graph too large for one machine's memory, and
+      the only shape whose plan the SQL oracle mirrors structurally.
+      Cost: 2 + n_iters synchronized job barriers regardless of |Q|.
+    - ``"broadcast"``: the graph (adjacency + vectors) is collected
+      once, broadcast to executors, and ALL hops for a query run
+      inside one mapInPandas pass over the distributed query stream —
+      zero shuffles, zero barriers, one job. This is how serving
+      actually works everywhere (HNSW loads the index in RAM per
+      node); the queries are the 100-TB side, the index is the small
+      side. Guarded by ``max_broadcast_nodes`` / ``max_broadcast_edges``
+      — past those, use ``"joins"`` (the error says so). Requires
+      ``dim`` (<= UNROLL_MAX_DIM) and unique corpus ids; NaN vector
+      ELEMENTS are out of contract exactly as for the vectorized
+      top-k kernels (see similarity._topk_order) — NULL vectors and
+      zero norms follow the JVM semantics bit-for-bit (NULL sim
+      ranks last, zero norm scores 0.0), and short arrays raise like
+      the join path's ANSI out-of-bounds error does.
     """
     # ef >= k, the HNSW convention: the final ranking can only pick
     # from the beam, which is capped at beam_width rows per query —
     # a narrower beam than k would silently return short results.
     beam_width = max(beam_width, k)
+    if serve == "broadcast":
+        return _nsw_beam_broadcast(
+            emb, queries, k, edges=edges, beam_width=beam_width,
+            n_iters=n_iters, n_entries=n_entries, dim=dim,
+            exclude_self=exclude_self, id_col=id_col, vec_col=vec_col,
+            max_nodes=max_broadcast_nodes, max_edges=max_broadcast_edges,
+        )
+    if serve != "joins":
+        raise ValueError(f"serve must be 'joins' or 'broadcast', got {serve!r}")
     dirs = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1484,6 +1519,251 @@ def nsw_beam_search(
             "sim",
         )
     )
+
+
+def _nsw_beam_broadcast(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    edges: DataFrame,
+    beam_width: int,
+    n_iters: int,
+    n_entries: int,
+    dim: int | None,
+    exclude_self: bool,
+    id_col: str,
+    vec_col: str,
+    max_nodes: int,
+    max_edges: int,
+) -> DataFrame:
+    """Broadcast-graph beam serving: the in-memory half of
+    nsw_beam_search's ``serve`` switch (see its docstring for the
+    regime split and the bit-identity contract).
+
+    Semantics mirrored from the join path, clause by clause:
+    entry points = top ``n_entries`` nodes by (degree DESC, id ASC,
+    Spark's ASC-NULLS-FIRST for a NULL endpoint); candidate scoring
+    inner-joins the corpus (ids absent from ``emb`` drop silently,
+    like the equi-join); ``exclude_self`` drops node == query_id and —
+    like the JVM's NULL-propagating ``!=`` — drops EVERYTHING for a
+    NULL query id; per-hop selection keeps ``beam_width`` rows by
+    (sim DESC NULLS LAST, NaN greatest, node ASC). The sim kernel is
+    the engine's standard sequential fold (dots and squared norms
+    accumulate dimension-sequentially in float64 — the exact IEEE
+    addition order of the unrolled JVM expression), zero-norm
+    denominators score 0.0, and a NULL vector / NULL element yields
+    sim NULL. An array SHORTER than ``dim`` raises — mirroring the
+    join path, where ANSI mode turns the unrolled chain's
+    out-of-bounds access into INVALID_ARRAY_INDEX (the engine-wide
+    fixed-dim contract: corrupt dims fail loud, never silently skew
+    rankings). Arrays LONGER than ``dim`` contribute their first
+    ``dim`` elements, like the unrolled chain — which is why ``dim``
+    must be <= UNROLL_MAX_DIM: above it the JVM switches to the HOF
+    fold whose length semantics differ, and this kernel refuses
+    rather than silently diverge.
+
+    Per-query sims are memoized across hops (the join path recomputes
+    them; both are deterministic so results agree), and the whole
+    search is one mapInPandas stage: at 1000 executors the graph
+    ships once per executor and a billion-query stream needs no
+    shuffle at all.
+    """
+    import math
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from ..functions.vector import UNROLL_MAX_DIM
+
+    if dim is None or dim > UNROLL_MAX_DIM:
+        raise ValueError(
+            "serve='broadcast' needs an explicit dim <= "
+            f"{UNROLL_MAX_DIM} (got {dim!r}) so the kernel can mirror "
+            "the unrolled JVM sim semantics; use serve='joins' above it"
+        )
+
+    crows = emb.select(id_col, vec_col).limit(max_nodes + 1).collect()
+    if len(crows) > max_nodes:
+        raise ValueError(
+            f"corpus exceeds max_broadcast_nodes={max_nodes}; the graph "
+            "no longer fits the broadcast-serving regime — use "
+            "serve='joins' (distributed per-hop joins) instead"
+        )
+    erows = edges.select("a", "b").limit(max_edges + 1).collect()
+    if len(erows) > max_edges:
+        raise ValueError(
+            f"edge list exceeds max_broadcast_edges={max_edges}; use "
+            "serve='joins' instead"
+        )
+
+    n = len(crows)
+    cidx: dict = {}
+    V = np.zeros((max(n, 1), dim), dtype=np.float64)
+    cbad = np.zeros(max(n, 1), dtype=bool)
+    for i, row in enumerate(crows):
+        node, vec = row[0], row[1]
+        if node in cidx:
+            raise ValueError(
+                f"duplicate corpus id {node!r}: broadcast serving "
+                "requires unique ids (the persisted-index invariant); "
+                "serve='joins' would emit duplicate beam rows instead"
+            )
+        cidx[node] = i
+        if vec is None:
+            cbad[i] = True
+            continue
+        if len(vec) < dim:
+            raise ValueError(
+                f"corpus id {node!r} has a {len(vec)}-element vector, "
+                f"dim={dim}: the ANSI join path would raise "
+                "INVALID_ARRAY_INDEX on the same row (fixed-dim contract)"
+            )
+        try:
+            V[i, :] = np.asarray(vec[:dim], dtype=np.float64)
+        except (TypeError, ValueError):  # NULL element inside the array
+            cbad[i] = True
+    # Norms: dimension-sequential squared sums (the shared kernel rule).
+    csq = V[:, 0] * V[:, 0]
+    for j in range(1, dim):
+        csq = csq + V[:, j] * V[:, j]
+    cnorm = np.sqrt(csq)
+
+    # Degree over the DIRECTED list (duplicate edges count twice, like
+    # the groupBy over the unioned directions); adjacency is a set
+    # (candidates are distinct-ed per hop anyway).
+    degc: dict = {}
+    adj: dict = {}
+    for row in erows:
+        a, b = row[0], row[1]
+        degc[a] = degc.get(a, 0) + 1
+        degc[b] = degc.get(b, 0) + 1
+        if a is not None and b is not None:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    hubs = [
+        node
+        for node, _ in sorted(
+            degc.items(),
+            key=lambda kv: (-kv[1], kv[0] is not None, kv[0]),
+        )[:n_entries]
+    ]
+    adj = {node: tuple(sorted(nb, key=lambda x: (x is not None, x))) for node, nb in adj.items()}
+
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {"cidx": cidx, "V": V, "cbad": cbad, "cnorm": cnorm,
+         "adj": adj, "hubs": hubs}
+    )
+    q = queries.select("query_id", "query_vec")
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", q.schema["query_id"].dataType),
+            T.StructField("rank", T.LongType()),
+            T.StructField("vec_id", emb.schema[id_col].dataType),
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    kk, bw, iters, excl, d = k, beam_width, n_iters, exclude_self, dim
+    neg_inf = float("-inf")
+
+    def _key(item):
+        node, sim = item
+        if sim is None:
+            return (1, 0.0, node)
+        return (0, neg_inf if math.isnan(sim) else -sim, node)
+
+    def run(batches):
+        import pandas as pd
+
+        g = bc.value
+        cidx, V, cbad, cnorm = g["cidx"], g["V"], g["cbad"], g["cnorm"]
+        adj, hubs = g["adj"], g["hubs"]
+
+        def search(qid, qvec):
+            if excl and qid is None:
+                return []  # NULL != node is NULL -> every row filtered
+            qbad = qvec is None
+            qv = None
+            qnorm = 0.0
+            if not qbad:
+                if len(qvec) < d:
+                    raise ValueError(
+                        f"query {qid!r} has a {len(qvec)}-element "
+                        f"vector, dim={d}: the ANSI join path would "
+                        "raise INVALID_ARRAY_INDEX (fixed-dim contract)"
+                    )
+                try:
+                    qv = np.asarray(qvec[:d], dtype=np.float64)
+                except (TypeError, ValueError):
+                    qbad = True
+            if not qbad:
+                qsq = qv[0] * qv[0]
+                for j in range(1, d):
+                    qsq = qsq + qv[j] * qv[j]
+                qnorm = float(np.sqrt(qsq))
+            sims: dict = {}
+
+            def score(cands):
+                new = [
+                    c for c in cands if c not in sims and c in cidx
+                ]
+                if new:
+                    if qbad:
+                        for c in new:
+                            sims[c] = None
+                    else:
+                        idx = np.fromiter(
+                            (cidx[c] for c in new), dtype=np.int64,
+                            count=len(new),
+                        )
+                        Vc = V[idx]
+                        dots = qv[0] * Vc[:, 0]
+                        for j in range(1, d):
+                            dots = dots + qv[j] * Vc[:, j]
+                        denom = qnorm * cnorm[idx]
+                        zero = denom == 0.0
+                        vals = np.where(
+                            zero, 0.0, dots / np.where(zero, 1.0, denom)
+                        )
+                        bad = cbad[idx]
+                        for c, s, b in zip(new, vals, bad):
+                            sims[c] = None if b else float(s)
+                scored = [
+                    (c, sims[c])
+                    for c in cands
+                    if c in cidx and not (excl and c == qid)
+                ]
+                scored.sort(key=_key)
+                return scored[:bw]
+
+            beam = score(hubs)
+            for _ in range(iters):
+                cand = {node for node, _ in beam}
+                for node, _ in beam:
+                    cand.update(adj.get(node, ()))
+                beam = score(cand)
+            return [
+                (qid, r + 1, node, sim)
+                for r, (node, sim) in enumerate(beam[:kk])
+            ]
+
+        for pdf in batches:
+            rows = []
+            for qid, qvec in zip(pdf["query_id"], pdf["query_vec"]):
+                rows.extend(search(None if pd.isna(qid) else qid, qvec))
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(
+                        [r[0] for r in rows], dtype=object
+                    ),
+                    "rank": pd.Series([r[1] for r in rows], dtype=object),
+                    "vec_id": pd.Series([r[2] for r in rows], dtype=object),
+                    "sim": pd.Series([r[3] for r in rows], dtype=object),
+                }
+            )
+
+    return q.mapInPandas(run, schema=out_schema)
 
 
 def nsw_shortcut_edges(

@@ -266,6 +266,7 @@ def auto_index_search(
     nsw_k: int = 12,
     n_cells: int = 16,
     n_probe: int = 4,
+    serve: str = "joins",
 ) -> DataFrame:
     """ANN serving with automatic INDEX-FAMILY dispatch: run the
     structure probe, then serve through the NSW graph (structured
@@ -326,7 +327,8 @@ def auto_index_search(
         out = nsw_beam_search(
             corpus, q_nsw, k, edges=edges, beam_width=beam_width,
             n_iters=n_iters, n_entries=n_entries, dim=dim,
-            exclude_self=exclude_self, id_col=corpus_id, vec_col=corpus_vec,
+            exclude_self=exclude_self, id_col=corpus_id,
+            vec_col=corpus_vec, serve=serve,
         )
         return out.select(
             "query_id", "rank", F.col("vec_id").alias(corpus_id), "sim"

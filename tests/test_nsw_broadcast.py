@@ -1,0 +1,230 @@
+"""Bit-identity of the broadcast-graph NSW serving path vs the
+distributed join path (operators/ann.nsw_beam_search serve switch).
+
+The two strategies are physical plans for one logical search; every
+test here collects both and asserts EXACT tuple equality — including
+float bit-equality of sims — across the adversarial corpus shapes the
+hostile/nulls testdata tiers inject (NULL vectors, zero norms, short
+arrays, 64-bit ids, edges pointing at absent ids)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from cs6300_vectordbs_spark.operators.ann import (
+    nsw_beam_search,
+    nsw_shortcut_edges,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _corpus(spark, n=60, dim=8, seed=7, nulls=0, zeros=0, short=0):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        vec = [rng.uniform(-1, 1) for _ in range(dim)]
+        if i < nulls:
+            vec = None
+        elif i < nulls + zeros:
+            vec = [0.0] * dim
+        elif i < nulls + zeros + short:
+            vec = vec[: dim - 3]
+        rows.append((i, vec))
+    return _df(spark, rows, "vec_id bigint, embedding array<double>")
+
+
+def _edges_for(spark, corpus, k=4, dim=8):
+    from cs6300_vectordbs_spark.operators.similarity import (
+        similarity_topk_grid,
+    )
+
+    allq = corpus.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    knn = similarity_topk_grid(corpus, allq, k, exclude_self=True)
+    return (
+        knn.select(
+            F.least("query_id", "vec_id").alias("a"),
+            F.greatest("query_id", "vec_id").alias("b"),
+        )
+        .unionByName(nsw_shortcut_edges(corpus).select("a", "b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def _queries_from(corpus, n=10):
+    return (
+        corpus.filter(F.col("vec_id") < n)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def _run_both(corpus, queries, edges, k=5, dim=8, **kw):
+    a = nsw_beam_search(
+        corpus, queries, k, edges=edges, dim=dim, serve="joins", **kw
+    ).collect()
+    b = nsw_beam_search(
+        corpus, queries, k, edges=edges, dim=dim, serve="broadcast", **kw
+    ).collect()
+    ta = sorted((r.query_id, r.rank, r.vec_id, r.sim) for r in a)
+    tb = sorted((r.query_id, r.rank, r.vec_id, r.sim) for r in b)
+    return ta, tb
+
+
+def test_broadcast_matches_joins_clean(spark):
+    corpus = _corpus(spark, n=80)
+    edges = _edges_for(spark, corpus)
+    q = _queries_from(corpus)
+    ta, tb = _run_both(
+        corpus, q, edges, exclude_self=True, beam_width=6, n_iters=4,
+        n_entries=5,
+    )
+    assert ta == tb and len(ta) == 10 * 5
+
+
+def test_broadcast_matches_joins_adversarial(spark):
+    """NULL vectors and zero norms rank identically (NULL sim last,
+    zero norm 0.0) on both paths."""
+    corpus = _corpus(spark, n=60, nulls=3, zeros=3)
+    # the exact-kNN edge BUILD runs on the quarantined corpus (the
+    # vectorized grid kernel's contract); serving still scores every
+    # row, so wire the degenerate nodes in by hand
+    wellformed = corpus.filter(F.size("embedding") == 8)
+    edges = _edges_for(spark, wellformed)
+    extra = [(i, 20 + i) for i in range(6)]  # null/zero-vec nodes
+    # plus edges pointing at ids absent from the corpus: the scoring
+    # equi-join must drop them on both paths
+    extra += [(2, 9999), (9998, 9999)]
+    ghost = spark.createDataFrame(extra, "a long, b long")
+    edges = edges.unionByName(ghost).distinct()
+    q = _queries_from(corpus, n=9)  # includes NULL/zero-vec queries
+    ta, tb = _run_both(
+        corpus, q, edges, exclude_self=False, beam_width=7, n_iters=3,
+        n_entries=4,
+    )
+    assert ta == tb
+    assert len(ta) > 0
+
+
+def test_short_arrays_raise_on_both_paths(spark):
+    """ANSI mode makes a mis-dimensioned array an ERROR on the join
+    path (INVALID_ARRAY_INDEX from the unrolled chain); the broadcast
+    kernel raises its own legible error rather than silently scoring
+    NULL — fixed-dim corruption must fail loud on every path."""
+    corpus = _corpus(spark, n=30, short=2)
+    wellformed = corpus.filter(F.size("embedding") == 8)
+    edges = _edges_for(spark, wellformed).unionByName(
+        spark.createDataFrame([(0, 10), (1, 11)], "a long, b long")
+    ).distinct().localCheckpoint(eager=True)
+    q = _queries_from(wellformed.filter(F.col("vec_id") >= 2), n=6)
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        nsw_beam_search(
+            corpus, q, 3, edges=edges, dim=8, serve="joins", n_entries=30
+        ).collect()
+    with pytest.raises(ValueError, match="fixed-dim contract"):
+        nsw_beam_search(
+            corpus, q, 3, edges=edges, dim=8, serve="broadcast"
+        ).collect()
+
+
+def test_broadcast_matches_joins_float32_and_64bit_ids(spark):
+    rng = random.Random(3)
+    base = 3_000_000_000  # beyond int32
+    rows = [
+        (base + i, [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    edges = _edges_for(spark, corpus)
+    q = corpus.filter(F.col("vec_id") < base + 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ta, tb = _run_both(
+        corpus, q, edges, exclude_self=True, beam_width=6, n_iters=3,
+        n_entries=6,
+    )
+    assert ta == tb
+    assert all(isinstance(t[2], int) and t[2] >= base for t in ta)
+
+
+def test_broadcast_k_wider_than_beam(spark):
+    """The ef >= k widening applies identically on both paths."""
+    corpus = _corpus(spark, n=40)
+    edges = _edges_for(spark, corpus)
+    q = _queries_from(corpus, n=4)
+    ta, tb = _run_both(
+        corpus, q, edges, k=9, exclude_self=True, beam_width=3,
+        n_iters=3, n_entries=4,
+    )
+    assert ta == tb and len(ta) == 4 * 9
+
+
+@pytest.mark.parametrize(
+    "seed,bw,iters,entries,excl",
+    [(11, 4, 2, 3, True), (12, 9, 5, 8, False), (13, 5, 1, 1, True)],
+)
+def test_broadcast_matches_joins_fuzz(spark, seed, bw, iters, entries, excl):
+    """Seeded sweep over beam/hop/entry configs: exact agreement."""
+    corpus = _corpus(spark, n=45, dim=8, seed=seed)
+    edges = _edges_for(spark, corpus, k=3)
+    q = _queries_from(corpus, n=6)
+    ta, tb = _run_both(
+        corpus, q, edges, k=4, exclude_self=excl, beam_width=bw,
+        n_iters=iters, n_entries=entries,
+    )
+    assert ta == tb and len(ta) == 6 * 4
+
+
+def test_broadcast_guards(spark):
+    corpus = _corpus(spark, n=20)
+    edges = _edges_for(spark, corpus)
+    q = _queries_from(corpus, n=2)
+    with pytest.raises(ValueError, match="max_broadcast_nodes"):
+        nsw_beam_search(
+            corpus, q, 3, edges=edges, dim=8, serve="broadcast",
+            max_broadcast_nodes=5,
+        ).collect()
+    with pytest.raises(ValueError, match="max_broadcast_edges"):
+        nsw_beam_search(
+            corpus, q, 3, edges=edges, dim=8, serve="broadcast",
+            max_broadcast_edges=2,
+        ).collect()
+    with pytest.raises(ValueError, match="dim"):
+        nsw_beam_search(
+            corpus, q, 3, edges=edges, dim=None, serve="broadcast"
+        ).collect()
+    with pytest.raises(ValueError, match="serve"):
+        nsw_beam_search(corpus, q, 3, edges=edges, dim=8, serve="nope")
+    dup = corpus.unionByName(corpus.limit(1))
+    with pytest.raises(ValueError, match="duplicate corpus id"):
+        nsw_beam_search(
+            dup, q, 3, edges=edges, dim=8, serve="broadcast"
+        ).collect()
+
+
+def test_broadcast_plan_is_one_stage(spark):
+    """The serving plan must contain no shuffle: one mapInPandas over
+    the query stream — the zero-barrier property is the point."""
+    corpus = _corpus(spark, n=30)
+    edges = _edges_for(spark, corpus)
+    q = _queries_from(corpus, n=3).localCheckpoint(eager=True)
+    out = nsw_beam_search(
+        corpus, q, 3, edges=edges, dim=8, serve="broadcast"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
