@@ -8612,8 +8612,15 @@ def q_nsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph ANN (exact blocked N² one-off); persisting the ~k-rows-per-
     vector edge list means serving never pays it again — the same
     build/serve split the reference gets from Chroma's persisted HNSW
-    (/root/reference/src/chroma.py:81-87). Identical parameters and
-    tie rules as nsw_beam_topk -> shares its full value-hash oracle."""
+    (/root/reference/src/chroma.py:81-87). Serving runs the BROADCAST
+    strategy (serve='broadcast'): the persisted graph loads into
+    executor memory once and all hops run in one mapInPandas pass over
+    the query stream — zero shuffles, exactly how Chroma serves its
+    in-RAM HNSW, and bit-identical to the join path (pinned in
+    tests/test_nsw_broadcast.py). nsw_beam_topk keeps the distributed
+    join shape, so the driver gate exercises BOTH physical strategies.
+    Identical parameters and tie rules as nsw_beam_topk -> shares its
+    full value-hash oracle."""
     from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
     from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
 
@@ -8626,7 +8633,7 @@ def q_nsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = nsw_beam_search(
         emb, _query_batch(emb), TOPK, edges=edges,
         beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
-        dim=EMB_DIM, exclude_self=True,
+        dim=EMB_DIM, exclude_self=True, serve="broadcast",
     )
     return out.select(
         F.col("query_id").cast("bigint"),
@@ -8914,7 +8921,10 @@ def q_auto_ann_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     'nsw', so the NSW arm of the conditional oracle — dead on the iid
     testdata — is the live one here. Together with auto_ann_topk
     (IVF-live, NSW-dead) both dispatch outcomes now carry full
-    value-hash driver evidence."""
+    value-hash driver evidence. Serves via the broadcast strategy
+    (graph in executor memory, one mapInPandas pass — bit-identical
+    to the join path, tests/test_nsw_broadcast.py); the join shape
+    stays driver-exercised through nsw_beam_topk."""
     from cs6300_vectordbs_spark.operators.search import auto_index_search
 
     corpus = _clustered_corpus(spark, sf_dir).localCheckpoint(eager=True)
@@ -8924,6 +8934,7 @@ def q_auto_ann_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_n=_STRUCT_N, cos_threshold=_STRUCT_COS, min_frac=_STRUCT_FRAC,
         beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
         nsw_k=_NSW_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+        serve="broadcast",
     )
     return out.select(
         F.col("query_id").cast("bigint"),
