@@ -8727,6 +8727,218 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     )
 
 
+# Incremental-insert split: ids with vec_id % _INS_MOD == _INS_REM are
+# the "new batch" (about 1/7 of the corpus), the rest are the existing
+# indexed corpus — proportional at every scale factor and stable under
+# the hostile tiers' appended rows.
+_INS_MOD, _INS_REM = 7, 3
+
+
+def q_nsw_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-index maintenance (operators/ann.
+    nsw_insert_edges): the corpus is split into an existing indexed
+    part (6/7 of ids, persisted NSW graph via create-if-absent) and a
+    new batch (1/7); the new vectors are INSERTED HNSW-style — each
+    beam-searches its 12 nearest in the existing graph and links
+    symmetrically — and the standard query batch is then served over
+    the merged graph. This is the operation a daily-ingest pipeline
+    actually runs: Chroma inserts into its persisted HNSW on every
+    upsert (/root/reference/src/chroma.py:74-87) instead of rebuilding,
+    because the insert costs O(|new| x hops x beam x degree) vs the
+    O(|old|^2/B) exact-kNN rebuild. Fully deterministic (insert beam +
+    serve beam both carry total orders), so the whole pipeline gets a
+    FULL value-hash oracle: the insert beam unrolled over the old
+    graph, then the serve beam unrolled over the merged edge list.
+    Both beams run serve='broadcast' (one mapInPandas pass each)."""
+    from cs6300_vectordbs_spark.operators.ann import (
+        nsw_beam_search,
+        nsw_insert_edges,
+    )
+    from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/nsw_graph_old_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % _INS_MOD != _INS_REM)
+    new = emb.filter(
+        (F.col("vec_id") % _INS_MOD == _INS_REM)
+        & F.col("embedding").isNotNull()
+    )
+    old_edges = ensure_nsw_graph(spark, old, path, k=_NSW_K).localCheckpoint(
+        eager=True
+    )
+    merged = nsw_insert_edges(
+        old, new, edges=old_edges, k=_NSW_K, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES, dim=EMB_DIM,
+        serve="broadcast",
+    ).localCheckpoint(eager=True)
+    out = nsw_beam_search(
+        emb, _query_batch(emb), TOPK, edges=merged,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        dim=EMB_DIM, exclude_self=True, serve="broadcast",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_nsw_insert() -> str:
+    """The insert pipeline's twin: build the OLD graph in SQL (same
+    kNN + shortcut recipe as _oracle_nsw_beam, over the 6/7 split),
+    unroll the INSERT beam for the new batch over it, merge the found
+    links into the edge list, then unroll the standard SERVE beam over
+    the merged graph — two stacked copies of the verified beam CTE
+    pattern."""
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    ctes = [f"""old_c AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_INS_MOD} != {_INS_REM}
+),
+new_c AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_INS_MOD} = {_INS_REM} AND embedding IS NOT NULL
+),
+nvo AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM old_c
+),
+simsk AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM nvo q JOIN nvo e ON e.vec_id != q.vec_id
+),
+knnk AS MATERIALIZED (
+  SELECT query_id, vec_id FROM simsk
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+ncnt AS MATERIALIZED (SELECT count(*) AS n FROM old_c),
+sc AS MATERIALIZED (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM old_c e JOIN old_c d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM ncnt))
+  WHERE e.vec_id != d.vec_id
+),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM knnk
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM sc)
+),
+dir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges0
+         UNION ALL SELECT b, a FROM edges0),
+deg0 AS MATERIALIZED (SELECT src, count(*) AS degree FROM dir0 GROUP BY src),
+hubs0 AS MATERIALIZED (SELECT src AS node FROM deg0
+          ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+qi AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM new_c
+),
+i0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, h.node, {sim} AS sim
+          FROM qi q CROSS JOIN hubs0 h JOIN nvo n ON n.vec_id = h.node
+          WHERE h.node != q.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)"""]
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""ci{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM i{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM i{i - 1} b JOIN dir0 d ON d.src = b.node)
+),
+i{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM ci{i} c JOIN nvo n ON n.vec_id = c.node
+          JOIN qi q ON q.query_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    ctes.append(f"""ins AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM i{_NSW_HOPS}
+  ) WHERE rn <= {_NSW_K}
+),
+edges1 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM edges0
+    UNION ALL
+    SELECT least(query_id, node) AS a, greatest(query_id, node) AS b
+    FROM ins)
+),
+dir1 AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges1
+         UNION ALL SELECT b, a FROM edges1),
+deg1 AS MATERIALIZED (SELECT src, count(*) AS degree FROM dir1 GROUP BY src),
+hubs1 AS MATERIALIZED (SELECT src AS node FROM deg1
+          ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+nva AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+qb AS MATERIALIZED (SELECT vec_id AS query_id, embedding, nrm FROM nva
+       WHERE vec_id < {N_QUERIES}),
+s0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, h.node, {sim} AS sim
+          FROM qb q CROSS JOIN hubs1 h JOIN nva n ON n.vec_id = h.node
+          WHERE h.node != q.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""cs{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM s{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM s{i - 1} b JOIN dir1 d ON d.src = b.node)
+),
+s{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM cs{i} c JOIN nva n ON n.vec_id = c.node
+          JOIN nva q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM s{_NSW_HOPS}
+) WHERE rank <= {TOPK}"""
+    )
+
+
 def q_dedup_groups_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED exact-dup group table (S9 create-if-absent,
     sources/dedup_index.ensure_dedup_groups): (id, rep_id) for every
@@ -9715,6 +9927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue": q_bucketed_revenue,
         "ivf_cell_stats": q_ivf_cell_stats,
         "passage_topk": q_passage_topk,
+        "nsw_insert_topk": q_nsw_insert_topk,
     }
 
 
@@ -9913,4 +10126,5 @@ def oracle_sql() -> dict[str, str]:
         #   latency_percentiles_approx  engine-native approx sketch
         # (their value correctness is anchored by search-result match
         # vs exact top-k / exact-percentile twins in tests/).
+        "nsw_insert_topk": _oracle_nsw_insert(),
     }

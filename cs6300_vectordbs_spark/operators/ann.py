@@ -1766,6 +1766,64 @@ def _nsw_beam_broadcast(
     return q.mapInPandas(run, schema=out_schema)
 
 
+def nsw_insert_edges(
+    emb: DataFrame,
+    new_vecs: DataFrame,
+    *,
+    edges: DataFrame,
+    k: int = 12,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    serve: str = "joins",
+) -> DataFrame:
+    """Incremental NSW graph maintenance: HNSW-style INSERT of a batch
+    of new vectors into an existing graph, without the O(N²/B) kNN
+    rebuild — the index-maintenance primitive the reference gets from
+    Chroma's persisted HNSW, which inserts incrementally on every
+    upsert into the collection (/root/reference/src/chroma.py:74-87;
+    Malkov & Yashunin 2018 §4: insert = ef-search for the new point's
+    neighbors, then connect).
+
+    Each new vector runs the standard beam search over the EXISTING
+    graph (``emb``/``edges``: the current corpus and edge list) and
+    links symmetrically to its top ``k`` results. Returns the merged
+    (a, b) edge list: old edges ∪ new links, distinct. Fully
+    deterministic — the search is nsw_beam_search with its total tie
+    orders — so a serve over the merged graph carries a full
+    value-hash oracle (the insert beam unrolls in SQL exactly like
+    the serving beam).
+
+    New ids must be DISJOINT from the existing corpus ids (an id
+    collision is an upsert, not an insert — route those through the
+    upsert-compact lifecycle first). Scale shape: the insert costs
+    O(|new| x n_iters x beam x degree) score evaluations —
+    independent of |old|, while a rebuild pays O(|old|²/B) — and with
+    ``serve='broadcast'`` the whole batch is one mapInPandas pass
+    over the new vectors. A graph grown by many insert batches drifts
+    from the exact-kNN graph (inserted nodes only link through what
+    beam search FOUND, the HNSW tradeoff); re-running the full build
+    re-canonicalizes — same compaction discipline as the LSM upsert
+    path.
+    """
+    q = new_vecs.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    found = nsw_beam_search(
+        emb, q, k, edges=edges, beam_width=beam_width, n_iters=n_iters,
+        n_entries=n_entries, dim=dim, exclude_self=True,
+        id_col=id_col, vec_col=vec_col, serve=serve,
+    )
+    new_e = found.select(
+        F.least("query_id", F.col("vec_id")).alias("a"),
+        F.greatest("query_id", F.col("vec_id")).alias("b"),
+    )
+    return edges.select("a", "b").unionByName(new_e).distinct()
+
+
 def nsw_shortcut_edges(
     emb: DataFrame,
     *,

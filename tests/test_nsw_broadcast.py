@@ -216,6 +216,61 @@ def test_broadcast_guards(spark):
         ).collect()
 
 
+def test_insert_edges_links_new_nodes(spark):
+    """nsw_insert_edges: every new node gains 1..k symmetric links to
+    EXISTING nodes, old edges are preserved, and the result is the
+    same whichever serve strategy runs the insert beam."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_insert_edges
+
+    corpus = _corpus(spark, n=70, dim=8, seed=21)
+    old = corpus.filter(F.col("vec_id") < 60)
+    new = corpus.filter(F.col("vec_id") >= 60)
+    edges = _edges_for(spark, old)
+    old_set = {(r.a, r.b) for r in edges.collect()}
+    merged = {}
+    for serve in ("joins", "broadcast"):
+        m = nsw_insert_edges(
+            old, new, edges=edges, k=4, beam_width=6, n_iters=3,
+            n_entries=5, dim=8, serve=serve,
+        ).collect()
+        merged[serve] = {(r.a, r.b) for r in m}
+    assert merged["joins"] == merged["broadcast"]
+    got = merged["joins"]
+    assert old_set <= got
+    new_links = got - old_set
+    # every new link touches exactly one new node and one old node
+    for a, b in new_links:
+        assert (a >= 60) != (b >= 60)
+    for nid in range(60, 70):
+        cnt = sum(1 for a, b in new_links if a == nid or b == nid)
+        assert 1 <= cnt <= 4
+
+
+def test_insert_makes_new_nodes_findable(spark):
+    """Serving over the merged graph must reach inserted nodes: a query
+    at a new node's own vector returns that node at rank 1."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_insert_edges
+
+    corpus = _corpus(spark, n=50, dim=8, seed=33)
+    old = corpus.filter(F.col("vec_id") < 44)
+    new = corpus.filter(F.col("vec_id") >= 44)
+    edges = _edges_for(spark, old)
+    merged = nsw_insert_edges(
+        old, new, edges=edges, k=4, beam_width=8, n_iters=3,
+        n_entries=6, dim=8, serve="broadcast",
+    ).localCheckpoint(eager=True)
+    q = new.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = nsw_beam_search(
+        corpus, q, 1, edges=merged, beam_width=8, n_iters=3,
+        n_entries=6, dim=8, exclude_self=False, serve="broadcast",
+    ).collect()
+    top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    assert top1 == {i: i for i in range(44, 50)}
+
+
 def test_broadcast_plan_is_one_stage(spark):
     """The serving plan must contain no shuffle: one mapInPandas over
     the query stream — the zero-barrier property is the point."""
