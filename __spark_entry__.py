@@ -8785,6 +8785,44 @@ def q_nsw_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nsw_appended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED form of the incremental insert (S9 on the
+    incremental layer, sources/graph_index.append_nsw_graph): base
+    graph and merged edge list are both content-addressed stored
+    layers — re-serving never re-runs the insert beam, the same
+    build/serve amortization nsw_persisted_topk gives the full build.
+    Same split, parameters, and tie rules as nsw_insert_topk -> shares
+    its full value-hash oracle (the stored merged list is
+    row-identical to the in-session insert)."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+    from cs6300_vectordbs_spark.sources.graph_index import append_nsw_graph
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/nsw_appended_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % _INS_MOD != _INS_REM)
+    new = emb.filter(
+        (F.col("vec_id") % _INS_MOD == _INS_REM)
+        & F.col("embedding").isNotNull()
+    )
+    merged = append_nsw_graph(
+        spark, old, new, path, k=_NSW_K, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES, dim=EMB_DIM,
+        serve="broadcast",
+    ).localCheckpoint(eager=True)
+    out = nsw_beam_search(
+        emb, _query_batch(emb), TOPK, edges=merged,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        dim=EMB_DIM, exclude_self=True, serve="broadcast",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
 def _oracle_nsw_insert() -> str:
     """The insert pipeline's twin: build the OLD graph in SQL (same
     kNN + shortcut recipe as _oracle_nsw_beam, over the 6/7 split),
@@ -9928,6 +9966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_stats": q_ivf_cell_stats,
         "passage_topk": q_passage_topk,
         "nsw_insert_topk": q_nsw_insert_topk,
+        "nsw_appended_topk": q_nsw_appended_topk,
     }
 
 
@@ -10127,4 +10166,5 @@ def oracle_sql() -> dict[str, str]:
         # (their value correctness is anchored by search-result match
         # vs exact top-k / exact-percentile twins in tests/).
         "nsw_insert_topk": _oracle_nsw_insert(),
+        "nsw_appended_topk": _oracle_nsw_insert(),
     }

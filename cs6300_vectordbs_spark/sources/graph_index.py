@@ -103,3 +103,66 @@ def ensure_nsw_graph(
         )
         write_fingerprint(path, fp)
     return spark.read.parquet(f"{path}/edges")
+
+
+def append_nsw_graph(
+    spark: SparkSession,
+    corpus: DataFrame,
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    k: int = 12,
+    salt: int = 17,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    serve: str = "broadcast",
+) -> DataFrame:
+    """Incrementally maintained persisted graph: the stored form of
+    operators/ann.nsw_insert_edges, for the daily-ingest shape where
+    an indexed corpus receives a batch of new vectors.
+
+    Two content-addressed layers under one root:
+
+    - ``{path}/base`` — the full-build graph for ``corpus``
+      (ensure_nsw_graph: exact-kNN + shortcuts, the expensive one-off).
+    - ``{path}/merged`` — base edges plus the HNSW-style insert links
+      for ``new_vecs``, committed under a fingerprint covering the
+      BASE fingerprint string (so base content/params are inherited
+      transitively), the batch's content, and every insert-beam
+      parameter. Re-calling with unchanged inputs serves the stored
+      merged list without re-running the insert; a changed batch,
+      base corpus, or parameter rebuilds ONLY the merged layer (the
+      base layer reuses unless it changed too).
+
+    Crash discipline per index_common: invalidate-first on rebuild,
+    atomic fingerprint commit after the edge write's _SUCCESS; one
+    writer per path. New ids must be disjoint from corpus ids (the
+    nsw_insert_edges contract — collisions are upserts, route them
+    through upsert-compact first)."""
+    base = ensure_nsw_graph(
+        spark, corpus, f"{path}/base", k=k, salt=salt,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base_fp = read_fingerprint(f"{path}/base")
+    batch_fp = corpus_fingerprint(new_vecs, [id_col, vec_col])
+    merged_fp = (
+        f"base={base_fp}|batch={batch_fp}"
+        f"|beam={beam_width},iters={n_iters},entries={n_entries},dim={dim}"
+    )
+    mpath = f"{path}/merged"
+    if not (nsw_graph_exists(mpath) and read_fingerprint(mpath) == merged_fp):
+        from ..operators.ann import nsw_insert_edges
+
+        invalidate_fingerprint(mpath)
+        merged = nsw_insert_edges(
+            corpus, new_vecs, edges=base, k=k, beam_width=beam_width,
+            n_iters=n_iters, n_entries=n_entries, dim=dim,
+            id_col=id_col, vec_col=vec_col, serve=serve,
+        )
+        merged.write.mode("overwrite").parquet(f"{mpath}/edges")
+        write_fingerprint(mpath, merged_fp)
+    return spark.read.parquet(f"{mpath}/edges")

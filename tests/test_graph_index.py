@@ -88,3 +88,70 @@ def test_build_with_custom_columns(spark, tmp_path):
     assert sorted(map(tuple, edges.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_append_lifecycle(spark, tmp_path):
+    """Incremental layer (append_nsw_graph): base builds once, merged
+    commits under its own fingerprint, reuse/rebuild independence
+    between the layers, and the crash window (no merged fingerprint)
+    re-runs only the insert."""
+    from cs6300_vectordbs_spark.sources.graph_index import append_nsw_graph
+
+    path = str(tmp_path / "nswa")
+    corpus = _corpus(spark, n=40)
+    new = spark.createDataFrame(
+        [(100 + i, [float((i * 5 + d) % 9 - 4) for d in range(8)])
+         for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    m1 = append_nsw_graph(
+        spark, corpus, new, path, k=4, beam_width=6, n_iters=3,
+        n_entries=4, dim=8,
+    )
+    links = m1.filter((F.col("a") >= 100) | (F.col("b") >= 100)).collect()
+    touched = {a for r in links for a in (r.a, r.b) if a >= 100}
+    assert touched == {100, 101, 102, 103, 104}
+    # every new link pairs a new id with an OLD id (disjoint contract)
+    assert all((r.a >= 100) != (r.b >= 100) for r in links)
+    base_sig = _edge_files_sig(f"{path}/base")
+    merged_sig = _edge_files_sig(f"{path}/merged")
+
+    # unchanged inputs -> both layers reuse byte-identically
+    append_nsw_graph(
+        spark, corpus, new, path, k=4, beam_width=6, n_iters=3,
+        n_entries=4, dim=8,
+    )
+    assert _edge_files_sig(f"{path}/base") == base_sig
+    assert _edge_files_sig(f"{path}/merged") == merged_sig
+
+    # changed batch -> merged rebuilds, base reuses
+    new2 = new.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(1.0))
+    )
+    append_nsw_graph(
+        spark, corpus, new2, path, k=4, beam_width=6, n_iters=3,
+        n_entries=4, dim=8,
+    )
+    assert _edge_files_sig(f"{path}/base") == base_sig
+    assert _edge_files_sig(f"{path}/merged") != merged_sig
+
+    # changed insert-beam parameter -> merged rebuilds again
+    sig2 = _edge_files_sig(f"{path}/merged")
+    append_nsw_graph(
+        spark, corpus, new2, path, k=4, beam_width=7, n_iters=3,
+        n_entries=4, dim=8,
+    )
+    assert _edge_files_sig(f"{path}/merged") != sig2
+
+    # crash window: merged fingerprint missing -> insert re-runs,
+    # base untouched
+    import os
+
+    os.remove(f"{path}/merged/FINGERPRINT")
+    sig3 = _edge_files_sig(f"{path}/merged")
+    append_nsw_graph(
+        spark, corpus, new2, path, k=4, beam_width=7, n_iters=3,
+        n_entries=4, dim=8,
+    )
+    assert _edge_files_sig(f"{path}/merged") != sig3
+    assert _edge_files_sig(f"{path}/base") == base_sig
