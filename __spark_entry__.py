@@ -9779,7 +9779,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and 5 of the oldest (r04) remainder. After this window every
     # registered query's newest green is >= r04, with the r04 cohort
     # next in line for r09.
+    #
+    # Late-r08 session addition: nsw_insert_topk / nsw_appended_topk
+    # (the incremental HNSW-style insert and its persisted layer) are
+    # NEW this round and head the window for their first driver rows;
+    # they displace pagerank_knn and user_first_events (both r04-green
+    # rotations) to the front of the r09 queue — the simhash_buckets
+    # displacement pattern, documented in DRIVER_COVERAGE.md.
     return {
+        "nsw_insert_topk": q_nsw_insert_topk,
+        "nsw_appended_topk": q_nsw_appended_topk,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
         "dedup_groups_persisted": q_dedup_groups_persisted,
@@ -9965,8 +9974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue": q_bucketed_revenue,
         "ivf_cell_stats": q_ivf_cell_stats,
         "passage_topk": q_passage_topk,
-        "nsw_insert_topk": q_nsw_insert_topk,
-        "nsw_appended_topk": q_nsw_appended_topk,
     }
 
 
