@@ -1450,8 +1450,11 @@ def nsw_beam_search(
       ELEMENTS are out of contract exactly as for the vectorized
       top-k kernels (see similarity._topk_order) — NULL vectors and
       zero norms follow the JVM semantics bit-for-bit (NULL sim
-      ranks last, zero norm scores 0.0), and short arrays raise like
-      the join path's ANSI out-of-bounds error does.
+      ranks last, zero norm scores 0.0; a NULL ELEMENT quarantines
+      the row to sim NULL, matching the join path's cast chain), and
+      a short array raises if and only if the beam actually scores
+      that row — the same laziness as the join path's ANSI
+      out-of-bounds error.
     """
     # ef >= k, the HNSW convention: the final ranking can only pick
     # from the beam, which is capped at beam_width rows per query —
@@ -1553,15 +1556,22 @@ def _nsw_beam_broadcast(
     accumulate dimension-sequentially in float64 — the exact IEEE
     addition order of the unrolled JVM expression), zero-norm
     denominators score 0.0, and a NULL vector / NULL element yields
-    sim NULL. An array SHORTER than ``dim`` raises — mirroring the
-    join path, where ANSI mode turns the unrolled chain's
-    out-of-bounds access into INVALID_ARRAY_INDEX (the engine-wide
-    fixed-dim contract: corrupt dims fail loud, never silently skew
-    rankings). Arrays LONGER than ``dim`` contribute their first
-    ``dim`` elements, like the unrolled chain — which is why ``dim``
-    must be <= UNROLL_MAX_DIM: above it the JVM switches to the HOF
-    fold whose length semantics differ, and this kernel refuses
-    rather than silently diverge.
+    sim NULL (a NULL element reaches numpy as NaN, so the row is
+    quarantined — genuine NaN elements, indistinguishable at that
+    point and out of contract everywhere, get the same quarantine
+    where the join path would rank them first). An array SHORTER than
+    ``dim`` raises IF AND ONLY IF the beam scores that row —
+    mirroring the join path, where ANSI mode turns the unrolled
+    chain's out-of-bounds access into INVALID_ARRAY_INDEX on scored
+    rows only (the engine-wide fixed-dim contract: corrupt dims fail
+    loud, never silently skew rankings; quarantined rows outside the
+    graph serve fine). A NULL corpus id or NULL query id is
+    unreachable/zero-rows on the join path's equi-joins and is
+    skipped/filtered here identically. Arrays LONGER than ``dim``
+    contribute their first ``dim`` elements, like the unrolled chain
+    — which is why ``dim`` must be <= UNROLL_MAX_DIM: above it the
+    JVM switches to the HOF fold whose length semantics differ, and
+    this kernel refuses rather than silently diverge.
 
     Per-query sims are memoized across hops (the join path recomputes
     them; both are deterministic so results agree), and the whole
@@ -1601,8 +1611,19 @@ def _nsw_beam_broadcast(
     cidx: dict = {}
     V = np.zeros((max(n, 1), dim), dtype=np.float64)
     cbad = np.zeros(max(n, 1), dtype=bool)
+    # Rows whose vector is SHORTER than dim: the join path raises ANSI
+    # INVALID_ARRAY_INDEX — but only if the row is actually SCORED.
+    # Mirror that exactly: poison the slot and raise lazily when (if)
+    # the beam reaches it, so a quarantined-short row outside the
+    # graph serves fine on both paths.
+    cpoison = np.zeros(max(n, 1), dtype=bool)
     for i, row in enumerate(crows):
         node, vec = row[0], row[1]
+        if node is None:
+            # The join path's equi-join on the node key can never match
+            # a NULL id — the row is unreachable there; keep it out of
+            # the index so both paths ignore it identically.
+            continue
         if node in cidx:
             raise ValueError(
                 f"duplicate corpus id {node!r}: broadcast serving "
@@ -1614,14 +1635,19 @@ def _nsw_beam_broadcast(
             cbad[i] = True
             continue
         if len(vec) < dim:
-            raise ValueError(
-                f"corpus id {node!r} has a {len(vec)}-element vector, "
-                f"dim={dim}: the ANSI join path would raise "
-                "INVALID_ARRAY_INDEX on the same row (fixed-dim contract)"
-            )
-        try:
-            V[i, :] = np.asarray(vec[:dim], dtype=np.float64)
-        except (TypeError, ValueError):  # NULL element inside the array
+            cpoison[i] = True
+            continue
+        V[i, :] = np.asarray(vec[:dim], dtype=np.float64)
+        # A NULL ELEMENT inside the array arrives as None and becomes
+        # NaN under np.asarray — the join path's cast chain propagates
+        # it to sim NULL (ranked last), so quarantine the row. Genuine
+        # NaN elements are indistinguishable here and get the same
+        # quarantine; they are out of contract on every kernel path
+        # (similarity._topk_order's scope note) — the join path would
+        # rank them FIRST, this path ranks them last-as-NULL, and
+        # neither is wrong for data the engine tells you to reject
+        # at ingest.
+        if np.isnan(V[i, :]).any():
             cbad[i] = True
     # Norms: dimension-sequential squared sums (the shared kernel rule).
     csq = V[:, 0] * V[:, 0]
@@ -1651,11 +1677,22 @@ def _nsw_beam_broadcast(
     adj = {node: tuple(sorted(nb, key=lambda x: (x is not None, x))) for node, nb in adj.items()}
 
     spark = emb.sparkSession
+    # Released by Spark's ContextCleaner once the serving DataFrame
+    # (whose closure holds it) is garbage-collected — the standard
+    # broadcast lifecycle. A long-lived server should build this plan
+    # ONCE and reuse it across query batches, not rebuild per call.
     bc = spark.sparkContext.broadcast(
         {"cidx": cidx, "V": V, "cbad": cbad, "cnorm": cnorm,
-         "adj": adj, "hubs": hubs}
+         "cpoison": cpoison, "adj": adj, "hubs": hubs}
     )
-    q = queries.select("query_id", "query_vec")
+    # NULL query ids are dropped JVM-side: the join path's scoring
+    # re-join on query_id never matches NULL, so such a query emits
+    # ZERO rows there regardless of exclude_self — and letting a null
+    # into the Arrow batch would coerce the pandas int64 id column to
+    # float64, corrupting 64-bit ids above 2^53.
+    q = queries.select("query_id", "query_vec").filter(
+        F.col("query_id").isNotNull()
+    )
     out_schema = T.StructType(
         [
             T.StructField("query_id", q.schema["query_id"].dataType),
@@ -1678,11 +1715,9 @@ def _nsw_beam_broadcast(
 
         g = bc.value
         cidx, V, cbad, cnorm = g["cidx"], g["V"], g["cbad"], g["cnorm"]
-        adj, hubs = g["adj"], g["hubs"]
+        cpoison, adj, hubs = g["cpoison"], g["adj"], g["hubs"]
 
         def search(qid, qvec):
-            if excl and qid is None:
-                return []  # NULL != node is NULL -> every row filtered
             qbad = qvec is None
             qv = None
             qnorm = 0.0
@@ -1693,9 +1728,8 @@ def _nsw_beam_broadcast(
                         f"vector, dim={d}: the ANSI join path would "
                         "raise INVALID_ARRAY_INDEX (fixed-dim contract)"
                     )
-                try:
-                    qv = np.asarray(qvec[:d], dtype=np.float64)
-                except (TypeError, ValueError):
+                qv = np.asarray(qvec[:d], dtype=np.float64)
+                if np.isnan(qv).any():  # NULL element -> NaN (see above)
                     qbad = True
             if not qbad:
                 qsq = qv[0] * qv[0]
@@ -1709,6 +1743,15 @@ def _nsw_beam_broadcast(
                     c for c in cands if c not in sims and c in cidx
                 ]
                 if new:
+                    for c in new:
+                        if cpoison[cidx[c]]:
+                            raise ValueError(
+                                f"corpus id {c!r} has a vector shorter "
+                                f"than dim={d} and was reached by the "
+                                "beam: the ANSI join path raises "
+                                "INVALID_ARRAY_INDEX on the same scored "
+                                "row (fixed-dim contract)"
+                            )
                     if qbad:
                         for c in new:
                             sims[c] = None
@@ -1750,8 +1793,10 @@ def _nsw_beam_broadcast(
 
         for pdf in batches:
             rows = []
+            # query_id nulls were filtered JVM-side, so the id column
+            # keeps its native (exact) integer/string dtype here.
             for qid, qvec in zip(pdf["query_id"], pdf["query_vec"]):
-                rows.extend(search(None if pd.isna(qid) else qid, qvec))
+                rows.extend(search(qid, qvec))
             yield pd.DataFrame(
                 {
                     "query_id": pd.Series(

@@ -143,6 +143,18 @@ def append_nsw_graph(
     writer per path. New ids must be disjoint from corpus ids (the
     nsw_insert_edges contract — collisions are upserts, route them
     through upsert-compact first)."""
+    if serve == "broadcast":
+        from ..functions.vector import UNROLL_MAX_DIM
+
+        # Validate NOW, not on the first cache miss: a defaults-only
+        # call would otherwise serve fine off a fingerprint hit and
+        # raise only when the batch changes (latent production error).
+        if dim is None or dim > UNROLL_MAX_DIM:
+            raise ValueError(
+                "append_nsw_graph with serve='broadcast' needs an "
+                f"explicit dim <= {UNROLL_MAX_DIM} (got {dim!r}); pass "
+                "dim= or serve='joins'"
+            )
     base = ensure_nsw_graph(
         spark, corpus, f"{path}/base", k=k, salt=salt,
         id_col=id_col, vec_col=vec_col,

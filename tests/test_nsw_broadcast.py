@@ -132,9 +132,12 @@ def test_short_arrays_raise_on_both_paths(spark):
         nsw_beam_search(
             corpus, q, 3, edges=edges, dim=8, serve="joins", n_entries=30
         ).collect()
-    with pytest.raises(ValueError, match="fixed-dim contract"):
+    # the broadcast raise is LAZY like the ANSI one — it fires only
+    # when the beam scores the poisoned row, so make it a hub
+    with pytest.raises(Exception, match="fixed-dim contract"):
         nsw_beam_search(
-            corpus, q, 3, edges=edges, dim=8, serve="broadcast"
+            corpus, q, 3, edges=edges, dim=8, serve="broadcast",
+            n_entries=30,
         ).collect()
 
 
@@ -187,6 +190,96 @@ def test_broadcast_matches_joins_fuzz(spark, seed, bw, iters, entries, excl):
         n_iters=iters, n_entries=entries,
     )
     assert ta == tb and len(ta) == 6 * 4
+
+
+def test_null_element_and_null_ids_match_joins(spark):
+    """Review-fix pins: a NULL ELEMENT inside a vector quarantines the
+    row to sim NULL (the join path's cast chain); a NULL corpus id is
+    unreachable on both paths; a NULL query id emits ZERO rows on both
+    paths (for either exclude_self) and must not poison the Arrow
+    batch's int64 id dtype (64-bit ids stay exact)."""
+    rng = random.Random(5)
+    big = (1 << 60) + 1  # far beyond float64's 2^53 integer range
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    rows[7] = (7, rows[7][1][:3] + [None] + rows[7][1][4:])  # NULL elem
+    rows.append((None, [0.5] * 8))  # NULL corpus id
+    rows.append((big, [rng.uniform(-1, 1) for _ in range(8)]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    wellformed = corpus.filter(
+        F.col("vec_id").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    edges = _edges_for(spark, wellformed).unionByName(
+        spark.createDataFrame([(2, 7), (3, big)], "a long, b long")
+    ).distinct().localCheckpoint(eager=True)
+    q = corpus.filter(
+        F.col("vec_id").isNull() | (F.col("vec_id") < 6)
+        | (F.col("vec_id") == big)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    for excl in (True, False):
+        ta, tb = _run_both(
+            corpus, q, edges, exclude_self=excl, beam_width=7,
+            n_iters=3, n_entries=5,
+        )
+        assert ta == tb
+        qids = {t[0] for t in ta}
+        assert None not in qids  # NULL query id -> zero rows
+        assert big in qids  # 64-bit id served, exactly
+        assert all(t[2] is None or isinstance(t[2], int) for t in ta)
+
+
+def test_short_row_outside_graph_serves_fine(spark):
+    """A quarantined short-array row that the beam never reaches must
+    not fail broadcast serving (the join path's ANSI error only fires
+    on SCORED rows) — and results still match the join path."""
+    corpus = _corpus(spark, n=30, short=2)  # ids 0,1 short, unreachable
+    wellformed = corpus.filter(F.size("embedding") == 8)
+    edges = _edges_for(spark, wellformed).localCheckpoint(eager=True)
+    q = _queries_from(wellformed.filter(F.col("vec_id") >= 2), n=6)
+    ta, tb = _run_both(
+        corpus, q, edges, exclude_self=True, beam_width=5, n_iters=2,
+        n_entries=4,
+    )
+    assert ta == tb and len(ta) > 0
+
+
+def test_insert_oracle_degenerates_to_beam_oracle():
+    """Anti-drift pin between the two hand-maintained oracle copies:
+    with an EMPTY insert batch (no id % 7 == 3), _oracle_nsw_insert's
+    graph-build + serve CTEs must produce exactly _oracle_nsw_beam's
+    result on the same corpus — a tie-order fix applied to one copy
+    and not the other breaks this without needing the Spark engine."""
+    import importlib.util
+
+    import duckdb
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    rng = random.Random(11)
+    ids = [i for i in range(40) if i % 7 != 3][:24]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {[round(rng.uniform(-1, 1), 6) for _ in range(8)]}"
+            "::DOUBLE[])"
+            for i in ids
+        )
+        + ") t(vec_id, embedding)"
+    )
+    a = con.execute(m._oracle_nsw_beam()).fetchall()
+    b = con.execute(m._oracle_nsw_insert()).fetchall()
+    assert sorted(a) == sorted(b) and len(a) > 0
 
 
 def test_broadcast_guards(spark):
