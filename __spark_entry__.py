@@ -7001,6 +7001,40 @@ def q_ivf_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nsw_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming GRAPH-ANN search: the query batch arrives as a file
+    STREAM and every micro-batch is served over the persisted NSW
+    graph by ONE broadcast server built before the first batch
+    (streaming/search.serve_graph_query_stream — the index collects
+    and broadcasts once per drain, the long-lived-HNSW-process shape).
+    Per-query independence makes the drained stream row-identical to
+    the batch serve, so this shares nsw_beam_topk's full value-hash
+    oracle. Same exactly-once contract as the IVF stream (per-batch
+    overwrite dirs, params sidecars)."""
+    from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+    from cs6300_vectordbs_spark.streaming.search import (
+        read_query_stream,
+        serve_graph_query_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/nsw_graph_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_nsw_graph(spark, emb, path, k=_NSW_K)
+    qs = read_query_stream(spark, sf_dir, N_QUERIES)
+    out = serve_graph_query_stream(
+        spark, qs, emb, path, TOPK,
+        dim=EMB_DIM, beam_width=_NSW_BEAM, n_iters=_NSW_HOPS,
+        n_entries=_NSW_ENTRIES, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
 def q_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-text-index serving path (sources/text_index.py): ensure
     the on-disk BM25 impact index exists (create-if-absent with
@@ -9974,6 +10008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_revenue": q_bucketed_revenue,
         "ivf_cell_stats": q_ivf_cell_stats,
         "passage_topk": q_passage_topk,
+        "nsw_search_stream": q_nsw_search_stream,
     }
 
 
@@ -10174,4 +10209,5 @@ def oracle_sql() -> dict[str, str]:
         # vs exact top-k / exact-percentile twins in tests/).
         "nsw_insert_topk": _oracle_nsw_insert(),
         "nsw_appended_topk": _oracle_nsw_insert(),
+        "nsw_search_stream": _oracle_nsw_beam(),
     }

@@ -1540,9 +1540,41 @@ def _nsw_beam_broadcast(
     max_nodes: int,
     max_edges: int,
 ) -> DataFrame:
+    """One-shot facade over nsw_broadcast_server: build the broadcast
+    graph and serve a single query DataFrame."""
+    return nsw_broadcast_server(
+        emb, edges=edges, k=k, beam_width=beam_width, n_iters=n_iters,
+        n_entries=n_entries, dim=dim, exclude_self=exclude_self,
+        id_col=id_col, vec_col=vec_col, max_nodes=max_nodes,
+        max_edges=max_edges,
+    )(queries)
+
+
+def nsw_broadcast_server(
+    emb: DataFrame,
+    *,
+    edges: DataFrame,
+    k: int,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    dim: int | None = None,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_nodes: int = 2_000_000,
+    max_edges: int = 32_000_000,
+):
     """Broadcast-graph beam serving: the in-memory half of
     nsw_beam_search's ``serve`` switch (see its docstring for the
     regime split and the bit-identity contract).
+
+    Returns ``serve(queries) -> DataFrame`` — the index loads and
+    broadcasts ONCE at construction, then every call plans a fresh
+    zero-shuffle mapInPandas over its query DataFrame. This is the
+    long-lived-server shape (and the foreachBatch body of the
+    streaming drain): per-batch callers must not rebuild the
+    broadcast, exactly as an HNSW process loads its index once.
 
     Semantics mirrored from the join path, clause by clause:
     entry points = top ``n_entries`` nodes by (degree DESC, id ASC,
@@ -1586,6 +1618,7 @@ def _nsw_beam_broadcast(
 
     from ..functions.vector import UNROLL_MAX_DIM
 
+    beam_width = max(beam_width, k)  # ef >= k, as in nsw_beam_search
     if dim is None or dim > UNROLL_MAX_DIM:
         raise ValueError(
             "serve='broadcast' needs an explicit dim <= "
@@ -1685,22 +1718,7 @@ def _nsw_beam_broadcast(
         {"cidx": cidx, "V": V, "cbad": cbad, "cnorm": cnorm,
          "cpoison": cpoison, "adj": adj, "hubs": hubs}
     )
-    # NULL query ids are dropped JVM-side: the join path's scoring
-    # re-join on query_id never matches NULL, so such a query emits
-    # ZERO rows there regardless of exclude_self — and letting a null
-    # into the Arrow batch would coerce the pandas int64 id column to
-    # float64, corrupting 64-bit ids above 2^53.
-    q = queries.select("query_id", "query_vec").filter(
-        F.col("query_id").isNotNull()
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", q.schema["query_id"].dataType),
-            T.StructField("rank", T.LongType()),
-            T.StructField("vec_id", emb.schema[id_col].dataType),
-            T.StructField("sim", T.DoubleType()),
-        ]
-    )
+    id_type = emb.schema[id_col].dataType
     kk, bw, iters, excl, d = k, beam_width, n_iters, exclude_self, dim
     neg_inf = float("-inf")
 
@@ -1808,7 +1826,26 @@ def _nsw_beam_broadcast(
                 }
             )
 
-    return q.mapInPandas(run, schema=out_schema)
+    def serve(queries: DataFrame) -> DataFrame:
+        # NULL query ids are dropped JVM-side: the join path's scoring
+        # re-join on query_id never matches NULL, so such a query emits
+        # ZERO rows there regardless of exclude_self — and letting a
+        # null into the Arrow batch would coerce the pandas int64 id
+        # column to float64, corrupting 64-bit ids above 2^53.
+        q = queries.select("query_id", "query_vec").filter(
+            F.col("query_id").isNotNull()
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", q.schema["query_id"].dataType),
+                T.StructField("rank", T.LongType()),
+                T.StructField("vec_id", id_type),
+                T.StructField("sim", T.DoubleType()),
+            ]
+        )
+        return q.mapInPandas(run, schema=out_schema)
+
+    return serve
 
 
 def nsw_insert_edges(

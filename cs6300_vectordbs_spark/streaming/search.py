@@ -185,3 +185,120 @@ def serve_query_stream(
     return spark.read.parquet(out).select(
         "query_id", "rank", "id", "sim", "dist"
     )
+
+
+def serve_graph_query_stream(
+    spark: SparkSession,
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    graph_path: str,
+    k: int = 5,
+    *,
+    dim: int,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    exclude_self: bool = False,
+    out_path: str | None = None,
+    checkpoint_location: str | None = None,
+    post_batch_hook=None,
+) -> DataFrame:
+    """Drain a query stream against the persisted NSW graph
+    (availableNow) and return the full result set — the graph-ANN
+    twin of ``serve_query_stream``, with the same exactly-once
+    contract (per-batch overwrite dirs, both-ways params sidecars,
+    checkpoint-pins-out binding).
+
+    The broadcast server (operators/ann.nsw_broadcast_server) is
+    built ONCE per drain — the index collects and broadcasts before
+    the first micro-batch, and every batch reuses it, exactly as a
+    long-lived HNSW serving process loads its index once. Per-query
+    results are independent, so the union of micro-batch outputs is
+    row-identical to the batch ``nsw_beam_search`` over the same
+    query set — the stream shares the batch query's full value-hash
+    oracle. ``graph_path`` is the ensure_nsw_graph root (the edges
+    must already exist; ensure first — a serving job must not race a
+    build)."""
+    import os
+
+    from ..operators.ann import nsw_broadcast_server
+
+    if checkpoint_location is not None and out_path is None:
+        raise ValueError(
+            "checkpoint_location requires an explicit out_path: "
+            "committed batches are replayed into (not re-appended to) "
+            "the SAME output directory across restarts"
+        )
+    if (
+        checkpoint_location is None
+        and out_path is not None
+        and os.path.isdir(out_path)
+        and os.listdir(out_path)
+    ):
+        raise ValueError(
+            f"out_path {out_path!r} is non-empty; refusing to overwrite"
+        )
+    out = out_path or tempfile.mkdtemp(prefix="nsw_serve_")
+    ckpt = checkpoint_location or tempfile.mkdtemp(prefix="nsw_serve_ckpt_")
+    if checkpoint_location is not None:
+        from .params_guard import (
+            check_params_sidecar,
+            checkpoint_has_progress,
+            drain_has_progress,
+        )
+
+        params = {
+            "kind": "nsw_serve",
+            "graph_path": os.path.abspath(graph_path),
+            "k": int(k),
+            "dim": int(dim),
+            "beam_width": int(beam_width),
+            "n_iters": int(n_iters),
+            "n_entries": int(n_entries),
+            "exclude_self": bool(exclude_self),
+            "checkpoint_location": os.path.abspath(checkpoint_location),
+        }
+        check_params_sidecar(
+            out, params, has_progress=drain_has_progress(out)
+        )
+        check_params_sidecar(
+            checkpoint_location,
+            {**params, "out_path": os.path.abspath(out)},
+            has_progress=checkpoint_has_progress(checkpoint_location),
+        )
+
+    edges = spark.read.parquet(f"{graph_path}/edges")
+    server = nsw_broadcast_server(
+        corpus, edges=edges, k=k, beam_width=beam_width,
+        n_iters=n_iters, n_entries=n_entries, dim=dim,
+        exclude_self=exclude_self,
+    )
+
+    def _serve(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.take(1):
+            res = server(batch_df)
+            res.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+        if post_batch_hook is not None:
+            post_batch_hook(batch_id)
+
+    q = (
+        queries_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if checkpoint_location is None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    if not (
+        os.path.isdir(out)
+        and any(e.startswith("batch=") for e in os.listdir(out))
+    ):
+        return spark.createDataFrame(
+            [], "query_id bigint, rank bigint, vec_id bigint, sim double"
+        )
+    return spark.read.parquet(out).select(
+        "query_id", "rank", "vec_id", "sim"
+    )

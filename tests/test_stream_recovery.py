@@ -302,6 +302,83 @@ def test_search_stream_crash_inside_commit_window_converges(spark, tmp_path):
     assert len(g) == len(set(g))
 
 
+def test_graph_stream_crash_inside_commit_window_converges(spark, tmp_path):
+    """Kill/restart protocol for the NSW broadcast-serving stream: the
+    post-crash drain must produce exactly the batch beam result over
+    the same query set — no duplicated (query, rank) rows from the
+    replayed epoch, and the params sidecar accepts the resume."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+    from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+    from cs6300_vectordbs_spark.streaming.search import (
+        serve_graph_query_stream,
+    )
+
+    dim, n = 8, 64
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    gpath = str(tmp_path / "nswg")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    ensure_nsw_graph(spark, emb, gpath, k=4)
+
+    qrows = [
+        (i, [float((i * 5 + j) % 7 - 3) for j in range(dim)])
+        for i in range(6)
+    ]
+    for i in range(0, 6, 2):
+        spark.createDataFrame(
+            qrows[i : i + 2], "query_id long, query_vec array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    seen: list[int] = []
+
+    def crash_on_second(bid: int) -> None:
+        seen.append(bid)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash after sink, before commit")
+
+    with pytest.raises(Exception, match="injected crash"):
+        serve_graph_query_stream(
+            spark, stream(), emb, gpath, 3, dim=dim, beam_width=6,
+            n_iters=3, n_entries=4, out_path=out,
+            checkpoint_location=ckpt, post_batch_hook=crash_on_second,
+        )
+    assert len(seen) == 2
+
+    got = serve_graph_query_stream(
+        spark, stream(), emb, gpath, 3, dim=dim, beam_width=6,
+        n_iters=3, n_entries=4, out_path=out, checkpoint_location=ckpt,
+    )
+    want = nsw_beam_search(
+        emb,
+        spark.createDataFrame(
+            qrows, "query_id long, query_vec array<double>"
+        ),
+        3,
+        edges=spark.read.parquet(f"{gpath}/edges"),
+        beam_width=6, n_iters=3, n_entries=4, dim=dim,
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim) for r in want.collect()
+    )
+    assert g == w and len(g) == 18  # 6 queries x top-3
+    assert len(g) == len(set(g))
+
+
 def test_resumable_drain_requires_explicit_out_path(spark, tmp_path):
     """checkpoint_location without out_path must be rejected up front:
     the checkpoint skips committed batches on restart, so their rows
