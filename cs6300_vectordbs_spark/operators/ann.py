@@ -1737,19 +1737,19 @@ def nsw_broadcast_server(
 
         def search(qid, qvec):
             qbad = qvec is None
+            # Short QUERY vectors poison lazily too: the join path's
+            # ANSI error fires only when the sim chain EVALUATES — a
+            # query that never reaches a scoreable candidate (empty
+            # graph, hubs absent from the corpus) returns zero rows
+            # there, so mirror that instead of raising up front.
+            qpoison = not qbad and len(qvec) < d
             qv = None
             qnorm = 0.0
-            if not qbad:
-                if len(qvec) < d:
-                    raise ValueError(
-                        f"query {qid!r} has a {len(qvec)}-element "
-                        f"vector, dim={d}: the ANSI join path would "
-                        "raise INVALID_ARRAY_INDEX (fixed-dim contract)"
-                    )
+            if not qbad and not qpoison:
                 qv = np.asarray(qvec[:d], dtype=np.float64)
                 if np.isnan(qv).any():  # NULL element -> NaN (see above)
                     qbad = True
-            if not qbad:
+            if not qbad and not qpoison:
                 qsq = qv[0] * qv[0]
                 for j in range(1, d):
                     qsq = qsq + qv[j] * qv[j]
@@ -1757,9 +1757,16 @@ def nsw_broadcast_server(
             sims: dict = {}
 
             def score(cands):
-                new = [
-                    c for c in cands if c not in sims and c in cidx
-                ]
+                present = [c for c in cands if c in cidx]
+                if qpoison and present:
+                    raise ValueError(
+                        f"query {qid!r} has a vector shorter than "
+                        f"dim={d} and reached {len(present)} scoreable "
+                        "candidates: the ANSI join path raises "
+                        "INVALID_ARRAY_INDEX on the same scored rows "
+                        "(fixed-dim contract)"
+                    )
+                new = [c for c in present if c not in sims]
                 if new:
                     for c in new:
                         if cpoison[cidx[c]]:
@@ -1792,8 +1799,8 @@ def nsw_broadcast_server(
                             sims[c] = None if b else float(s)
                 scored = [
                     (c, sims[c])
-                    for c in cands
-                    if c in cidx and not (excl and c == qid)
+                    for c in present
+                    if not (excl and c == qid)
                 ]
                 scored.sort(key=_key)
                 return scored[:bw]

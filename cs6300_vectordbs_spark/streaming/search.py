@@ -1,21 +1,21 @@
-"""Streaming vector search — a query STREAM served against the
-persisted IVF index (extension surface; the production serving shape
-of the reference's one-query-at-a-time loop,
+"""Streaming vector search — a query STREAM served against a
+persisted index (extension surface; the production serving shape of
+the reference's one-query-at-a-time loop,
 /root/reference/src/chroma.py:95-102, lifted to a Structured Streaming
-micro-batch job).
+micro-batch job). Two index families share one drain scaffold:
+``serve_query_stream`` (IVF cell-pruned serving) and
+``serve_graph_query_stream`` (NSW broadcast-graph serving).
 
 Design: queries arrive as a file stream; each micro-batch is served by
-the same ``search_ivf_index`` plan the batch path uses (broadcast
-probes, directory-level partition pruning on probed cells) inside
-``foreachBatch`` — the standard Structured Streaming pattern for
-serving jobs whose per-batch logic needs driver-side planning (here:
-the probed-cell IN-filter). Because per-query results are independent,
-the union of micro-batch outputs is EXACTLY the batch result over the
-same query set, so the batch query shares its full value-hash oracle
-with this stream.
+the SAME plan the batch path uses inside ``foreachBatch`` — the
+standard Structured Streaming pattern for serving jobs whose per-batch
+logic needs driver-side planning. Because per-query results are
+independent, the union of micro-batch outputs is EXACTLY the batch
+result over the same query set, so each batch query shares its full
+value-hash oracle with its stream.
 
 Scale notes: the index is static (stream-static), state is zero, and
-each micro-batch costs O(probed cells + queries x k). Results append
+each micro-batch costs O(index probe + queries x k). Results append
 to a parquet sink — at production scale that sink is the serving log
 the latency/recall metrics (operators/metrics_ir.py) aggregate over.
 """
@@ -52,44 +52,51 @@ def read_query_stream(
     )
 
 
-def serve_query_stream(
+def _drain(
     spark: SparkSession,
     queries_stream: DataFrame,
-    index_path: str,
-    k: int = 5,
     *,
-    dim: int,
-    n_probe: int = 4,
-    exclude_self: bool = False,
-    out_path: str | None = None,
-    checkpoint_location: str | None = None,
-    post_batch_hook=None,
+    serve_batch,
+    tmp_prefix: str,
+    params: dict,
+    out_path: str | None,
+    checkpoint_location: str | None,
+    post_batch_hook,
+    out_cols: list[str],
+    empty_result,
 ) -> DataFrame:
-    """Drain the query stream against the stored index (availableNow)
-    and return the full result set.
+    """Shared exactly-once drain scaffold for the serving streams.
 
-    Each micro-batch runs the batch serving plan via ``foreachBatch``
-    and writes to its own ``batch=<id>`` directory with overwrite —
-    EXACTLY-ONCE OUTCOME: batch ids are stable across restarts from
-    the same checkpoint, so a crash between sink write and checkpoint
-    commit replays into the same directory (idempotent overwrite),
-    never duplicating result rows. Result rows are
-    (query_id, rank, id, sim, dist) — identical to the batch
-    ``search_ivf_index`` output for the same query set, independent of
-    micro-batching AND of crash/restart placement (proven in
-    tests/test_stream_recovery.py). Pass ``checkpoint_location`` to
-    make the drain resumable; omit for per-drain scratch.
-    ``post_batch_hook(batch_id)`` fires inside the crash window (after
-    the sink write, before the checkpoint commit) for fault injection.
+    Each micro-batch runs ``serve_batch(batch_df)`` via
+    ``foreachBatch`` and writes to its own ``batch=<id>`` directory
+    with overwrite — EXACTLY-ONCE OUTCOME: batch ids are stable across
+    restarts from the same checkpoint, so a crash between sink write
+    and checkpoint commit replays into the same directory (idempotent
+    overwrite), never duplicating result rows. Results are therefore
+    identical to the batch plan over the same query set, independent
+    of micro-batching AND of crash/restart placement (proven in
+    tests/test_stream_recovery.py for both families).
+
+    Resumable drains (``checkpoint_location`` set) pin ``params`` BOTH
+    ways (see dedup_stream.probe_doc_stream for the full rationale):
+    the out-dir sidecar refuses to mix rows from a different
+    parameterization (or an unrelated drain) into this output, and the
+    checkpoint-dir sidecar pins its out_path so resuming an old
+    checkpoint against a fresh output directory raises instead of
+    silently dropping every already-committed batch. A sidecar with
+    zero committed progress pins nothing — a retry after an
+    immediately-failed first run may re-pin.
 
     Without a checkpoint, ``out_path`` must be empty or nonexistent
     (dirty data under a fresh offset log would double-count); with
     one, existing ``batch=`` dirs are the committed prefix a restart
-    resumes over.
+    resumes over. ``post_batch_hook(batch_id)`` fires inside the crash
+    window (after the sink write, before the checkpoint commit) for
+    fault injection. ``empty_result()`` supplies the zero-batch return
+    (no parquet footer exists to read then; any OTHER read failure
+    must propagate).
     """
     import os
-
-    from ..sources.vector_index import search_ivf_index
 
     if checkpoint_location is not None and out_path is None:
         # A resumable drain with a throwaway output dir would be a
@@ -111,17 +118,11 @@ def serve_query_stream(
         raise ValueError(
             f"out_path {out_path!r} is non-empty; refusing to overwrite"
         )
-    out = out_path or tempfile.mkdtemp(prefix="ivf_serve_")
-    ckpt = checkpoint_location or tempfile.mkdtemp(prefix="ivf_serve_ckpt_")
+    out = out_path or tempfile.mkdtemp(prefix=tmp_prefix)
+    ckpt = checkpoint_location or tempfile.mkdtemp(
+        prefix=f"{tmp_prefix}ckpt_"
+    )
     if checkpoint_location is not None:
-        # Resumable drain: pin the serving parameterization BOTH ways
-        # (see dedup_stream.probe_doc_stream for the full rationale).
-        # Out-dir sidecar: refuse to mix rows from a different
-        # k/dim/n_probe (or an unrelated drain) into this output.
-        # Checkpoint-dir sidecar: the checkpoint pins its out_path, so
-        # resuming an old checkpoint against a fresh output directory
-        # raises instead of silently dropping every already-committed
-        # batch from the returned result.
         from .params_guard import (
             check_params_sidecar,
             checkpoint_has_progress,
@@ -129,16 +130,9 @@ def serve_query_stream(
         )
 
         params = {
-            "kind": "ivf_serve",
-            "index_path": os.path.abspath(index_path),
-            "k": int(k),
-            "dim": int(dim),
-            "n_probe": int(n_probe),
-            "exclude_self": bool(exclude_self),
+            **params,
             "checkpoint_location": os.path.abspath(checkpoint_location),
         }
-        # a sidecar with zero committed progress pins nothing —
-        # a retry after an immediately-failed first run may re-pin
         check_params_sidecar(
             out, params, has_progress=drain_has_progress(out)
         )
@@ -150,11 +144,9 @@ def serve_query_stream(
 
     def _serve(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.take(1):
-            res = search_ivf_index(
-                spark, index_path, batch_df, k,
-                dim=dim, n_probe=n_probe, exclude_self=exclude_self,
+            serve_batch(batch_df).write.mode("overwrite").parquet(
+                f"{out}/batch={batch_id}"
             )
-            res.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
         if post_batch_hook is not None:
             post_batch_hook(batch_id)
 
@@ -174,16 +166,59 @@ def serve_query_stream(
         os.path.isdir(out)
         and any(e.startswith("batch=") for e in os.listdir(out))
     ):
-        # No micro-batch produced rows: no parquet footer exists to
-        # read. Any OTHER read failure must propagate.
-        return spark.createDataFrame(
-            [],
-            "query_id bigint, rank int, id bigint, sim double, dist double",
-        )
+        return empty_result()
     # `batch` is commit bookkeeping from partition discovery, not part
     # of the result contract
-    return spark.read.parquet(out).select(
-        "query_id", "rank", "id", "sim", "dist"
+    return spark.read.parquet(out).select(*out_cols)
+
+
+def serve_query_stream(
+    spark: SparkSession,
+    queries_stream: DataFrame,
+    index_path: str,
+    k: int = 5,
+    *,
+    dim: int,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+    out_path: str | None = None,
+    checkpoint_location: str | None = None,
+    post_batch_hook=None,
+) -> DataFrame:
+    """Drain the query stream against the stored IVF index
+    (availableNow) and return the full result set — rows
+    (query_id, rank, id, sim, dist), identical to the batch
+    ``search_ivf_index`` output for the same query set. All
+    exactly-once / sidecar / crash-window semantics per ``_drain``.
+    """
+    import os
+
+    from ..sources.vector_index import search_ivf_index
+
+    return _drain(
+        spark,
+        queries_stream,
+        serve_batch=lambda batch_df: search_ivf_index(
+            spark, index_path, batch_df, k,
+            dim=dim, n_probe=n_probe, exclude_self=exclude_self,
+        ),
+        tmp_prefix="ivf_serve_",
+        params={
+            "kind": "ivf_serve",
+            "index_path": os.path.abspath(index_path),
+            "k": int(k),
+            "dim": int(dim),
+            "n_probe": int(n_probe),
+            "exclude_self": bool(exclude_self),
+        },
+        out_path=out_path,
+        checkpoint_location=checkpoint_location,
+        post_batch_hook=post_batch_hook,
+        out_cols=["query_id", "rank", "id", "sim", "dist"],
+        empty_result=lambda: spark.createDataFrame(
+            [],
+            "query_id bigint, rank int, id bigint, sim double, dist double",
+        ),
     )
 
 
@@ -205,9 +240,8 @@ def serve_graph_query_stream(
 ) -> DataFrame:
     """Drain a query stream against the persisted NSW graph
     (availableNow) and return the full result set — the graph-ANN
-    twin of ``serve_query_stream``, with the same exactly-once
-    contract (per-batch overwrite dirs, both-ways params sidecars,
-    checkpoint-pins-out binding).
+    twin of ``serve_query_stream`` (exactly-once / sidecar semantics
+    per ``_drain``).
 
     The broadcast server (operators/ann.nsw_broadcast_server) is
     built ONCE per drain — the index collects and broadcasts before
@@ -218,54 +252,14 @@ def serve_graph_query_stream(
     query set — the stream shares the batch query's full value-hash
     oracle. ``graph_path`` is the ensure_nsw_graph root (the edges
     must already exist; ensure first — a serving job must not race a
-    build)."""
+    build). The resumable-drain sidecar pins the CORPUS content too
+    (unlike the IVF drain, the scoring vectors are not under
+    ``graph_path``), so a resume after the embeddings were
+    regenerated raises instead of mixing rows scored against two
+    different corpora."""
     import os
 
     from ..operators.ann import nsw_broadcast_server
-
-    if checkpoint_location is not None and out_path is None:
-        raise ValueError(
-            "checkpoint_location requires an explicit out_path: "
-            "committed batches are replayed into (not re-appended to) "
-            "the SAME output directory across restarts"
-        )
-    if (
-        checkpoint_location is None
-        and out_path is not None
-        and os.path.isdir(out_path)
-        and os.listdir(out_path)
-    ):
-        raise ValueError(
-            f"out_path {out_path!r} is non-empty; refusing to overwrite"
-        )
-    out = out_path or tempfile.mkdtemp(prefix="nsw_serve_")
-    ckpt = checkpoint_location or tempfile.mkdtemp(prefix="nsw_serve_ckpt_")
-    if checkpoint_location is not None:
-        from .params_guard import (
-            check_params_sidecar,
-            checkpoint_has_progress,
-            drain_has_progress,
-        )
-
-        params = {
-            "kind": "nsw_serve",
-            "graph_path": os.path.abspath(graph_path),
-            "k": int(k),
-            "dim": int(dim),
-            "beam_width": int(beam_width),
-            "n_iters": int(n_iters),
-            "n_entries": int(n_entries),
-            "exclude_self": bool(exclude_self),
-            "checkpoint_location": os.path.abspath(checkpoint_location),
-        }
-        check_params_sidecar(
-            out, params, has_progress=drain_has_progress(out)
-        )
-        check_params_sidecar(
-            checkpoint_location,
-            {**params, "out_path": os.path.abspath(out)},
-            has_progress=checkpoint_has_progress(checkpoint_location),
-        )
 
     edges = spark.read.parquet(f"{graph_path}/edges")
     server = nsw_broadcast_server(
@@ -273,32 +267,36 @@ def serve_graph_query_stream(
         n_iters=n_iters, n_entries=n_entries, dim=dim,
         exclude_self=exclude_self,
     )
+    params = {
+        "kind": "nsw_serve",
+        "graph_path": os.path.abspath(graph_path),
+        "k": int(k),
+        "dim": int(dim),
+        "beam_width": int(beam_width),
+        "n_iters": int(n_iters),
+        "n_entries": int(n_entries),
+        "exclude_self": bool(exclude_self),
+    }
+    if checkpoint_location is not None:
+        from ..sources.index_common import corpus_fingerprint
 
-    def _serve(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.take(1):
-            res = server(batch_df)
-            res.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
-        if post_batch_hook is not None:
-            post_batch_hook(batch_id)
-
-    q = (
-        queries_stream.writeStream.foreachBatch(_serve)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        if checkpoint_location is None:
-            shutil.rmtree(ckpt, ignore_errors=True)
-    if not (
-        os.path.isdir(out)
-        and any(e.startswith("batch=") for e in os.listdir(out))
-    ):
-        return spark.createDataFrame(
-            [], "query_id bigint, rank bigint, vec_id bigint, sim double"
+        params["corpus_fp"] = corpus_fingerprint(
+            corpus, ["vec_id", "embedding"]
         )
-    return spark.read.parquet(out).select(
-        "query_id", "rank", "vec_id", "sim"
+    return _drain(
+        spark,
+        queries_stream,
+        serve_batch=server,
+        tmp_prefix="nsw_serve_",
+        params=params,
+        out_path=out_path,
+        checkpoint_location=checkpoint_location,
+        post_batch_hook=post_batch_hook,
+        out_cols=["query_id", "rank", "vec_id", "sim"],
+        # Empty drain: derive the schema from the server itself (it
+        # propagates the corpus id type), so the zero-batch path
+        # returns the same schema as the written-rows path.
+        empty_result=lambda: server(
+            spark.createDataFrame([], queries_stream.schema)
+        ),
     )

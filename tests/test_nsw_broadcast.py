@@ -250,6 +250,32 @@ def test_short_row_outside_graph_serves_fine(spark):
     assert ta == tb and len(ta) > 0
 
 
+def test_short_query_raises_lazily(spark):
+    """A short QUERY vector raises only when it reaches a scoreable
+    candidate — over an empty graph both paths return zero rows for
+    it (the join path's ANSI error fires only on evaluated sims)."""
+    corpus = _corpus(spark, n=20)
+    empty_edges = spark.createDataFrame([], "a long, b long")
+    shortq = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, query_vec array<double>"
+    )
+    for serve in ("joins", "broadcast"):
+        got = nsw_beam_search(
+            corpus, shortq, 3, edges=empty_edges, dim=8, serve=serve
+        ).collect()
+        assert got == []
+    # wired into a real graph, the same query raises on both paths
+    edges = _edges_for(spark, corpus)
+    with pytest.raises(Exception, match="INVALID_ARRAY_INDEX"):
+        nsw_beam_search(
+            corpus, shortq, 3, edges=edges, dim=8, serve="joins"
+        ).collect()
+    with pytest.raises(Exception, match="fixed-dim contract"):
+        nsw_beam_search(
+            corpus, shortq, 3, edges=edges, dim=8, serve="broadcast"
+        ).collect()
+
+
 def test_insert_oracle_degenerates_to_beam_oracle():
     """Anti-drift pin between the two hand-maintained oracle copies:
     with an EMPTY insert batch (no id % 7 == 3), _oracle_nsw_insert's

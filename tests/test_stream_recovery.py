@@ -379,6 +379,60 @@ def test_graph_stream_crash_inside_commit_window_converges(spark, tmp_path):
     assert len(g) == len(set(g))
 
 
+def test_graph_stream_resume_pins_corpus_content(spark, tmp_path):
+    """The graph drain's sidecar pins the CORPUS fingerprint: resuming
+    a checkpoint after the embeddings changed (same graph_path, same
+    params) must raise instead of mixing rows scored against two
+    different corpora."""
+    from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+    from cs6300_vectordbs_spark.streaming.search import (
+        serve_graph_query_stream,
+    )
+
+    dim, n = 8, 32
+    def corpus(bump):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + j * 3) % 11 - 5) + bump
+                     for j in range(dim)])
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    gpath = str(tmp_path / "nswg")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    ensure_nsw_graph(spark, corpus(0.0), gpath, k=4)
+    spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5] * dim)],
+        "query_id long, query_vec array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    got = serve_graph_query_stream(
+        spark, stream(), corpus(0.0), gpath, 3, dim=dim, out_path=out,
+        checkpoint_location=ckpt,
+    )
+    assert got.count() == 6
+    # another query file arrives, but the corpus has been regenerated
+    spark.createDataFrame(
+        [(2, [0.25] * dim)], "query_id long, query_vec array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        serve_graph_query_stream(
+            spark, stream(), corpus(9.0), gpath, 3, dim=dim,
+            out_path=out, checkpoint_location=ckpt,
+        )
+
+
 def test_resumable_drain_requires_explicit_out_path(spark, tmp_path):
     """checkpoint_location without out_path must be rejected up front:
     the checkpoint skips committed batches on restart, so their rows
