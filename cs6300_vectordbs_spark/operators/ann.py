@@ -1455,6 +1455,18 @@ def nsw_beam_search(
       a short array raises if and only if the beam actually scores
       that row — the same laziness as the join path's ANSI
       out-of-bounds error.
+
+    CONTRACT — unique query ids: the bit-identity between the two
+    strategies holds only when each ``query_id`` appears ONCE in
+    ``queries``. For a duplicated id the join path's row_number window
+    pools all of that id's rows into one shared beam/k budget (fewer
+    than k result rows per occurrence), while the broadcast kernel
+    serves each occurrence independently (k rows each). Neither is
+    "the" answer for ambiguous input — dedupe query ids upstream.
+    (Corpus-id uniqueness IS validated on the broadcast path; query-id
+    uniqueness is not, because checking it would add a corpus-of-
+    queries-sized aggregate job to every serve call, including every
+    streaming micro-batch.)
     """
     # ef >= k, the HNSW convention: the final ranking can only pick
     # from the beam, which is capped at beam_width rows per query —
@@ -1610,6 +1622,11 @@ def nsw_broadcast_server(
     search is one mapInPandas stage: at 1000 executors the graph
     ships once per executor and a billion-query stream needs no
     shuffle at all.
+
+    Query ids must be unique for join-path bit-identity (see
+    nsw_beam_search's unique-query-id contract): a duplicated id is
+    served independently per occurrence here but pooled into one
+    beam/k budget by the join path's window.
     """
     import math
 
@@ -1868,6 +1885,7 @@ def nsw_insert_edges(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     serve: str = "joins",
+    check_disjoint: bool = True,
 ) -> DataFrame:
     """Incremental NSW graph maintenance: HNSW-style INSERT of a batch
     of new vectors into an existing graph, without the O(N²/B) kNN
@@ -1888,7 +1906,15 @@ def nsw_insert_edges(
 
     New ids must be DISJOINT from the existing corpus ids (an id
     collision is an upsert, not an insert — route those through the
-    upsert-compact lifecycle first). Scale shape: the insert costs
+    upsert-compact lifecycle first). ENFORCED by default
+    (``check_disjoint``): a colliding id would otherwise silently
+    merge links computed with ``exclude_self`` suppressing the
+    colliding node — a quietly corrupted edge list, not an error. The
+    guard is one broadcast semi-join of the (small) batch ids against
+    the corpus with a take(1) early-out; set ``check_disjoint=False``
+    only when the caller already proved disjointness (e.g. the ids
+    come from a split of one table on disjoint predicates). Scale
+    shape: the insert costs
     O(|new| x n_iters x beam x degree) score evaluations —
     independent of |old|, while a rebuild pays O(|old|²/B) — and with
     ``serve='broadcast'`` the whole batch is one mapInPandas pass
@@ -1898,6 +1924,26 @@ def nsw_insert_edges(
     re-canonicalizes — same compaction discipline as the LSM upsert
     path.
     """
+    if check_disjoint:
+        collided = (
+            emb.select(id_col)
+            .join(
+                F.broadcast(new_vecs.select(id_col).distinct()),
+                id_col,
+                "inner",
+            )
+            .take(1)
+        )
+        if collided:
+            raise ValueError(
+                f"nsw_insert_edges: new id {collided[0][0]!r} already "
+                "exists in the indexed corpus — an id collision is an "
+                "UPSERT, not an insert (the beam's exclude_self would "
+                "silently suppress the colliding node and corrupt the "
+                "merged edge list); route it through the upsert-compact "
+                "lifecycle, or pass check_disjoint=False after proving "
+                "disjointness"
+            )
     q = new_vecs.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )

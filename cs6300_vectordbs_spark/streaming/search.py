@@ -278,11 +278,24 @@ def serve_graph_query_stream(
         "exclude_self": bool(exclude_self),
     }
     if checkpoint_location is not None:
-        from ..sources.index_common import corpus_fingerprint
+        from ..sources.index_common import (
+            corpus_fingerprint,
+            read_fingerprint,
+        )
 
         params["corpus_fp"] = corpus_fingerprint(
             corpus, ["vec_id", "embedding"]
         )
+        # Pin the GRAPH CONTENT too, not just its path: graph_path is
+        # an abspath, but an in-place rebuild under different build
+        # params (k/salt change the edge list while every serving
+        # param pinned above stays equal) would otherwise let a resume
+        # silently mix batches served over two different edge lists —
+        # the same failure mode the corpus_fp pin closes for the
+        # scoring vectors. ensure_nsw_graph always commits a
+        # fingerprint; a hand-built edges dir pins None, which still
+        # changes (to a string) the moment ensure_* manages the path.
+        params["graph_fp"] = read_fingerprint(graph_path)
     return _drain(
         spark,
         queries_stream,

@@ -135,3 +135,49 @@ def test_beam_width_widens_to_k(spark):
     )
     counts = [r["count"] for r in out.groupBy("query_id").count().collect()]
     assert counts == [10, 10]
+
+
+def test_insert_id_collision_fails_loud(spark):
+    """nsw_insert_edges enforces its disjoint-ids contract: an id
+    collision (an upsert fed to the insert path) raises instead of
+    silently merging links computed with exclude_self suppressing the
+    colliding node."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_insert_edges
+
+    dim = 8
+    corpus = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+         for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "a long, b long"
+    )
+    colliding = spark.createDataFrame(
+        [(5, [1.0] * dim), (100, [0.5] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="already\n?.*exists|UPSERT"):
+        nsw_insert_edges(
+            corpus, colliding, edges=edges, k=3, beam_width=4,
+            n_iters=2, n_entries=3, dim=dim, serve="broadcast",
+        )
+    # disjoint batch passes the guard and links only new-vs-old
+    disjoint = spark.createDataFrame(
+        [(100, [0.5] * dim), (101, [0.25] * dim)],
+        "vec_id long, embedding array<double>",
+    )
+    merged = nsw_insert_edges(
+        corpus, disjoint, edges=edges, k=3, beam_width=4,
+        n_iters=2, n_entries=3, dim=dim, serve="broadcast",
+    )
+    links = merged.filter((F.col("a") >= 100) | (F.col("b") >= 100))
+    assert links.count() > 0
+    assert links.filter((F.col("a") >= 100) & (F.col("b") >= 100)).count() == 0
+    # check_disjoint=False skips the guard (caller-proved disjointness)
+    out = nsw_insert_edges(
+        corpus, disjoint, edges=edges, k=3, beam_width=4,
+        n_iters=2, n_entries=3, dim=dim, serve="broadcast",
+        check_disjoint=False,
+    )
+    assert out.count() == merged.count()

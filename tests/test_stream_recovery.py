@@ -591,3 +591,57 @@ def test_upsert_crash_window_retry_with_new_params_refused(spark, tmp_path):
     q2.awaitTermination()
     rows = {tuple(r) for r in spark.read.parquet(table).collect()}
     assert rows == {(1, "a1", 2)}
+
+
+def test_graph_stream_resume_pins_graph_content(spark, tmp_path):
+    """The graph drain's sidecar pins the stored GRAPH fingerprint,
+    not just graph_path: an in-place rebuild under different BUILD
+    params (k changes the edge list; no pinned serving param changes)
+    must make a resume raise instead of silently mixing batches served
+    over two different edge lists."""
+    from cs6300_vectordbs_spark.sources.graph_index import ensure_nsw_graph
+    from cs6300_vectordbs_spark.streaming.search import (
+        serve_graph_query_stream,
+    )
+
+    dim, n = 8, 32
+    corpus = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    gpath = str(tmp_path / "nswg")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    ensure_nsw_graph(spark, corpus, gpath, k=4)
+    spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5] * dim)],
+        "query_id long, query_vec array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    got = serve_graph_query_stream(
+        spark, stream(), corpus, gpath, 3, dim=dim, out_path=out,
+        checkpoint_location=ckpt,
+    )
+    assert got.count() == 6
+    # the graph is rebuilt IN PLACE with a different build degree —
+    # same path, same corpus, same serving params
+    ensure_nsw_graph(spark, corpus, gpath, k=6)
+    spark.createDataFrame(
+        [(2, [0.25] * dim)], "query_id long, query_vec array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        serve_graph_query_stream(
+            spark, stream(), corpus, gpath, 3, dim=dim,
+            out_path=out, checkpoint_location=ckpt,
+        )
