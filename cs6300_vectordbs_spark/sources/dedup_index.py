@@ -58,6 +58,7 @@ from ..operators.dedup import (
     minhash_signature_table,
 )
 from .index_common import (
+    build_lock,
     corpus_fingerprint,
     invalidate_fingerprint,
     read_fingerprint,
@@ -158,13 +159,18 @@ def ensure_dedup_index(
     )
     if dedup_index_exists(path) and read_fingerprint(path) == fp:
         return
-    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
-    build_dedup_index(
-        docs, path, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, bands=bands,
-        shingle_n=shingle_n, n_buckets=n_buckets,
-    )
-    write_fingerprint(path, fp)
+    with build_lock(path):
+        # Re-check under the lock: a concurrent builder we blocked on
+        # may have committed exactly this fingerprint.
+        if dedup_index_exists(path) and read_fingerprint(path) == fp:
+            return
+        invalidate_fingerprint(path)  # crash mid-rebuild => no marker
+        build_dedup_index(
+            docs, path, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, n_buckets=n_buckets,
+        )
+        write_fingerprint(path, fp)
 
 
 def ensure_dedup_groups(
@@ -199,16 +205,22 @@ def ensure_dedup_groups(
         and read_fingerprint(path) == fp
     ):
         return spark.read.parquet(f"{path}/groups")
-    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
-    members, _base, has_dups = _exact_groups(
-        docs, id_col=id_col, text_col=text_col
-    )
-    if not has_dups:
-        members = docs.select(
-            F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
-        ).limit(0)
-    members.write.mode("overwrite").parquet(f"{path}/groups")
-    write_fingerprint(path, fp)
+    with build_lock(path):
+        if not (
+            os.path.exists(f"{path}/groups/_SUCCESS")
+            and read_fingerprint(path) == fp
+        ):
+            invalidate_fingerprint(path)  # crash mid-rebuild => no marker
+            members, _base, has_dups = _exact_groups(
+                docs, id_col=id_col, text_col=text_col
+            )
+            if not has_dups:
+                members = docs.select(
+                    F.col(id_col).alias("id"),
+                    F.col(id_col).alias("rep_id"),
+                ).limit(0)
+            members.write.mode("overwrite").parquet(f"{path}/groups")
+            write_fingerprint(path, fp)
     return spark.read.parquet(f"{path}/groups")
 
 
@@ -298,11 +310,13 @@ def ensure_signature_tables(
         },
     )
     parts = ("groups", "minhash", "shingles", "simhash")
-    complete = all(
-        os.path.exists(f"{path}/{p}/_SUCCESS") for p in parts
-    ) and read_fingerprint(path) == fp
 
-    if complete:
+    def _complete() -> bool:
+        return all(
+            os.path.exists(f"{path}/{p}/_SUCCESS") for p in parts
+        ) and read_fingerprint(path) == fp
+
+    def _reuse() -> dict:
         # Reuse: reconstruct the collapsed base EXACTLY as
         # _exact_groups builds it (anti-join of docs against the
         # non-representative ids) so downstream plans are identical,
@@ -365,47 +379,58 @@ def ensure_signature_tables(
             out[name] = df
         return out
 
-    # Build: run the operators' own builders THROUGH the session memo
-    # (so the in-session state and the stored tables are one and the
-    # same), write each table, commit the fingerprint last. Any
-    # previous marker is removed FIRST so a crash mid-rebuild can
-    # never leave a committed-looking mix of old and new tables.
-    invalidate_fingerprint(path)
-    members, base, has_dups = _exact_groups(
-        docs, id_col=id_col, text_col=text_col
-    )
-    groups = members if has_dups else docs.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
-    ).limit(0)
-    groups.write.mode("overwrite").parquet(f"{path}/groups")
+    if _complete():
+        return _reuse()
 
-    built = {
-        "minhash": _memo_checkpoint(
-            base, tags["minhash"],
-            lambda: minhash_signature_table(
-                base, id_col=id_col, text_col=text_col,
-                num_hashes=num_hashes, shingle_n=shingle_n,
+    with build_lock(path):
+        # Re-check under the lock: a concurrent builder we blocked on
+        # may have committed exactly this fingerprint — serve its
+        # tables through the normal reuse path instead of rebuilding.
+        if _complete():
+            return _reuse()
+        # Build: run the operators' own builders THROUGH the session
+        # memo (so the in-session state and the stored tables are one
+        # and the same), write each table, commit the fingerprint
+        # last. Any previous marker is removed FIRST so a crash
+        # mid-rebuild can never leave a committed-looking mix of old
+        # and new tables.
+        invalidate_fingerprint(path)
+        members, base, has_dups = _exact_groups(
+            docs, id_col=id_col, text_col=text_col
+        )
+        groups = members if has_dups else docs.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
+        ).limit(0)
+        groups.write.mode("overwrite").parquet(f"{path}/groups")
+
+        built = {
+            "minhash": _memo_checkpoint(
+                base, tags["minhash"],
+                lambda: minhash_signature_table(
+                    base, id_col=id_col, text_col=text_col,
+                    num_hashes=num_hashes, shingle_n=shingle_n,
+                ),
             ),
-        ),
-        "shingles": _memo_checkpoint(
-            base, tags["shingles"],
-            lambda: shingle_rows(
-                base, id_col=id_col, text_col=text_col, n=ngram_n
-            ).withColumn(
-                "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+            "shingles": _memo_checkpoint(
+                base, tags["shingles"],
+                lambda: shingle_rows(
+                    base, id_col=id_col, text_col=text_col, n=ngram_n
+                ).withColumn(
+                    "n_sh",
+                    F.count(F.lit(1)).over(Window.partitionBy("id")),
+                ),
             ),
-        ),
-        "simhash": _memo_checkpoint(
-            base, tags["simhash"],
-            lambda: simhash_fingerprints(
-                base, id_col=id_col, text_col=text_col, n=simhash_n
+            "simhash": _memo_checkpoint(
+                base, tags["simhash"],
+                lambda: simhash_fingerprints(
+                    base, id_col=id_col, text_col=text_col, n=simhash_n
+                ),
             ),
-        ),
-    }
-    for name, df in built.items():
-        df.write.mode("overwrite").parquet(f"{path}/{name}")
-    write_fingerprint(path, fp)
-    return {"groups": spark.read.parquet(f"{path}/groups"), **built}
+        }
+        for name, df in built.items():
+            df.write.mode("overwrite").parquet(f"{path}/{name}")
+        write_fingerprint(path, fp)
+        return {"groups": spark.read.parquet(f"{path}/groups"), **built}
 
 
 def probe_dedup_index(

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .index_common import (
+    build_lock,
     corpus_fingerprint,
     invalidate_fingerprint,
     read_fingerprint,
@@ -97,11 +98,16 @@ def ensure_nsw_graph(
         {"k": k, "salt": salt, "scheme": "hashmod-v1"},
     )
     if not (nsw_graph_exists(path) and read_fingerprint(path) == fp):
-        invalidate_fingerprint(path)  # crash mid-rebuild => no marker
-        build_nsw_graph(
-            corpus, path, k=k, salt=salt, id_col=id_col, vec_col=vec_col
-        )
-        write_fingerprint(path, fp)
+        with build_lock(path):
+            # Re-check under the lock: a concurrent builder we blocked
+            # on may have committed exactly this fingerprint.
+            if not (nsw_graph_exists(path) and read_fingerprint(path) == fp):
+                invalidate_fingerprint(path)  # crash mid-rebuild => no marker
+                build_nsw_graph(
+                    corpus, path, k=k, salt=salt,
+                    id_col=id_col, vec_col=vec_col,
+                )
+                write_fingerprint(path, fp)
     return spark.read.parquet(f"{path}/edges")
 
 
@@ -167,14 +173,20 @@ def append_nsw_graph(
     )
     mpath = f"{path}/merged"
     if not (nsw_graph_exists(mpath) and read_fingerprint(mpath) == merged_fp):
-        from ..operators.ann import nsw_insert_edges
+        with build_lock(mpath):
+            if not (
+                nsw_graph_exists(mpath)
+                and read_fingerprint(mpath) == merged_fp
+            ):
+                from ..operators.ann import nsw_insert_edges
 
-        invalidate_fingerprint(mpath)
-        merged = nsw_insert_edges(
-            corpus, new_vecs, edges=base, k=k, beam_width=beam_width,
-            n_iters=n_iters, n_entries=n_entries, dim=dim,
-            id_col=id_col, vec_col=vec_col, serve=serve,
-        )
-        merged.write.mode("overwrite").parquet(f"{mpath}/edges")
-        write_fingerprint(mpath, merged_fp)
+                invalidate_fingerprint(mpath)
+                merged = nsw_insert_edges(
+                    corpus, new_vecs, edges=base, k=k,
+                    beam_width=beam_width, n_iters=n_iters,
+                    n_entries=n_entries, dim=dim,
+                    id_col=id_col, vec_col=vec_col, serve=serve,
+                )
+                merged.write.mode("overwrite").parquet(f"{mpath}/edges")
+                write_fingerprint(mpath, merged_fp)
     return spark.read.parquet(f"{mpath}/edges")

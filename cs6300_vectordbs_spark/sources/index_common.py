@@ -19,21 +19,51 @@ one was never committed), so the next ``ensure_*`` rebuilds
 unconditionally; a torn or interleaved old/new layout is never
 served, even when the crash interrupted a REBUILD over a previously
 committed index whose directories still carry ``_SUCCESS`` markers.
-CONCURRENCY CONTRACT: one writer per
-index path. The fingerprint commit is atomic, but the parquet
-directories underneath are not transactional — two builders racing
-the same path can interleave their table overwrites. Run concurrent
-``ensure_*`` calls for the same path behind an external lock or a
-per-job staging path; concurrent READERS of a completed index are
-unrestricted.
+CONCURRENCY CONTRACT: every ``ensure_*`` in the family serializes
+its check-build-commit section behind an exclusive ``flock`` on
+``{path}/.build_lock`` (``build_lock``), with a double-checked
+fingerprint read inside the lock — two builders racing one path
+therefore never interleave their table overwrites: one builds, the
+other blocks and then reuses the winner's committed index. The lock
+is advisory and POSIX-scoped: it protects concurrent builders on ONE
+host/filesystem (the local/driver case — executors never call
+ensure_*); builders on different hosts sharing object storage need a
+per-job staging path instead, since flock does not span S3/HDFS. The
+OS releases the lock on process death, so a crashed builder never
+wedges the path (and the invalidate-first protocol above makes its
+partial build invisible). Concurrent READERS of a completed index
+are unrestricted and never take the lock.
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def build_lock(path: str):
+    """Exclusive advisory lock for an index path's build section.
+
+    Usage (every ``ensure_*``): check the fingerprint OUTSIDE the lock
+    (the hot reuse path stays lock-free), and on a miss take the lock
+    and CHECK AGAIN before building — a builder that blocked here
+    usually wakes to find the winner's committed index and serves it
+    without rebuilding. flock (not lockf) so the lock follows the open
+    file description: it survives fork-exec'd Spark workers ignoring
+    it and releases automatically if the builder dies mid-build."""
+    os.makedirs(path, exist_ok=True)
+    fd = os.open(f"{path}/.build_lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        # closing releases the flock held on this open file description
+        os.close(fd)
 
 
 def corpus_fingerprint(

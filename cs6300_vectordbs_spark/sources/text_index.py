@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..operators.dedup import shingle_rows
 from .index_common import (
+    build_lock,
     corpus_fingerprint,
     invalidate_fingerprint,
     read_fingerprint,
@@ -134,12 +135,17 @@ def ensure_text_index(
     )
     if text_index_exists(path) and read_fingerprint(path) == fp:
         return
-    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
-    build_text_index(
-        docs, path, id_col=id_col, text_col=text_col,
-        k1=k1, b=b, n_buckets=n_buckets,
-    )
-    write_fingerprint(path, fp)
+    with build_lock(path):
+        # Re-check under the lock: a concurrent builder we blocked on
+        # may have committed exactly this fingerprint.
+        if text_index_exists(path) and read_fingerprint(path) == fp:
+            return
+        invalidate_fingerprint(path)  # crash mid-rebuild => no marker
+        build_text_index(
+            docs, path, id_col=id_col, text_col=text_col,
+            k1=k1, b=b, n_buckets=n_buckets,
+        )
+        write_fingerprint(path, fp)
 
 
 def search_text_index(

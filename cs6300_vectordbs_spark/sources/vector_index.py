@@ -35,6 +35,7 @@ from pyspark.sql.window import Window
 from ..functions.vector import cosine_sim
 from ..operators.util import spread
 from .index_common import (
+    build_lock,
     corpus_fingerprint,
     invalidate_fingerprint,
     read_fingerprint,
@@ -125,12 +126,17 @@ def ensure_ivf_index(
     )
     if ivf_index_exists(path) and read_fingerprint(path) == fp:
         return
-    invalidate_fingerprint(path)  # crash mid-rebuild => no marker
-    build_ivf_index(
-        corpus, path, dim=dim, n_cells=n_cells,
-        corpus_id=corpus_id, corpus_vec=corpus_vec,
-    )
-    write_fingerprint(path, fp)
+    with build_lock(path):
+        # Re-check under the lock: a concurrent builder we blocked on
+        # may have committed exactly this fingerprint.
+        if ivf_index_exists(path) and read_fingerprint(path) == fp:
+            return
+        invalidate_fingerprint(path)  # crash mid-rebuild => no marker
+        build_ivf_index(
+            corpus, path, dim=dim, n_cells=n_cells,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        )
+        write_fingerprint(path, fp)
 
 
 def search_ivf_index(
