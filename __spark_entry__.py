@@ -9011,6 +9011,222 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     )
 
 
+# Multi-batch chain split: two ingest batches (residues 3 and 5 mod 7,
+# ~1/7 of the corpus each), old = the remaining five residues.
+_CHAIN_REMS = (3, 5)
+
+
+def q_nsw_chained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch persisted insert chaining (sources/graph_index.
+    append_nsw_graph_chain): the daily-ingest lifecycle. The corpus
+    splits into an existing indexed part (5/7 of ids) and TWO ingest
+    batches (1/7 each); batch 1 inserts HNSW-style onto the stored
+    base graph, batch 2 inserts onto the stored merged-1 layer —
+    WITHOUT re-running batch 1's insert beams (each layer is its own
+    content-addressed store whose fingerprint covers the previous
+    layer's transitively; the reference's HNSW upserts incrementally
+    forever, /root/reference/src/db.py:82-86). The standard query
+    batch then serves over the deepest layer. compact_depth=4 keeps
+    both layers on the insert path here; the every-Dth-batch fold into
+    a full rebuild is pinned by tests/test_graph_index.py::
+    test_chain_compaction. Fully deterministic: two stacked insert
+    beams + the serve beam, each with the engine's total tie orders —
+    a FULL value-hash oracle (three unrolled beam CTE blocks)."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        append_nsw_graph_chain,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/nsw_chain_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    rem = F.col("vec_id") % _INS_MOD
+    old = emb.filter(~rem.isin(*_CHAIN_REMS))
+    batches = [
+        emb.filter((rem == r) & F.col("embedding").isNotNull())
+        for r in _CHAIN_REMS
+    ]
+    chained = append_nsw_graph_chain(
+        spark, old, batches, path, k=_NSW_K, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES, dim=EMB_DIM,
+        serve="broadcast", compact_depth=4,
+    ).localCheckpoint(eager=True)
+    out = nsw_beam_search(
+        emb, _query_batch(emb), TOPK, edges=chained,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        dim=EMB_DIM, exclude_self=True, serve="broadcast",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_nsw_chain() -> str:
+    """The chain's twin: the old graph in SQL (kNN + shortcuts over
+    the 5/7 split), then ONE UNROLLED INSERT BEAM PER BATCH — batch j
+    scores against the accumulated corpus cnv{j-1} and walks the
+    accumulated edge list dir{j-1}, exactly the engine's layer-j build
+    — then the standard serve beam over the final merged graph. The
+    generator loops over _CHAIN_REMS so the CTE stack is the verified
+    _oracle_nsw_insert pattern applied j times."""
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    rems = ", ".join(str(r) for r in _CHAIN_REMS)
+    ctes = [f"""old_c AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_INS_MOD} NOT IN ({rems})
+),
+cnv0 AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM old_c
+),
+simsk AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM cnv0 q JOIN cnv0 e ON e.vec_id != q.vec_id
+),
+knnk AS MATERIALIZED (
+  SELECT query_id, vec_id FROM simsk
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+ncnt AS MATERIALIZED (SELECT count(*) AS n FROM old_c),
+sc AS MATERIALIZED (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM old_c e JOIN old_c d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM ncnt))
+  WHERE e.vec_id != d.vec_id
+),
+edges0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM knnk
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM sc)
+),
+dir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges0
+         UNION ALL SELECT b, a FROM edges0)"""]
+    for j, r in enumerate(_CHAIN_REMS, 1):
+        p = j - 1
+        ctes.append(f"""deg{p} AS MATERIALIZED (
+  SELECT src, count(*) AS degree FROM dir{p} GROUP BY src),
+hubs{p} AS MATERIALIZED (SELECT src AS node FROM deg{p}
+          ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+q{j} AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+  WHERE vec_id % {_INS_MOD} = {r} AND embedding IS NOT NULL
+),
+i{j}_0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, h.node, {sim} AS sim
+          FROM q{j} q CROSS JOIN hubs{p} h
+          JOIN cnv{p} n ON n.vec_id = h.node
+          WHERE h.node != q.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+        for i in range(1, _NSW_HOPS + 1):
+            ctes.append(f"""ci{j}_{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM i{j}_{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM i{j}_{i - 1} b JOIN dir{p} d ON d.src = b.node)
+),
+i{j}_{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM ci{j}_{i} c JOIN cnv{p} n ON n.vec_id = c.node
+          JOIN q{j} q ON q.query_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+        ctes.append(f"""ins{j} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM i{j}_{_NSW_HOPS}
+  ) WHERE rn <= {_NSW_K}
+),
+edges{j} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM edges{p}
+    UNION ALL
+    SELECT least(query_id, node) AS a, greatest(query_id, node) AS b
+    FROM ins{j})
+),
+dir{j} AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges{j}
+         UNION ALL SELECT b, a FROM edges{j}),
+cnv{j} AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm FROM cnv{p}
+  UNION ALL
+  SELECT query_id AS vec_id, embedding, nrm FROM q{j})""")
+    B = len(_CHAIN_REMS)
+    ctes.append(f"""degf AS MATERIALIZED (
+  SELECT src, count(*) AS degree FROM dir{B} GROUP BY src),
+hubsf AS MATERIALIZED (SELECT src AS node FROM degf
+          ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+nva AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+qb AS MATERIALIZED (SELECT vec_id AS query_id, embedding, nrm FROM nva
+       WHERE vec_id < {N_QUERIES}),
+s0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, h.node, {sim} AS sim
+          FROM qb q CROSS JOIN hubsf h JOIN nva n ON n.vec_id = h.node
+          WHERE h.node != q.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""cs{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM s{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM s{i - 1} b JOIN dir{B} d ON d.src = b.node)
+),
+s{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM cs{i} c JOIN nva n ON n.vec_id = c.node
+          JOIN nva q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM s{_NSW_HOPS}
+) WHERE rank <= {TOPK}"""
+    )
+
+
 def q_dedup_groups_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED exact-dup group table (S9 create-if-absent,
     sources/dedup_index.ensure_dedup_groups): (id, rep_id) for every
@@ -9821,6 +10037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotations) to the front of the r09 queue — the simhash_buckets
     # displacement pattern, documented in DRIVER_COVERAGE.md.
     return {
+        "nsw_chained_topk": q_nsw_chained_topk,
         "nsw_insert_topk": q_nsw_insert_topk,
         "nsw_appended_topk": q_nsw_appended_topk,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
@@ -10209,5 +10426,6 @@ def oracle_sql() -> dict[str, str]:
         # vs exact top-k / exact-percentile twins in tests/).
         "nsw_insert_topk": _oracle_nsw_insert(),
         "nsw_appended_topk": _oracle_nsw_insert(),
+        "nsw_chained_topk": _oracle_nsw_chain(),
         "nsw_search_stream": _oracle_nsw_beam(),
     }

@@ -155,3 +155,113 @@ def test_append_lifecycle(spark, tmp_path):
     )
     assert _edge_files_sig(f"{path}/merged") != sig3
     assert _edge_files_sig(f"{path}/base") == base_sig
+
+
+def _batch(spark, start, n=5, dim=8, mult=5):
+    return spark.createDataFrame(
+        [(start + i, [float((i * mult + d) % 9 - 4) for d in range(dim)])
+         for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_chain_lifecycle(spark, tmp_path):
+    """Multi-batch chain (append_nsw_graph_chain): batch N+1 appends
+    onto stored merged-N without re-paying batches 1..N; unchanged
+    prefixes serve stored layers byte-identically; editing an early
+    batch invalidates transitively."""
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        append_nsw_graph,
+        append_nsw_graph_chain,
+    )
+
+    path = str(tmp_path / "chain")
+    corpus = _corpus(spark, n=40)
+    b1 = _batch(spark, 100, mult=5)
+    b2 = _batch(spark, 200, mult=3)
+
+    kw = dict(k=4, beam_width=6, n_iters=3, n_entries=4, dim=8,
+              compact_depth=4)
+    e2 = append_nsw_graph_chain(spark, corpus, [b1, b2], path, **kw)
+    # both batches linked, all new links pair new-vs-existing
+    l2 = e2.filter((F.col("a") >= 200) | (F.col("b") >= 200)).collect()
+    assert {a for r in l2 for a in (r.a, r.b) if a >= 200} == set(
+        range(200, 205)
+    )
+    sigs = {
+        lay: _edge_files_sig(f"{path}/{lay}")
+        for lay in ("base", "layer-0001", "layer-0002")
+    }
+
+    # a 1-batch chain's layer equals the two-layer append's merged list
+    apath = str(tmp_path / "two_layer")
+    merged = append_nsw_graph(
+        spark, corpus, b1, apath, k=4, beam_width=6, n_iters=3,
+        n_entries=4, dim=8,
+    )
+    chain1 = spark.read.parquet(f"{path}/layer-0001/edges")
+    assert sorted(map(tuple, chain1.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    # unchanged inputs -> every layer reuses byte-identically
+    append_nsw_graph_chain(spark, corpus, [b1, b2], path, **kw)
+    for lay, sig in sigs.items():
+        assert _edge_files_sig(f"{path}/{lay}") == sig, lay
+
+    # appending batch 3 builds ONLY layer-0003 (earlier layers and
+    # their insert beams are never re-run — the O(batch) claim)
+    b3 = _batch(spark, 300, mult=7)
+    e3 = append_nsw_graph_chain(spark, corpus, [b1, b2, b3], path, **kw)
+    for lay, sig in sigs.items():
+        assert _edge_files_sig(f"{path}/{lay}") == sig, lay
+    assert e3.filter((F.col("a") >= 300) | (F.col("b") >= 300)).count() > 0
+
+    # editing batch 1 invalidates layers 1.. transitively (its
+    # fingerprint feeds every later layer's), base reuses
+    b1x = b1.withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(1.0))
+    )
+    append_nsw_graph_chain(spark, corpus, [b1x, b2, b3], path, **kw)
+    assert _edge_files_sig(f"{path}/base") == sigs["base"]
+    assert _edge_files_sig(f"{path}/layer-0001") != sigs["layer-0001"]
+    assert _edge_files_sig(f"{path}/layer-0002") != sigs["layer-0002"]
+
+
+def test_chain_compaction(spark, tmp_path):
+    """Every compact_depth-th insert layer folds into a full rebuild
+    over the accumulated corpus: the stored compact layer's edge set
+    equals a from-scratch ensure_nsw_graph over the union, its
+    fingerprint says kind=compact, and the depth counter resets."""
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        append_nsw_graph_chain,
+    )
+    from cs6300_vectordbs_spark.sources.index_common import (
+        read_fingerprint,
+    )
+
+    path = str(tmp_path / "chainc")
+    corpus = _corpus(spark, n=40)
+    b1 = _batch(spark, 100, mult=5)
+    b2 = _batch(spark, 200, mult=3)
+    b3 = _batch(spark, 300, mult=7)
+
+    kw = dict(k=4, beam_width=6, n_iters=3, n_entries=4, dim=8,
+              compact_depth=2)
+    append_nsw_graph_chain(spark, corpus, [b1, b2, b3], path, **kw)
+    fp1 = read_fingerprint(f"{path}/layer-0001")
+    fp2 = read_fingerprint(f"{path}/layer-0002")
+    fp3 = read_fingerprint(f"{path}/layer-0003")
+    assert "kind=insert" in fp1
+    assert "kind=compact" in fp2  # depth hit 2 -> fold
+    assert "kind=insert" in fp3  # counter reset after the fold
+
+    # the compact layer IS the full build over corpus + b1 + b2
+    union = corpus.unionByName(b1).unionByName(b2)
+    ref = ensure_nsw_graph(
+        spark, union, str(tmp_path / "full"), k=4
+    )
+    got = spark.read.parquet(f"{path}/layer-0002/edges")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
