@@ -9015,6 +9015,154 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
 # ~1/7 of the corpus each), old = the remaining five residues.
 _CHAIN_REMS = (3, 5)
 
+# Tombstone split: ids with vec_id % 9 == 4 (~1/9 of the corpus) are
+# deleted from the served graph.
+_TOMB_MOD, _TOMB_REM = 9, 4
+
+
+def q_nsw_tombstoned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE for the graph index (sources/graph_index.
+    delete_from_nsw_graph / apply_nsw_tombstones): ~1/9 of the corpus
+    is tombstoned — the shape a curation pipeline produces when dedup
+    drops losers from an already-indexed corpus — and the standard
+    query batch serves over the filtered graph: tombstoned nodes leave
+    BOTH the scoring corpus and the edge list (either endpoint), so no
+    hop routes through a deleted node and no deleted id can rank. The
+    expensive edge list is untouched (soft delete); past a tombstone-
+    fraction threshold compact_nsw_tombstones rebuilds over survivors
+    (pinned in tests/test_graph_index.py::test_tombstone_compaction).
+    Deterministic end-to-end -> FULL value-hash oracle: the full-build
+    graph CTEs, the tombstone filters, then the serve beam over the
+    survivor view."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        apply_nsw_tombstones,
+        delete_from_nsw_graph,
+        ensure_nsw_graph,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/nsw_tomb_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_nsw_graph(spark, emb, path, k=_NSW_K)
+    dels = emb.filter(
+        F.col("vec_id") % _TOMB_MOD == _TOMB_REM
+    ).select("vec_id")
+    delete_from_nsw_graph(spark, dels, path)
+    live, live_edges = apply_nsw_tombstones(spark, emb, path)
+    out = nsw_beam_search(
+        live, _query_batch(emb), TOPK, edges=live_edges,
+        beam_width=_NSW_BEAM, n_iters=_NSW_HOPS, n_entries=_NSW_ENTRIES,
+        dim=EMB_DIM, exclude_self=True, serve="broadcast",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_nsw_tomb() -> str:
+    """The tombstoned serve's twin: the full-corpus graph build
+    (identical to _oracle_nsw_beam's CTEs — the edge list was built
+    BEFORE the deletes), the tombstone set, endpoint filters on the
+    edge list + a survivor filter on the scoring corpus, then the
+    standard serve beam over the filtered view (hubs recomputed from
+    the filtered degree, exactly like the engine)."""
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    ctes = [f"""nv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+sims12 AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM nv q JOIN nv e ON e.vec_id != q.vec_id
+),
+knn12 AS MATERIALIZED (
+  SELECT query_id, vec_id FROM sims12
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+ncnt AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+sc AS MATERIALIZED (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM embeddings e JOIN embeddings d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM ncnt))
+  WHERE e.vec_id != d.vec_id
+),
+alledges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM knn12
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM sc)
+),
+tomb AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % {_TOMB_MOD} = {_TOMB_REM}
+),
+edges AS MATERIALIZED (
+  SELECT a, b FROM alledges
+  WHERE a NOT IN (SELECT vec_id FROM tomb)
+    AND b NOT IN (SELECT vec_id FROM tomb)
+),
+nvl AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm FROM nv
+  WHERE vec_id NOT IN (SELECT vec_id FROM tomb)
+),
+dir AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+        UNION ALL SELECT b, a FROM edges),
+deg AS MATERIALIZED (SELECT src, count(*) AS degree FROM dir GROUP BY src),
+hubs AS MATERIALIZED (SELECT src AS node FROM deg
+         ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+qb AS MATERIALIZED (SELECT vec_id AS query_id, embedding, nrm FROM nv
+       WHERE vec_id < {N_QUERIES}),
+b0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, h.node, {sim} AS sim
+          FROM qb q CROSS JOIN hubs h JOIN nvl n ON n.vec_id = h.node
+          WHERE h.node != q.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)"""]
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""c{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM b{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM b{i - 1} b JOIN dir d ON d.src = b.node)
+),
+b{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM c{i} c JOIN nvl n ON n.vec_id = c.node
+          JOIN nv q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM b{_NSW_HOPS}
+) WHERE rank <= {TOPK}"""
+    )
+
 
 def q_nsw_chained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-batch persisted insert chaining (sources/graph_index.
@@ -10038,6 +10186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # displacement pattern, documented in DRIVER_COVERAGE.md.
     return {
         "nsw_chained_topk": q_nsw_chained_topk,
+        "nsw_tombstoned_topk": q_nsw_tombstoned_topk,
         "nsw_insert_topk": q_nsw_insert_topk,
         "nsw_appended_topk": q_nsw_appended_topk,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
@@ -10427,5 +10576,6 @@ def oracle_sql() -> dict[str, str]:
         "nsw_insert_topk": _oracle_nsw_insert(),
         "nsw_appended_topk": _oracle_nsw_insert(),
         "nsw_chained_topk": _oracle_nsw_chain(),
+        "nsw_tombstoned_topk": _oracle_nsw_tomb(),
         "nsw_search_stream": _oracle_nsw_beam(),
     }

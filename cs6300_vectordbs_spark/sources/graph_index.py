@@ -111,6 +111,123 @@ def ensure_nsw_graph(
     return spark.read.parquet(f"{path}/edges")
 
 
+def read_nsw_tombstones(
+    spark: SparkSession, path: str, *, like: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The graph's tombstone set: distinct deleted ids, or an empty
+    frame in the id column's type when nothing was ever deleted.
+    ``like`` supplies the id schema (the corpus the graph indexes)."""
+    tpath = f"{path}/tombstones"
+    if os.path.exists(tpath) and any(
+        e.endswith(".parquet") for e in os.listdir(tpath)
+    ):
+        return spark.read.parquet(tpath).select(id_col).distinct()
+    return like.select(id_col).limit(0)
+
+
+def delete_from_nsw_graph(
+    spark: SparkSession, ids: DataFrame, path: str, *,
+    id_col: str = "vec_id",
+) -> None:
+    """DELETE verb for the persisted NSW graph — the maintenance
+    operation a curation pipeline needs when it REMOVES documents
+    (dedup losers, policy filters): the expensive edge list stays
+    untouched; the deleted ids append to a tiny tombstone table that
+    serving filters (apply_nsw_tombstones) until compaction folds the
+    survivors into a fresh build (compact_nsw_tombstones) — the same
+    soft-delete-then-compact lifecycle real HNSW deployments use
+    (deletion is the one collection-maintenance verb the reference
+    gets from its stores, /root/reference/src/db.py:82-86, that a
+    grow-only graph can't express).
+
+    Idempotent: already-tombstoned ids are anti-joined away before the
+    append, so re-issuing a delete (a replayed batch) never grows the
+    table. Appends are single-writer like every store mutation here;
+    readers see the old set or the new set (parquet file listing),
+    never a torn row."""
+    tombs = ids.select(id_col).distinct()
+    existing = read_nsw_tombstones(spark, path, like=ids, id_col=id_col)
+    fresh = tombs.join(F.broadcast(existing), id_col, "left_anti")
+    # localCheckpoint BEFORE the append: fresh reads the same directory
+    # it writes (self-overwrite guard), and the write must not re-scan.
+    fresh = fresh.localCheckpoint(eager=True)
+    if fresh.take(1):
+        fresh.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def apply_nsw_tombstones(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(live_corpus, live_edges) for serving the graph at ``path``
+    under its tombstone set: tombstoned nodes drop from BOTH the
+    scoring corpus and the edge list (either endpoint), so every
+    serving strategy — the distributed joins, the broadcast kernel,
+    and the streaming drain that wraps it — ranks only survivors and
+    never routes a hop through a deleted node. The tombstone table is
+    output-of-deletes-sized, so both filters are broadcast anti-joins
+    (zero shuffle on the corpus/edge side). Deleting nodes degrades
+    connectivity for their former neighbors — the recall motivation
+    for compact_nsw_tombstones' threshold."""
+    tombs = read_nsw_tombstones(spark, path, like=corpus, id_col=id_col)
+    live = corpus.join(F.broadcast(tombs), id_col, "left_anti")
+    edges = spark.read.parquet(f"{path}/edges")
+    t_a = tombs.select(F.col(id_col).alias("a"))
+    t_b = tombs.select(F.col(id_col).alias("b"))
+    live_edges = edges.join(F.broadcast(t_a), "a", "left_anti").join(
+        F.broadcast(t_b), "b", "left_anti"
+    )
+    return live, live_edges
+
+
+def compact_nsw_tombstones(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    threshold: float = 0.2,
+    k: int = 12,
+    salt: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Fold the tombstone set into the graph once it costs too much:
+    when the tombstoned fraction of the indexed corpus reaches
+    ``threshold``, rebuild the edge list over the SURVIVORS (restoring
+    the exact-kNN connectivity the anti-join filtering eroded) and
+    clear the tombstone table; below it, do nothing (serving keeps
+    filtering). Returns whether a compaction ran. The rebuild is
+    ensure_nsw_graph over the survivor corpus — content-addressed,
+    invalidate-first, lock-serialized like every build here; the
+    tombstone clear happens AFTER the new fingerprint commits, so a
+    crash between the two merely re-filters ids the new graph no
+    longer contains (harmless anti-joins), never serves deleted rows.
+    """
+    tombs = read_nsw_tombstones(spark, path, like=corpus, id_col=id_col)
+    n_tomb = tombs.count()
+    if n_tomb == 0:
+        return False
+    n_corpus = corpus.count()
+    if n_corpus == 0 or (n_tomb / n_corpus) < threshold:
+        return False
+    survivors = corpus.join(F.broadcast(tombs), id_col, "left_anti")
+    # Materialize: the survivor plan reads the tombstone parquet this
+    # function deletes below — the rebuild must not re-scan it.
+    survivors = survivors.localCheckpoint(eager=True)
+    ensure_nsw_graph(
+        spark, survivors, path, k=k, salt=salt,
+        id_col=id_col, vec_col=vec_col,
+    )
+    import shutil
+
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return True
+
+
 def append_nsw_graph_chain(
     spark: SparkSession,
     corpus: DataFrame,

@@ -265,3 +265,99 @@ def test_chain_compaction(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, ref.collect())
     )
+
+
+def test_tombstone_lifecycle(spark, tmp_path):
+    """Delete verb: tombstoned nodes leave the scoring corpus and the
+    edge list (either endpoint) at serve time; deletes are idempotent;
+    serving over the filtered view equals nsw_beam_search over the
+    survivor corpus with the filtered edges."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_beam_search
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        apply_nsw_tombstones,
+        delete_from_nsw_graph,
+        read_nsw_tombstones,
+    )
+
+    path = str(tmp_path / "nswt")
+    corpus = _corpus(spark, n=40)
+    ensure_nsw_graph(spark, corpus, path, k=4)
+
+    dels = spark.createDataFrame([(3,), (7,), (11,)], "vec_id long")
+    delete_from_nsw_graph(spark, dels, path)
+    # idempotent: replaying the delete never grows the table
+    delete_from_nsw_graph(spark, dels, path)
+    tombs = read_nsw_tombstones(spark, path, like=corpus)
+    assert sorted(r.vec_id for r in tombs.collect()) == [3, 7, 11]
+
+    live, live_edges = apply_nsw_tombstones(spark, corpus, path)
+    assert live.count() == 37
+    assert live_edges.filter(
+        F.col("a").isin(3, 7, 11) | F.col("b").isin(3, 7, 11)
+    ).count() == 0
+
+    queries = live.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = nsw_beam_search(
+        live, queries, 3, edges=live_edges, beam_width=6, n_iters=3,
+        n_entries=4, dim=8, exclude_self=True, serve="broadcast",
+    )
+    rows = got.collect()
+    assert rows and all(r.vec_id not in (3, 7, 11) for r in rows)
+    # broadcast and join serving agree on the filtered view
+    got_j = nsw_beam_search(
+        live, queries, 3, edges=live_edges, beam_width=6, n_iters=3,
+        n_entries=4, dim=8, exclude_self=True, serve="joins",
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, got_j.collect()))
+
+
+def test_tombstone_compaction(spark, tmp_path):
+    """Compaction threshold: below it nothing happens (soft delete
+    keeps serving); at/above it the edge list rebuilds over the
+    survivors (equal to a from-scratch build) and the tombstone table
+    clears."""
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        compact_nsw_tombstones,
+        delete_from_nsw_graph,
+        read_nsw_tombstones,
+    )
+
+    path = str(tmp_path / "nswc")
+    corpus = _corpus(spark, n=40)
+    ensure_nsw_graph(spark, corpus, path, k=4)
+    sig = _edge_files_sig(path)
+
+    # 3/40 = 7.5% < 20% threshold -> no-op
+    delete_from_nsw_graph(
+        spark, spark.createDataFrame([(1,), (2,), (3,)], "vec_id long"),
+        path,
+    )
+    assert not compact_nsw_tombstones(
+        spark, corpus, path, threshold=0.2, k=4
+    )
+    assert _edge_files_sig(path) == sig
+    assert read_nsw_tombstones(spark, path, like=corpus).count() == 3
+
+    # push past the threshold: 10/40 = 25%
+    delete_from_nsw_graph(
+        spark,
+        spark.createDataFrame([(i,) for i in range(4, 11)], "vec_id long"),
+        path,
+    )
+    assert compact_nsw_tombstones(spark, corpus, path, threshold=0.2, k=4)
+    assert _edge_files_sig(path) != sig
+    assert read_nsw_tombstones(spark, path, like=corpus).count() == 0
+    # the compacted graph IS the from-scratch build over the survivors
+    survivors = corpus.filter(~F.col("vec_id").isin(*range(1, 11)))
+    ref = ensure_nsw_graph(spark, survivors, str(tmp_path / "ref"), k=4)
+    got = spark.read.parquet(f"{path}/edges")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    # and a re-ensure over the SURVIVOR corpus reuses it byte-identically
+    sig2 = _edge_files_sig(path)
+    ensure_nsw_graph(spark, survivors, path, k=4)
+    assert _edge_files_sig(path) == sig2
