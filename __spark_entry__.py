@@ -10160,40 +10160,75 @@ FROM keyed GROUP BY shard ORDER BY shard
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
-    # cumulative ledger. The r08 window = the 2 NEW queries
-    # (dedup_signatures_persisted — the persisted signature store
-    # serving minhash off storage against the full recompute oracle —
-    # and auto_ann_topk_clustered — the NSW arm of the auto-dispatch,
-    # live for the first time on the deterministic clustered fixture),
-    # then the committed r08 queue from DRIVER_COVERAGE.md
-    # (dedup_groups_persisted's first driver row, simhash_buckets
-    # displaced from the r07 tail by the late group-table addition,
-    # and the 17 names whose last green was r03 — retiring the
-    # stale-rotation debt entirely), then the 16-name dedup family
-    # whose shared paths r08 touched again (memo lock + non-file-
-    # source guard + persisted-store read-through + the ngram
-    # lazy-builder change), the 7 search/stream names covering the
-    # oracle-builder parametrization and the params-sidecar guard,
-    # and 5 of the oldest (r04) remainder. After this window every
-    # registered query's newest green is >= r04, with the r04 cohort
-    # next in line for r09.
-    #
-    # Late-r08 session addition: nsw_insert_topk / nsw_appended_topk
-    # (the incremental HNSW-style insert and its persisted layer) are
-    # NEW this round and head the window for their first driver rows;
-    # they displace pagerank_knn and user_first_events (both r04-green
-    # rotations) to the front of the r09 queue — the simhash_buckets
-    # displacement pattern, documented in DRIVER_COVERAGE.md.
+    # cumulative ledger. The r09 window = this round's 2 NEW queries
+    # (nsw_chained_topk — the multi-batch chained persisted insert,
+    # and nsw_tombstoned_topk — the graph delete/tombstone serve),
+    # then the committed r09 queue from DRIVER_COVERAGE.md verbatim:
+    # pagerank_knn and user_first_events (displaced r04-green names),
+    # nsw_search_stream (registered last round, first driver row now),
+    # and the 31-name r04-cohort remainder — after which every
+    # registered query's newest green is >= r05. The final 14 slots
+    # re-gate the code paths r09 touched: the NSW insert/append/
+    # persisted/beam family (collision guard, chain refactor, ensure
+    # locks), the ensure_*-locked persisted stores (IVF/BM25/groups/
+    # signatures), the dedup build's signature-store warm start
+    # (incremental_dedup + its stream + minhash_lsh_pairs +
+    # exact_dedup + ngram_jaccard_pairs), and the _drain scaffold's
+    # graph-fp sidecar pin (ivf_search_stream; nsw_search_stream is in
+    # the queue slots above).
     return {
         "nsw_chained_topk": q_nsw_chained_topk,
         "nsw_tombstoned_topk": q_nsw_tombstoned_topk,
+        "pagerank_knn": q_pagerank_knn,
+        "user_first_events": q_user_first_events,
+        "nsw_search_stream": q_nsw_search_stream,
+        "bucketed_revenue": q_bucketed_revenue,
+        "customer_distribution": q_customer_distribution,
+        "dim_stats": q_dim_stats,
+        "discount_revenue": q_discount_revenue,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "embedding_outliers": q_embedding_outliers,
+        "excess_parts_suppliers": q_excess_parts_suppliers,
+        "important_parts": q_important_parts,
+        "integrity_report": q_integrity_report,
+        "ivf_cell_stats": q_ivf_cell_stats,
+        "large_orders": q_large_orders,
+        "lm_doc_scores": q_lm_doc_scores,
+        "min_cost_supplier": q_min_cost_supplier,
+        "pack_sequences": q_pack_sequences,
+        "passage_topk": q_passage_topk,
+        "product_profit": q_product_profit,
+        "promo_revenue": q_promo_revenue,
+        "rerank_topk": q_rerank_topk,
+        "returned_revenue": q_returned_revenue,
+        "rp_projection": q_rp_projection,
+        "scene_changes": q_scene_changes,
+        "small_qty_revenue": q_small_qty_revenue,
+        "source_mixture": q_source_mixture,
+        "split_summary": q_split_summary,
+        "supplier_part_counts": q_supplier_part_counts,
+        "tfidf_keywords": q_tfidf_keywords,
+        "top_supplier": q_top_supplier,
+        "user_state_history": q_user_state_history,
+        "volume_shipping": q_volume_shipping,
+        "waiting_suppliers": q_waiting_suppliers,
+        "weighted_sample": q_weighted_sample,
         "nsw_insert_topk": q_nsw_insert_topk,
         "nsw_appended_topk": q_nsw_appended_topk,
-        "dedup_signatures_persisted": q_dedup_signatures_persisted,
-        "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
-        "dedup_groups_persisted": q_dedup_groups_persisted,
-        "simhash_buckets": q_simhash_buckets,
+        "nsw_persisted_topk": q_nsw_persisted_topk,
+        "nsw_beam_topk": q_nsw_beam_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
+        "bm25_persisted_topk": q_bm25_persisted_topk,
+        "dedup_groups_persisted": q_dedup_groups_persisted,
+        "dedup_signatures_persisted": q_dedup_signatures_persisted,
+        "incremental_dedup_stream": q_incremental_dedup_stream,
+        "incremental_dedup": q_incremental_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "exact_dedup": q_exact_dedup,
+        "ivf_search_stream": q_ivf_search_stream,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
+        "simhash_buckets": q_simhash_buckets,
         "judge_scores": q_judge_scores,
         "kmv_distinct": q_kmv_distinct,
         "latency_percentiles_long": q_latency_percentiles_long,
@@ -10211,8 +10246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "user_sessions_stream": q_user_sessions_stream,
         "lsh_capped_pairs": q_lsh_capped_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "clean_corpus": q_clean_corpus,
@@ -10221,24 +10254,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality_report": q_dedup_quality_report,
         "lsh_tuning_report": q_lsh_tuning_report,
         "edit_distance_neardup": q_edit_distance_neardup,
-        "incremental_dedup": q_incremental_dedup,
         "chunk_dedup": q_chunk_dedup,
         "cross_source_dups": q_cross_source_dups,
         "dup_ratio_by_source": q_dup_ratio_by_source,
-        "exact_dedup": q_exact_dedup,
         "auto_ann_dispatch": q_auto_ann_dispatch,
         "auto_ann_topk": q_auto_ann_topk,
         "auto_search": q_auto_search,
-        "nsw_beam_topk": q_nsw_beam_topk,
-        "nsw_persisted_topk": q_nsw_persisted_topk,
         "ivf_topk": q_ivf_topk,
-        "ivf_search_stream": q_ivf_search_stream,
-        "incremental_dedup_stream": q_incremental_dedup_stream,
         "ann_tuning_report": q_ann_tuning_report,
-        "bm25_persisted_topk": q_bm25_persisted_topk,
         "ivf_upsert_topk": q_ivf_upsert_topk,
-        "pagerank_knn": q_pagerank_knn,
-        "user_first_events": q_user_first_events,
         "ndcg_at_k": q_ndcg_at_k,
         "events_dedup_stream": q_events_dedup_stream,
         "funnel": q_funnel,
@@ -10342,39 +10366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_hourly": q_gap_fill_hourly,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
-        "user_state_history": q_user_state_history,
         "latency_percentiles_approx": q_latency_percentiles_approx,
-        "pack_sequences": q_pack_sequences,
-        "lm_doc_scores": q_lm_doc_scores,
-        "source_mixture": q_source_mixture,
-        "large_orders": q_large_orders,
-        "returned_revenue": q_returned_revenue,
-        "tfidf_keywords": q_tfidf_keywords,
-        "rp_projection": q_rp_projection,
-        "split_summary": q_split_summary,
-        "embedding_outliers": q_embedding_outliers,
-        "top_supplier": q_top_supplier,
-        "important_parts": q_important_parts,
-        "weighted_sample": q_weighted_sample,
-        "dim_stats": q_dim_stats,
-        "integrity_report": q_integrity_report,
-        "min_cost_supplier": q_min_cost_supplier,
-        "volume_shipping": q_volume_shipping,
-        "product_profit": q_product_profit,
-        "customer_distribution": q_customer_distribution,
-        "promo_revenue": q_promo_revenue,
-        "supplier_part_counts": q_supplier_part_counts,
-        "small_qty_revenue": q_small_qty_revenue,
-        "disjunctive_revenue": q_disjunctive_revenue,
-        "excess_parts_suppliers": q_excess_parts_suppliers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "rerank_topk": q_rerank_topk,
-        "discount_revenue": q_discount_revenue,
-        "scene_changes": q_scene_changes,
-        "bucketed_revenue": q_bucketed_revenue,
-        "ivf_cell_stats": q_ivf_cell_stats,
-        "passage_topk": q_passage_topk,
-        "nsw_search_stream": q_nsw_search_stream,
     }
 
 

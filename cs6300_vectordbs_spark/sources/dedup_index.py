@@ -86,8 +86,19 @@ def build_dedup_index(
     n_buckets: int = 64,
 ) -> None:
     """Collapse exact dups -> rep signatures -> exploded band rows ->
-    bucket-partitioned parquet, plus the members sidecar."""
-    from ..operators.dedup import _exact_groups
+    bucket-partitioned parquet, plus the members sidecar.
+
+    The signature table rides the session memo under the SAME tag the
+    pair operators use — so an index build over a corpus whose
+    signatures already exist (an in-session minhash_lsh_pairs run, or
+    the persisted signature store's read-through prime,
+    ensure_signature_tables) skips the whole text->shingle->hash
+    pipeline and pays only the band explode + bucketed write. This is
+    the warm-start path for the streaming dedup drain's cold start:
+    prime the signature store once per corpus version, and every later
+    session's ensure_dedup_index build cost drops to the store's reuse
+    floor."""
+    from ..operators.dedup import _exact_groups, _memo_checkpoint
 
     members, base, has_dups = _exact_groups(
         docs, id_col=id_col, text_col=text_col
@@ -97,9 +108,13 @@ def build_dedup_index(
             F.col(id_col).alias("id"), F.col(id_col).alias("rep_id")
         ).limit(0)
     members.write.mode("overwrite").parquet(f"{path}/members")
-    sig = minhash_signature_table(
-        base, id_col=id_col, text_col=text_col,
-        num_hashes=num_hashes, shingle_n=shingle_n,
+    sig = _memo_checkpoint(
+        base,
+        ("minhash_sig", id_col, text_col, num_hashes, shingle_n),
+        lambda: minhash_signature_table(
+            base, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, shingle_n=shingle_n,
+        ),
     )
     banded = sig.select(
         "id",

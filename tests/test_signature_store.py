@@ -383,3 +383,53 @@ def test_empty_corpus_store_roundtrip(spark, tmp_path):
     assert t2["minhash"].count() == 0
     assert minhash_lsh_pairs(docs, min_jaccard=0.3).count() == 0
     clear_exact_group_cache()
+
+
+def test_index_build_rides_primed_signature_store(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """build_dedup_index's signature stage goes through the session
+    memo under the pair operators' tag — so an index build over a
+    corpus whose signature store was already ensured (cross-session
+    warm start: reuse primes the memo) never re-runs the
+    text->shingle->hash pipeline. This is the streaming dedup drain's
+    cold-start path: ensure_dedup_index over a store-warm corpus pays
+    only the band explode + bucketed write."""
+    import cs6300_vectordbs_spark.sources.dedup_index as di
+
+    spath = str(tmp_path / "sigs")
+    ipath = str(tmp_path / "bands")
+    mh = dict(num_hashes=PARAMS["num_hashes"],
+              shingle_n=PARAMS["shingle_n"])
+
+    ensure_signature_tables(spark, corpus, spath, **PARAMS)
+    clear_exact_group_cache()  # fresh-session simulation
+    ensure_signature_tables(spark, corpus, spath, **PARAMS)  # reuse+prime
+
+    def boom(*a, **kw):
+        raise AssertionError(
+            "index build recomputed the signature pipeline despite a "
+            "primed store"
+        )
+
+    monkeypatch.setattr(di, "minhash_signature_table", boom)
+    di.ensure_dedup_index(spark, corpus, ipath, **mh)
+    assert di.dedup_index_exists(ipath)
+    # restore: the PROBE side legitimately signatures its (new) batch
+    monkeypatch.undo()
+    # and the index actually serves correct probes off the warm build
+    probe = di.probe_dedup_index(
+        spark,
+        spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        ),
+        ipath,
+        min_jaccard=0.3,
+    )
+    rows = probe.collect()
+    # exact dups of the probe text (1, 2, 3) plus the near-dup (4)
+    assert sorted(r.indexed_id for r in rows) == [1, 2, 3, 4]
+    assert all(
+        r.est_jaccard == 1.0 for r in rows if r.indexed_id in (1, 2, 3)
+    )
