@@ -195,6 +195,27 @@ def serve_query_stream(
 
     from ..sources.vector_index import search_ivf_index
 
+    params = {
+        "kind": "ivf_serve",
+        "index_path": os.path.abspath(index_path),
+        "k": int(k),
+        "dim": int(dim),
+        "n_probe": int(n_probe),
+        "exclude_self": bool(exclude_self),
+    }
+    if checkpoint_location is not None:
+        from ..sources.index_common import read_fingerprint
+
+        # Pin the INDEX CONTENT, not just its path (the graph drain's
+        # graph_fp rule): an in-place REBUILD over a regenerated corpus
+        # keeps every pinned param equal while changing what serves —
+        # a resume must raise instead of mixing batches across two
+        # different indexes. Deliberately NOT pinned: upsert_ivf_index
+        # appends generations without touching the fingerprint, so a
+        # resumable drain spanning an upsert keeps serving (a stream
+        # over a live index reflecting the newest generation is the
+        # intended lifecycle, not a mix-up).
+        params["index_fp"] = read_fingerprint(index_path)
     return _drain(
         spark,
         queries_stream,
@@ -203,14 +224,7 @@ def serve_query_stream(
             dim=dim, n_probe=n_probe, exclude_self=exclude_self,
         ),
         tmp_prefix="ivf_serve_",
-        params={
-            "kind": "ivf_serve",
-            "index_path": os.path.abspath(index_path),
-            "k": int(k),
-            "dim": int(dim),
-            "n_probe": int(n_probe),
-            "exclude_self": bool(exclude_self),
-        },
+        params=params,
         out_path=out_path,
         checkpoint_location=checkpoint_location,
         post_batch_hook=post_batch_hook,

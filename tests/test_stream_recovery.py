@@ -645,3 +645,61 @@ def test_graph_stream_resume_pins_graph_content(spark, tmp_path):
             spark, stream(), corpus, gpath, 3, dim=dim,
             out_path=out, checkpoint_location=ckpt,
         )
+
+
+def test_ivf_stream_resume_pins_index_content(spark, tmp_path):
+    """The IVF drain's sidecar pins the stored index fingerprint (the
+    graph drain's graph_fp rule): an in-place REBUILD over a
+    regenerated corpus — same path, same serving params — must make a
+    resume raise instead of mixing batches served from two different
+    indexes."""
+    from cs6300_vectordbs_spark.sources.vector_index import (
+        ensure_ivf_index,
+    )
+    from cs6300_vectordbs_spark.streaming.search import serve_query_stream
+
+    dim, n = 8, 32
+
+    def corpus(bump):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 7 + j * 3) % 11 - 5) + bump
+                     for j in range(dim)])
+                for i in range(n)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+
+    ipath = str(tmp_path / "ivf")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    ensure_ivf_index(spark, corpus(0.0), ipath, dim=dim, n_cells=4)
+    spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5] * dim)],
+        "query_id long, query_vec array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    got = serve_query_stream(
+        spark, stream(), ipath, 3, dim=dim, out_path=out,
+        checkpoint_location=ckpt,
+    )
+    assert got.count() == 6
+    # the index is rebuilt IN PLACE over a regenerated corpus — every
+    # pinned serving param unchanged
+    ensure_ivf_index(spark, corpus(9.0), ipath, dim=dim, n_cells=4)
+    spark.createDataFrame(
+        [(2, [0.25] * dim)], "query_id long, query_vec array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        serve_query_stream(
+            spark, stream(), ipath, 3, dim=dim,
+            out_path=out, checkpoint_location=ckpt,
+        )
