@@ -270,14 +270,26 @@ def serve_graph_query_stream(
     (unlike the IVF drain, the scoring vectors are not under
     ``graph_path``), so a resume after the embeddings were
     regenerated raises instead of mixing rows scored against two
-    different corpora."""
+    different corpora.
+
+    TOMBSTONES are respected exactly like the batch path
+    (sources/graph_index.apply_nsw_tombstones): a delete issued
+    against ``graph_path`` drops its nodes from the broadcast server's
+    corpus and edge list BEFORE the drain starts, so every micro-batch
+    serves the survivor view. The tombstone SET is a snapshot per
+    drain (the server broadcasts once); deletes issued mid-drain apply
+    from the next drain, and a resumable drain pins the snapshot in
+    its sidecar (``tombstone_fp``) — resuming after further deletes
+    raises instead of mixing batches served over two survivor views.
+    """
     import os
 
     from ..operators.ann import nsw_broadcast_server
+    from ..sources.graph_index import apply_nsw_tombstones
 
-    edges = spark.read.parquet(f"{graph_path}/edges")
+    live, live_edges = apply_nsw_tombstones(spark, corpus, graph_path)
     server = nsw_broadcast_server(
-        corpus, edges=edges, k=k, beam_width=beam_width,
+        live, edges=live_edges, k=k, beam_width=beam_width,
         n_iters=n_iters, n_entries=n_entries, dim=dim,
         exclude_self=exclude_self,
     )
@@ -310,6 +322,14 @@ def serve_graph_query_stream(
         # fingerprint; a hand-built edges dir pins None, which still
         # changes (to a string) the moment ensure_* manages the path.
         params["graph_fp"] = read_fingerprint(graph_path)
+        # Pin the tombstone snapshot the server was built over: a
+        # delete between drains changes the survivor view (content,
+        # not params), so a resume over the old checkpoint must raise
+        # rather than append new-view batches onto old-view ones.
+        from ..sources.graph_index import read_nsw_tombstones
+
+        tombs = read_nsw_tombstones(spark, graph_path, like=corpus)
+        params["tombstone_fp"] = corpus_fingerprint(tombs, ["vec_id"])
     return _drain(
         spark,
         queries_stream,

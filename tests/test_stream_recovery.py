@@ -703,3 +703,68 @@ def test_ivf_stream_resume_pins_index_content(spark, tmp_path):
             spark, stream(), ipath, 3, dim=dim,
             out_path=out, checkpoint_location=ckpt,
         )
+
+
+def test_graph_stream_respects_tombstones_and_pins_them(spark, tmp_path):
+    """The streaming graph drain serves the SURVIVOR view (tombstoned
+    ids never rank, matching the batch path), and a resumable drain
+    pins the tombstone snapshot: deletes issued between drains make a
+    resume raise instead of mixing batches served over two survivor
+    views."""
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        delete_from_nsw_graph,
+        ensure_nsw_graph,
+    )
+    from cs6300_vectordbs_spark.streaming.search import (
+        serve_graph_query_stream,
+    )
+
+    dim, n = 8, 32
+    corpus = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    gpath = str(tmp_path / "nswg")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    ensure_nsw_graph(spark, corpus, gpath, k=4)
+    delete_from_nsw_graph(
+        spark, spark.createDataFrame([(5,), (9,)], "vec_id long"), gpath
+    )
+    spark.createDataFrame(
+        [(0, [1.0] * dim), (1, [0.5] * dim)],
+        "query_id long, query_vec array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    got = serve_graph_query_stream(
+        spark, stream(), corpus, gpath, 3, dim=dim, out_path=out,
+        checkpoint_location=ckpt,
+    )
+    rows = got.collect()
+    assert len(rows) == 6
+    assert all(r.vec_id not in (5, 9) for r in rows)
+
+    # a further delete between drains changes the survivor view:
+    # resuming the old checkpoint must raise
+    delete_from_nsw_graph(
+        spark, spark.createDataFrame([(12,)], "vec_id long"), gpath
+    )
+    spark.createDataFrame(
+        [(2, [0.25] * dim)], "query_id long, query_vec array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(ValueError, match="resume parameter mismatch"):
+        serve_graph_query_stream(
+            spark, stream(), corpus, gpath, 3, dim=dim,
+            out_path=out, checkpoint_location=ckpt,
+        )
