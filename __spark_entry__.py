@@ -9375,6 +9375,259 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     )
 
 
+# HNSW hierarchy parameters: geometric promotion with p = 1/branch
+# (md5-portable, operators/hnsw.hnsw_levels), 3 upper layers, paper
+# M/2M degree split (upper k=6 vs layer-0 k=12), greedy descent with
+# a 4-wide beam and 2 hops per layer. Measured at sf0.01: recall@5 =
+# 0.98 vs exact with 4 per-query entries vs the flat path's 16 global
+# hubs (docs/ANN_QUALITY.md).
+_HNSW_BRANCH, _HNSW_MAXLVL, _HNSW_KUP = 4, 3, 6
+_HNSW_DBEAM, _HNSW_DITERS = 4, 2
+_HNSW_LSALT = "hl1"
+
+
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL NSW serving (operators/hnsw.hnsw_search) — the
+    full layered structure of the reference's actual index
+    (/root/reference/src/chroma.py:77, Chroma's hnswlib collection;
+    Malkov & Yashunin 2018), not just its layer-0 core: nodes promote
+    to upper layer L with probability branch^-L (deterministic
+    md5-geometric assignment), each upper layer is an exact
+    k_upper-NN graph over its promoted subset, and a query greedily
+    DESCENDS from the top layer's entry point — so the layer-0 beam
+    (the verified nsw_beam_search kernel, seeded per query via its
+    entries= seam) starts in the query's own neighborhood instead of
+    at global hubs. Routing hops become O(log N): the property that
+    makes HNSW the billion-vector serving default. Fully
+    deterministic (md5 levels, min-id entry, total tie orders at
+    every keep) -> FULL value-hash oracle with the levels CASE, the
+    per-layer kNN builds, and every descent hop unrolled as CTEs."""
+    from cs6300_vectordbs_spark.operators.hnsw import (
+        hnsw_layer_edges,
+        hnsw_levels,
+        hnsw_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    levels = hnsw_levels(
+        emb, branch=_HNSW_BRANCH, max_level=_HNSW_MAXLVL, salt=_HNSW_LSALT
+    ).localCheckpoint(eager=True)
+    layer_edges = {
+        lay: hnsw_layer_edges(
+            emb, levels, lay, k_upper=_HNSW_KUP
+        ).localCheckpoint(eager=True)
+        for lay in range(1, _HNSW_MAXLVL + 1)
+    }
+    out = hnsw_search(
+        emb, _query_batch(emb), TOPK, edges0=_nsw_edges(spark, sf_dir),
+        layer_edges=layer_edges, levels=levels, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, descent_beam=_HNSW_DBEAM,
+        descent_iters=_HNSW_DITERS, dim=EMB_DIM, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def q_hnsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted layered graph (S9 create-if-absent,
+    sources/hnsw_index.ensure_hnsw_graph): layer-0 edges, upper-layer
+    edges, and the level assignment are one content-addressed store
+    (fingerprint covers corpus content + all seven build parameters,
+    atomic fingerprint-last commit, per-path build lock — the
+    lifecycle every other index store carries), so serving never
+    re-pays the kNN builds — the same artifact Chroma persists in its
+    collection dir (/root/reference/src/chroma.py:74-87). Identical
+    parameters and tie rules as hnsw_topk -> shares its full
+    value-hash oracle."""
+    from cs6300_vectordbs_spark.operators.hnsw import hnsw_search
+    from cs6300_vectordbs_spark.sources.hnsw_index import ensure_hnsw_graph
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/hnsw_graph_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    edges0, layer_edges, levels = ensure_hnsw_graph(
+        spark, emb, path, k=_NSW_K, branch=_HNSW_BRANCH,
+        max_level=_HNSW_MAXLVL, level_salt=_HNSW_LSALT, k_upper=_HNSW_KUP,
+    )
+    edges0 = edges0.localCheckpoint(eager=True)
+    layer_edges = {
+        lay: df.localCheckpoint(eager=True)
+        for lay, df in layer_edges.items()
+    }
+    levels = levels.localCheckpoint(eager=True)
+    out = hnsw_search(
+        emb, _query_batch(emb), TOPK, edges0=edges0,
+        layer_edges=layer_edges, levels=levels, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, descent_beam=_HNSW_DBEAM,
+        descent_iters=_HNSW_DITERS, dim=EMB_DIM, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_hnsw() -> str:
+    """The layered twin: levels CASE (the portable md5-geometric
+    promotion), the layer-0 graph CTEs (identical to
+    _oracle_nsw_beam's build), one kNN-build CTE block per upper
+    layer, the entry-point scalar (min id of the highest populated
+    layer, corpus-min fallback), every descent hop unrolled
+    top-layer-down, then the standard layer-0 beam seeded from the
+    final descent beam."""
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    cases = " ".join(
+        f"WHEN h % {_HNSW_BRANCH**lay} = 0 THEN {lay}"
+        for lay in range(_HNSW_MAXLVL, 0, -1)
+    )
+    ctes = [f"""hnv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+hlv AS MATERIALIZED (
+  SELECT vec_id AS node, CASE {cases} ELSE 0 END AS lvl
+  FROM (SELECT vec_id,
+          (('0x' || substr(md5('{_HNSW_LSALT}|' || vec_id::VARCHAR), 1, 15))::BIGINT)
+            AS h
+        FROM embeddings)
+),
+hsims AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM hnv q JOIN hnv e ON e.vec_id != q.vec_id
+),
+hknn AS MATERIALIZED (
+  SELECT query_id, vec_id FROM hsims
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+hncnt AS (SELECT count(*) AS n FROM embeddings),
+hsc AS MATERIALIZED (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM embeddings e JOIN embeddings d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM hncnt))
+  WHERE e.vec_id != d.vec_id
+),
+hedges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM hknn
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM hsc)
+),
+hdir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedges
+          UNION ALL SELECT b, a FROM hedges)"""]
+    for lay in range(1, _HNSW_MAXLVL + 1):
+        ctes.append(f"""hsub{lay} AS MATERIALIZED (
+  SELECT n.vec_id, n.embedding, n.nrm
+  FROM hnv n JOIN hlv l ON l.node = n.vec_id AND l.lvl >= {lay}
+),
+hsimsu{lay} AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM hsub{lay} q JOIN hsub{lay} e ON e.vec_id != q.vec_id
+),
+hknnu{lay} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM hsimsu{lay}
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_HNSW_KUP}
+),
+hedgu{lay} AS MATERIALIZED (
+  SELECT DISTINCT least(query_id, vec_id) AS a,
+         greatest(query_id, vec_id) AS b
+  FROM hknnu{lay}
+),
+hdiru{lay} AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedgu{lay}
+           UNION ALL SELECT b, a FROM hedgu{lay})""")
+    ctes.append(f"""hent AS (
+  SELECT coalesce(
+    (SELECT min(node) FROM hlv WHERE lvl >= 1
+       AND lvl = (SELECT max(lvl) FROM hlv WHERE lvl >= 1)),
+    (SELECT min(node) FROM hlv)) AS node
+),
+hqb AS MATERIALIZED (SELECT vec_id AS query_id, embedding, nrm FROM hnv
+        WHERE vec_id < {N_QUERIES}),
+hd0 AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, e.node, {sim} AS sim
+          FROM hqb q CROSS JOIN hent e JOIN hnv n ON n.vec_id = e.node)
+  ) WHERE rn <= {_HNSW_DBEAM}
+)""")
+    step = 0
+    for lay in range(_HNSW_MAXLVL, 0, -1):
+        for _ in range(_HNSW_DITERS):
+            step += 1
+            ctes.append(f"""hdc{step} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM hd{step - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM hd{step - 1} b JOIN hdiru{lay} d ON d.src = b.node)
+),
+hd{step} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM hdc{step} c JOIN hnv n ON n.vec_id = c.node
+          JOIN hnv q ON q.vec_id = c.query_id)
+  ) WHERE rn <= {_HNSW_DBEAM}
+)""")
+    ctes.append(f"""hb0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM hd{step} c JOIN hnv n ON n.vec_id = c.node
+          JOIN hnv q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""hc{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM hb{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM hb{i - 1} b JOIN hdir0 d ON d.src = b.node)
+),
+hb{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM hc{i} c JOIN hnv n ON n.vec_id = c.node
+          JOIN hnv q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM hb{_NSW_HOPS}
+) WHERE rank <= {TOPK}"""
+    )
+
+
 def q_dedup_groups_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED exact-dup group table (S9 create-if-absent,
     sources/dedup_index.ensure_dedup_groups): (id, rep_id) for every
@@ -10217,15 +10470,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_appended_topk": q_nsw_appended_topk,
         "nsw_persisted_topk": q_nsw_persisted_topk,
         "nsw_beam_topk": q_nsw_beam_topk,
+        "hnsw_topk": q_hnsw_topk,
+        "hnsw_persisted_topk": q_hnsw_persisted_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "bm25_persisted_topk": q_bm25_persisted_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "incremental_dedup_stream": q_incremental_dedup_stream,
-        "incremental_dedup": q_incremental_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "exact_dedup": q_exact_dedup,
         "ivf_search_stream": q_ivf_search_stream,
+        "incremental_dedup": q_incremental_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
         "simhash_buckets": q_simhash_buckets,
@@ -10392,6 +10647,8 @@ def oracle_sql() -> dict[str, str]:
         "orc_ingest": _ORACLE_ORC_INGEST,
         "nsw_beam_topk": _oracle_nsw_beam(),
         "nsw_persisted_topk": _oracle_nsw_beam(),
+        "hnsw_topk": _oracle_hnsw(),
+        "hnsw_persisted_topk": _oracle_hnsw(),
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,
         "knn_label_classifier": _ORACLE_KNN_VOTE,

@@ -1401,6 +1401,7 @@ def nsw_beam_search(
     serve: str = "joins",
     max_broadcast_nodes: int = 2_000_000,
     max_broadcast_edges: int = 32_000_000,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-ANN serving: greedy BEAM SEARCH over a navigable
     small-world kNN graph — the single-layer core of the reference's
@@ -1456,6 +1457,14 @@ def nsw_beam_search(
       that row — the same laziness as the join path's ANSI
       out-of-bounds error.
 
+    ``entries`` (optional, joins-serve only): a per-query entry-point
+    table (query_id, node) that REPLACES the global hub fan-out as the
+    hop-0 beam — the seam the hierarchical HNSW descent
+    (operators/hnsw.hnsw_search) plugs into: greedy routing on the
+    upper layers finds each query's own entry neighborhood, then this
+    kernel runs the layer-0 beam from it. Default None keeps the
+    flat-NSW hub behavior bit-for-bit.
+
     CONTRACT — unique query ids: the bit-identity between the two
     strategies holds only when each ``query_id`` appears ONCE in
     ``queries``. For a duplicated id the join path's row_number window
@@ -1472,6 +1481,13 @@ def nsw_beam_search(
     # from the beam, which is capped at beam_width rows per query —
     # a narrower beam than k would silently return short results.
     beam_width = max(beam_width, k)
+    if entries is not None and serve != "joins":
+        # The broadcast kernel derives its hub entries from the
+        # collected adjacency; threading a per-query entry table
+        # through the Arrow batch would change its (qid, qvec)-only
+        # input contract. The HNSW descent that produces per-query
+        # entries is a joins-shaped pipeline anyway.
+        raise ValueError("entries= requires serve='joins'")
     if serve == "broadcast":
         return _nsw_beam_broadcast(
             emb, queries, k, edges=edges, beam_width=beam_width,
@@ -1484,14 +1500,21 @@ def nsw_beam_search(
     dirs = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    hubs = (
-        deg.orderBy(F.col("degree").desc(), F.col("src").asc())
-        .limit(n_entries)
-        .select(F.col("src").alias("node"))
-    )
     q = queries.select("query_id", "query_vec")
-    beam = q.select("query_id").crossJoin(F.broadcast(hubs))
+    if entries is not None:
+        # Per-query entry points (query_id, node) — the HNSW layer
+        # descent feeds this: each query starts its layer-0 beam from
+        # the nodes greedy routing found for IT, not from global hubs.
+        # Skips the corpus-wide degree aggregation entirely.
+        beam = entries.select("query_id", "node")
+    else:
+        deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        hubs = (
+            deg.orderBy(F.col("degree").desc(), F.col("src").asc())
+            .limit(n_entries)
+            .select(F.col("src").alias("node"))
+        )
+        beam = q.select("query_id").crossJoin(F.broadcast(hubs))
 
     corpus = emb.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")

@@ -1,0 +1,234 @@
+"""Hierarchical NSW (HNSW) — layered graph ANN with greedy descent.
+
+The reference's actual index structure is HNSW (Chroma's hnswlib
+collection, /root/reference/src/chroma.py:77 ``hnsw:space: cosine``;
+Malkov & Yashunin 2018). The flat-NSW family in operators/ann.py is
+the LAYER-0 core of that structure: a navigable small-world graph
+searched by beam expansion from global high-degree hubs. What the
+hierarchy adds is ROUTING: each node is promoted to upper layer L
+with geometric probability p^L; upper layers are small kNN graphs
+over the promoted subsets; a query greedily descends from the top
+layer's single entry point, and whatever neighborhood the descent
+lands in seeds the layer-0 beam. Hops to reach a query's region
+become O(log N) instead of depending on hub placement — the property
+that makes HNSW the serving default at billion-vector scale.
+
+Spark-first decomposition (no driver-side graph walk):
+
+  hnsw_levels        portable deterministic layer assignment —
+                     md5(salt|id) -> bigint, level L iff the hash is
+                     divisible by branch^L (geometric with p=1/branch).
+                     md5 is engine-identical, so the DuckDB oracle
+                     reproduces the EXACT layer split (the same
+                     discipline as the minhash/shortcut hashes).
+  hnsw_layer_edges   per-layer exact kNN over the promoted subset
+                     (the grid kernel — distributed, never a driver
+                     matrix). Layer L has ~N/branch^L nodes, so the
+                     upper-layer builds cost a vanishing fraction of
+                     the layer-0 build. Per the paper, upper layers
+                     use degree M (k_upper) and layer 0 uses 2M (the
+                     existing 12-NN NSW graph).
+  hnsw_search        statically-unrolled greedy descent (each layer:
+                     descent_iters expand-and-keep-top-descent_beam
+                     hops over that layer's edge list, exactly the
+                     beam kernel's join shape but with a tiny beam),
+                     then the verified layer-0 beam
+                     (ann.nsw_beam_search) seeded via its ``entries``
+                     parameter. Every order is total (sim DESC, node
+                     ASC), so the whole pipeline carries a FULL
+                     value-hash SQL oracle — unrolled per-layer
+                     per-hop CTEs, like the flat-NSW/kmeans/pagerank
+                     iterations.
+
+Scale shape: the descent touches descent_beam * degree rows per query
+per hop — corpus-independent, same as the layer-0 beam; layer edge
+lists are broadcast-sized per layer or equi-joined on the node key at
+100 TB. The corpus is never rescanned after the builds. Empty layers
+(a tiny corpus may promote nobody to the top) degrade gracefully: the
+entry point is taken from the highest POPULATED layer and a descent
+hop over an empty edge list is a no-op re-rank of the carried beam,
+in Spark and in the oracle alike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import cosine_sim
+
+
+def hnsw_levels(
+    corpus: DataFrame,
+    *,
+    branch: int = 4,
+    max_level: int = 3,
+    salt: str = "hl1",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic geometric layer assignment: (node, lvl) with
+    lvl = max L <= max_level such that md5-hash(salt|id) divides
+    branch^L — P(lvl >= L) = branch^-L, the HNSW geometric schedule
+    with p = 1/branch. Portable: any engine computes the identical
+    split from md5 (the DuckDB twin uses the same 15-hex-digit
+    prefix -> BIGINT idiom as the shortcut/sample hashes)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    lvl = F.when(h % F.lit(branch**max_level) == 0, F.lit(max_level))
+    for level in range(max_level - 1, 0, -1):
+        lvl = lvl.when(h % F.lit(branch**level) == 0, F.lit(level))
+    lvl = lvl.otherwise(F.lit(0))
+    return corpus.select(
+        F.col(id_col).alias("node"), lvl.cast("int").alias("lvl")
+    )
+
+
+def hnsw_layer_edges(
+    corpus: DataFrame,
+    levels: DataFrame,
+    layer: int,
+    *,
+    k_upper: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric exact k-NN edge list (a < b) over the nodes promoted
+    to ``layer`` (lvl >= layer — HNSW layers nest). The grid kernel
+    keeps the build distributed; layer L holds ~N/branch^L nodes so
+    this is cheap next to the layer-0 build it sits on top of."""
+    from .similarity import similarity_topk_grid
+
+    sub = corpus.join(
+        levels.filter(F.col("lvl") >= layer).select(
+            F.col("node").alias(id_col)
+        ),
+        id_col,
+    )
+    allq = sub.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    knn = similarity_topk_grid(
+        sub, allq, k_upper, exclude_self=True,
+        corpus_id=id_col, corpus_vec=vec_col,
+    )
+    return (
+        knn.select(
+            F.least("query_id", F.col(id_col)).alias("a"),
+            F.greatest("query_id", F.col(id_col)).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def hnsw_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    edges0: DataFrame,
+    layer_edges: dict[int, DataFrame],
+    levels: DataFrame,
+    beam_width: int = 32,
+    n_iters: int = 6,
+    descent_beam: int = 4,
+    descent_iters: int = 2,
+    dim: int | None = None,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Layered HNSW serve: greedy descent over ``layer_edges`` (keys =
+    layer numbers >= 1, searched top-down), then the layer-0 beam
+    (ann.nsw_beam_search joins path) seeded with the per-query entry
+    nodes the descent found.
+
+    Entry point: the min-id node of the highest POPULATED layer (the
+    deterministic stand-in for HNSW's "first node ever promoted");
+    every query starts there. The descent includes self-hits (they are
+    legitimate routing waypoints); ``exclude_self`` applies only to
+    the layer-0 ranking, matching the flat-NSW contract.
+
+    Determinism: entry choice (min id), every descent keep (sim DESC,
+    node ASC), and the layer-0 beam all carry total orders -> full
+    value-hash oracle (__spark_entry__._oracle_hnsw unrolls the same
+    layers and hops as CTEs).
+
+    Degenerate corner (oracle mirrors it, tests/test_hnsw.py pins
+    it): if the descent collapses to EXACTLY the query's own node —
+    possible only when every upper layer is empty or 1-node — then
+    under ``exclude_self`` that query's layer-0 beam starts empty and
+    it returns no rows. With any populated layer and descent_beam > 1
+    the descent carries multiple candidates and the corner is
+    unreachable.
+    """
+    from .ann import nsw_beam_search
+
+    q = queries.select("query_id", "query_vec")
+    corpus = emb.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node").asc()
+    )
+
+    def _score_top(cand: DataFrame, width: int) -> DataFrame:
+        scored = (
+            cand.join(corpus, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
+            )
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= width)
+            .select("query_id", "node")
+        )
+
+    # Highest populated layer's min-id node; one tiny agg, broadcast
+    # to every query. max_by(min(node), lvl) over per-layer minima,
+    # with the corpus-wide min id as the fallback when NO node was
+    # promoted (a tiny corpus) — the search stays total either way.
+    promoted = (
+        levels.filter(F.col("lvl") >= 1)
+        .groupBy("lvl")
+        .agg(F.min("node").alias("__n1"))
+        .agg(F.max_by("__n1", "lvl").alias("__n1"))
+    )
+    entry = (
+        promoted.crossJoin(levels.agg(F.min("node").alias("__n2")))
+        .select(F.coalesce("__n1", "__n2").alias("node"))
+    )
+    beam = _score_top(
+        q.select("query_id").crossJoin(F.broadcast(entry)), descent_beam
+    ).localCheckpoint(eager=True)
+
+    for layer in sorted(layer_edges, reverse=True):
+        e = layer_edges[layer]
+        dirs = e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        for _ in range(descent_iters):
+            neigh = beam.join(dirs, beam["node"] == dirs["src"]).select(
+                "query_id", F.col("dst").alias("node")
+            )
+            cand = beam.unionByName(neigh).distinct()
+            beam = _score_top(cand, descent_beam).localCheckpoint(eager=True)
+
+    return nsw_beam_search(
+        emb, queries, k, edges=edges0, beam_width=beam_width,
+        n_iters=n_iters, dim=dim, exclude_self=exclude_self,
+        id_col=id_col, vec_col=vec_col, entries=beam,
+    )

@@ -1,0 +1,130 @@
+"""Persisted hierarchical (HNSW) graph — create-if-absent (S9) for
+the layered serving path, same lifecycle discipline as the flat NSW
+store (sources/graph_index.py): content-addressed fingerprint over
+(id, vector) rows plus EVERY build-affecting parameter, atomic
+fingerprint-last commit, per-path build lock.
+
+Layout under ``path``:
+  edges/   layer-0 edge list (a, b) — the standard NSW graph
+           (exact k-NN + hash shortcuts), built by
+           graph_index.build_nsw_graph
+  layers/  upper-layer edge lists (layer, a, b), layer >= 1
+  levels/  the geometric layer assignment (node, lvl)
+
+The reference gets exactly this artifact from Chroma's persisted
+hnswlib index (/root/reference/src/chroma.py:74-87: the collection
+dir holds the layered graph; re-runs skip the build). At 100 TB the
+upper layers total ~N/(branch-1) extra edge rows — noise next to the
+layer-0 list, which is itself tiny next to the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .graph_index import build_nsw_graph
+from .index_common import (
+    build_lock,
+    corpus_fingerprint,
+    invalidate_fingerprint,
+    read_fingerprint,
+    write_fingerprint,
+)
+
+
+def hnsw_graph_exists(path: str) -> bool:
+    return all(
+        os.path.exists(f"{path}/{p}")
+        for p in ("edges", "layers", "levels", "FINGERPRINT")
+    )
+
+
+def build_hnsw_graph(
+    corpus: DataFrame,
+    path: str,
+    *,
+    k: int = 12,
+    salt: int = 17,
+    branch: int = 4,
+    max_level: int = 3,
+    level_salt: str = "hl1",
+    k_upper: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Layer 0 = the flat NSW build (exact k-NN + shortcuts); layers
+    1..max_level = exact k_upper-NN over each promoted subset; levels
+    = the md5 geometric assignment. All three written as parquet."""
+    from ..operators.hnsw import hnsw_layer_edges, hnsw_levels
+
+    build_nsw_graph(
+        corpus, path, k=k, salt=salt, id_col=id_col, vec_col=vec_col
+    )
+    levels = hnsw_levels(
+        corpus, branch=branch, max_level=max_level,
+        salt=level_salt, id_col=id_col,
+    ).localCheckpoint(eager=True)
+    layers = None
+    for layer in range(1, max_level + 1):
+        e = hnsw_layer_edges(
+            corpus, levels, layer, k_upper=k_upper,
+            id_col=id_col, vec_col=vec_col,
+        ).select(F.lit(layer).cast("int").alias("layer"), "a", "b")
+        layers = e if layers is None else layers.unionByName(e)
+    layers.write.mode("overwrite").parquet(f"{path}/layers")
+    levels.write.mode("overwrite").parquet(f"{path}/levels")
+
+
+def ensure_hnsw_graph(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    k: int = 12,
+    salt: int = 17,
+    branch: int = 4,
+    max_level: int = 3,
+    level_salt: str = "hl1",
+    k_upper: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, DataFrame], DataFrame]:
+    """Create-if-absent; returns (edges0, {layer: edges}, levels) read
+    from the store. The fingerprint covers the corpus content and all
+    seven build parameters — a changed branch/max_level/k_upper/salt
+    rebuilds instead of silently serving a graph built under a
+    different rule (routing quality depends on every one of them)."""
+    fp = corpus_fingerprint(
+        corpus,
+        [id_col, vec_col],
+        {
+            "k": k,
+            "salt": salt,
+            "branch": branch,
+            "max_level": max_level,
+            "level_salt": level_salt,
+            "k_upper": k_upper,
+            "scheme": "hnsw-v1",
+        },
+    )
+    if not (hnsw_graph_exists(path) and read_fingerprint(path) == fp):
+        with build_lock(path):
+            if not (hnsw_graph_exists(path) and read_fingerprint(path) == fp):
+                invalidate_fingerprint(path)
+                build_hnsw_graph(
+                    corpus, path, k=k, salt=salt, branch=branch,
+                    max_level=max_level, level_salt=level_salt,
+                    k_upper=k_upper, id_col=id_col, vec_col=vec_col,
+                )
+                write_fingerprint(path, fp)
+    edges0 = spark.read.parquet(f"{path}/edges")
+    stored = spark.read.parquet(f"{path}/layers")
+    layer_edges = {
+        layer: stored.filter(F.col("layer") == layer).select("a", "b")
+        for layer in range(1, max_level + 1)
+    }
+    levels = spark.read.parquet(f"{path}/levels")
+    return edges0, layer_edges, levels
