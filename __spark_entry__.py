@@ -9628,6 +9628,154 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     )
 
 
+# Filtered graph search: ~30% selectivity on the embeddings table's
+# own metadata column (labels 1, 4, 7 of the 10 uniform labels).
+_FILT_LABELS = (1, 4, 7)
+
+
+def q_nsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered GRAPH serving (operators/ann.
+    nsw_filtered_search) — the ``where=`` surface the reference
+    stores advertise (/root/reference/src/chroma.py:3, Chroma
+    ``where`` / Pinecone ``filter``) on the graph-ANN path, with
+    production (hnswlib allow-list) semantics: the walk routes over
+    the FULL graph — hop beams bit-identical to nsw_beam_topk's, so a
+    selective filter can't strand it — and the result is the exact
+    top-k over every VISITED node whose label passes. The filter is
+    built as an ordinary .filter() on the embeddings scan (Catalyst
+    pushes label IN (...) into the parquet read) and reaches the
+    search as an id table; the search pays one semi-join on the
+    visited set (O(hops x beam x degree) rows per query, corpus-
+    independent). Fully deterministic -> FULL value-hash oracle (the
+    nsw_beam hop CTEs + one visited-union/filter/re-rank block)."""
+    from cs6300_vectordbs_spark.operators.ann import nsw_filtered_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    allowed = emb.filter(F.col("label").isin(*_FILT_LABELS)).select(
+        "vec_id"
+    )
+    out = nsw_filtered_search(
+        emb, _query_batch(emb), TOPK, edges=_nsw_edges(spark, sf_dir),
+        allowed=allowed, beam_width=_NSW_BEAM, n_iters=_NSW_HOPS,
+        n_entries=_NSW_ENTRIES, dim=EMB_DIM, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_nsw_filtered() -> str:
+    """nsw_beam's unrolled hop CTEs (identical graph, hubs, beams)
+    plus the filtered-result block: union every hop's candidate set
+    (the visited nodes), keep ids whose label passes, re-score with
+    the self-exclusion, rank top-k."""
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    labels = ", ".join(str(x) for x in _FILT_LABELS)
+    ctes = [f"""fnv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings
+),
+fsims AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM fnv q JOIN fnv e ON e.vec_id != q.vec_id
+),
+fknn AS MATERIALIZED (
+  SELECT query_id, vec_id FROM fsims
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+fncnt AS (SELECT count(*) AS n FROM embeddings),
+fsc AS MATERIALIZED (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM embeddings e JOIN embeddings d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM fncnt))
+  WHERE e.vec_id != d.vec_id
+),
+fedges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM fknn
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM fsc)
+),
+fdir AS MATERIALIZED (SELECT a AS src, b AS dst FROM fedges
+         UNION ALL SELECT b, a FROM fedges),
+fdeg AS (SELECT src, count(*) AS degree FROM fdir GROUP BY src),
+fhubs AS MATERIALIZED (SELECT src AS node FROM fdeg
+          ORDER BY degree DESC, src ASC LIMIT {_NSW_ENTRIES}),
+fqb AS MATERIALIZED (SELECT vec_id AS query_id, embedding, nrm FROM fnv
+        WHERE vec_id < {N_QUERIES}),
+fseed AS MATERIALIZED (
+  SELECT q.query_id, h.node FROM fqb q CROSS JOIN fhubs h
+),
+fb0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, s.node, {sim} AS sim
+          FROM fseed s JOIN fqb q ON q.query_id = s.query_id
+          JOIN fnv n ON n.vec_id = s.node
+          WHERE s.node != s.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)"""]
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""fc{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM fb{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM fb{i - 1} b JOIN fdir d ON d.src = b.node)
+),
+fb{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM fc{i} c JOIN fnv n ON n.vec_id = c.node
+          JOIN fnv q ON q.vec_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    unions = "\n    UNION ALL\n    ".join(
+        ["SELECT query_id, node FROM fseed"]
+        + [
+            f"SELECT query_id, node FROM fc{i}"
+            for i in range(1, _NSW_HOPS + 1)
+        ]
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+fvisited AS (
+  SELECT DISTINCT query_id, node FROM (
+    {unions})
+),
+fhits AS (
+  SELECT query_id, node FROM fvisited
+  WHERE node IN (SELECT vec_id FROM embeddings WHERE label IN ({labels}))
+)
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM (SELECT v.query_id, v.node, {sim} AS sim
+        FROM fhits v JOIN fnv n ON n.vec_id = v.node
+        JOIN fnv q ON q.vec_id = v.query_id
+        WHERE v.node != v.query_id)
+) WHERE rank <= {TOPK}"""
+    )
+
+
 def q_dedup_groups_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PERSISTED exact-dup group table (S9 create-if-absent,
     sources/dedup_index.ensure_dedup_groups): (id, rep_id) for every
@@ -10472,14 +10620,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_beam_topk": q_nsw_beam_topk,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_persisted_topk": q_hnsw_persisted_topk,
+        "nsw_filtered_topk": q_nsw_filtered_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "bm25_persisted_topk": q_bm25_persisted_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "exact_dedup": q_exact_dedup,
         "ivf_search_stream": q_ivf_search_stream,
+        "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "auto_ann_topk_clustered": q_auto_ann_topk_clustered,
@@ -10649,6 +10798,7 @@ def oracle_sql() -> dict[str, str]:
         "nsw_persisted_topk": _oracle_nsw_beam(),
         "hnsw_topk": _oracle_hnsw(),
         "hnsw_persisted_topk": _oracle_hnsw(),
+        "nsw_filtered_topk": _oracle_nsw_filtered(),
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,
         "knn_label_classifier": _ORACLE_KNN_VOTE,

@@ -1559,6 +1559,122 @@ def nsw_beam_search(
     )
 
 
+def nsw_filtered_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    edges: DataFrame,
+    allowed: DataFrame,
+    beam_width: int = 8,
+    n_iters: int = 4,
+    n_entries: int = 8,
+    dim: int | None = None,
+    exclude_self: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """METADATA-FILTERED graph serving — the ``where=`` surface the
+    reference stores advertise (/root/reference/src/chroma.py:3
+    Chroma ``where`` / pineconeDB.py:3 Pinecone ``filter``), on the
+    graph-ANN path. Production HNSW semantics (hnswlib's
+    allow-list): ROUTING runs over the FULL graph — the hop beams are
+    bit-identical to :func:`nsw_beam_search`'s, so a selective filter
+    can never strand the walk inside a non-matching region (the
+    failure mode of pre-filtering the graph, which deletes routing
+    waypoints) — while the RESULT is the exact top-k over every node
+    the walk VISITED that passes the filter.
+
+    ``allowed`` is the filter's output as an id table (one column,
+    ``id_col``) — the Spark-idiomatic contract: build it with an
+    ordinary ``.filter()`` / join on the metadata table and Catalyst
+    pushes the predicate into that scan; this operator only sees ids.
+    Tombstone-filtered serving is this exact shape with
+    allowed = survivors (sources/graph_index.apply_nsw_tombstones
+    pre-filters instead because deletions REMOVE routing nodes by
+    design — deleted vectors must not route at all).
+
+    Per-query cost: the visited set is O(n_iters x beam x degree)
+    rows — corpus-independent like the unfiltered beam; the filter
+    lands as one semi-join on that small set (broadcast or shuffled,
+    whichever fits ``allowed``'s size — Spark/AQE decides, since at
+    100 TB a weak predicate's id set can be corpus-sized). Fully
+    deterministic -> FULL value-hash oracle: the same unrolled hop
+    CTEs plus one visited-union + filter + re-rank block.
+
+    Recall note (pinned in tests): on an unfiltered ``allowed`` this
+    returns at least as good a top-k as nsw_beam_search, because it
+    ranks over the whole visited set (hnswlib's candidate queue), not
+    just the surviving final beam.
+    """
+    beam_width = max(beam_width, k)
+    dirs = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    hubs = (
+        deg.orderBy(F.col("degree").desc(), F.col("src").asc())
+        .limit(n_entries)
+        .select(F.col("src").alias("node"))
+    )
+    q = queries.select("query_id", "query_vec")
+    corpus = emb.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node").asc()
+    )
+
+    def _score(cand: DataFrame) -> DataFrame:
+        scored = (
+            cand.join(corpus, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
+            )
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("node") != F.col("query_id"))
+        return scored
+
+    def _topb(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= beam_width)
+            .select("query_id", "node", "sim")
+        )
+
+    seed = q.select("query_id").crossJoin(F.broadcast(hubs))
+    visited = seed
+    beam = _topb(_score(seed)).localCheckpoint(eager=True)
+    for _ in range(n_iters):
+        neigh = beam.join(
+            dirs, beam["node"] == dirs["src"]
+        ).select("query_id", F.col("dst").alias("node"))
+        cand = beam.select("query_id", "node").unionByName(neigh).distinct()
+        visited = (
+            visited.unionByName(cand).distinct().localCheckpoint(eager=True)
+        )
+        beam = _topb(_score(cand)).localCheckpoint(eager=True)
+
+    hits = visited.join(
+        allowed.select(F.col(id_col).alias("node")), "node", "left_semi"
+    )
+    return (
+        _score(hits)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("node").alias("vec_id"),
+            "sim",
+        )
+    )
+
+
 def _nsw_beam_broadcast(
     emb: DataFrame,
     queries: DataFrame,
