@@ -9440,9 +9440,14 @@ def q_hnsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic fingerprint-last commit, per-path build lock — the
     lifecycle every other index store carries), so serving never
     re-pays the kNN builds — the same artifact Chroma persists in its
-    collection dir (/root/reference/src/chroma.py:74-87). Identical
-    parameters and tie rules as hnsw_topk -> shares its full
-    value-hash oracle."""
+    collection dir (/root/reference/src/chroma.py:74-87). Serving
+    runs the BROADCAST strategy: corpus, layer-0 edges, upper layers,
+    and levels ship to executors once and the whole descent-and-beam
+    runs per query in one mapInPandas pass — zero shuffles,
+    bit-identical to the joins descent (tests/test_hnsw_broadcast.py),
+    so hnsw_topk keeps the distributed shape and the driver gate
+    exercises BOTH physical strategies. Identical parameters and tie
+    rules as hnsw_topk -> shares its full value-hash oracle."""
     from cs6300_vectordbs_spark.operators.hnsw import hnsw_search
     from cs6300_vectordbs_spark.sources.hnsw_index import ensure_hnsw_graph
 
@@ -9464,6 +9469,7 @@ def q_hnsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         layer_edges=layer_edges, levels=levels, beam_width=_NSW_BEAM,
         n_iters=_NSW_HOPS, descent_beam=_HNSW_DBEAM,
         descent_iters=_HNSW_DITERS, dim=EMB_DIM, exclude_self=True,
+        serve="broadcast",
     )
     return out.select(
         F.col("query_id").cast("bigint"),

@@ -1715,6 +1715,10 @@ def nsw_broadcast_server(
     vec_col: str = "embedding",
     max_nodes: int = 2_000_000,
     max_edges: int = 32_000_000,
+    layer_edges: dict[int, DataFrame] | None = None,
+    levels: DataFrame | None = None,
+    descent_beam: int = 4,
+    descent_iters: int = 2,
 ):
     """Broadcast-graph beam serving: the in-memory half of
     nsw_beam_search's ``serve`` switch (see its docstring for the
@@ -1766,6 +1770,19 @@ def nsw_broadcast_server(
     nsw_beam_search's unique-query-id contract): a duplicated id is
     served independently per occurrence here but pooled into one
     beam/k budget by the join path's window.
+
+    LAYERED (HNSW) mode: pass ``layer_edges`` (upper-layer edge lists,
+    layer >= 1) and ``levels`` (node, lvl) and the kernel runs the
+    hierarchical descent (operators/hnsw.hnsw_search joins path,
+    clause for clause): entry = min-id node of the highest populated
+    layer (corpus-min fallback), ``descent_iters`` expand-and-keep-
+    top-``descent_beam`` hops per layer top-down WITHOUT
+    self-exclusion, then the layer-0 beam seeded from the descent's
+    final nodes (exclusion applies there). The upper layers ride the
+    same broadcast (they are geometric fractions of the edge budget);
+    ``n_entries``/hub selection is bypassed — the hierarchy IS the
+    entry mechanism. Bit-identical to hnsw_search(serve='joins'),
+    pinned in tests/test_hnsw_broadcast.py.
     """
     import math
 
@@ -1865,6 +1882,54 @@ def nsw_broadcast_server(
     ]
     adj = {node: tuple(sorted(nb, key=lambda x: (x is not None, x))) for node, nb in adj.items()}
 
+    # HNSW layers: per-layer adjacency (descending) + the descent
+    # entry node, mirroring hnsw_search's joins-path aggregation —
+    # min id of the highest populated layer, corpus-min fallback,
+    # NULL nodes ignored (Spark min() skips NULLs), entry None when
+    # levels is all-NULL (the joins path's empty-join => zero rows).
+    layered = layer_edges is not None
+    lentry = None
+    layer_adjs: list = []
+    if layered:
+        lv_rows = levels.select("node", "lvl").limit(max_nodes + 1).collect()
+        if len(lv_rows) > max_nodes:
+            raise ValueError(
+                f"levels exceed max_broadcast_nodes={max_nodes}; use "
+                "serve='joins' instead"
+            )
+        promoted = [
+            (r[1], r[0])
+            for r in lv_rows
+            if r[0] is not None and r[1] is not None and r[1] >= 1
+        ]
+        if promoted:
+            top = max(lv for lv, _ in promoted)
+            lentry = min(nd for lv, nd in promoted if lv == top)
+        else:
+            nodes_all = [r[0] for r in lv_rows if r[0] is not None]
+            lentry = min(nodes_all) if nodes_all else None
+        for lay in sorted(layer_edges, reverse=True):
+            lrows = (
+                layer_edges[lay].select("a", "b")
+                .limit(max_edges + 1)
+                .collect()
+            )
+            if len(lrows) > max_edges:
+                raise ValueError(
+                    f"layer-{lay} edge list exceeds "
+                    f"max_broadcast_edges={max_edges}; use "
+                    "serve='joins' instead"
+                )
+            la: dict = {}
+            for row in lrows:
+                a, b = row[0], row[1]
+                if a is not None and b is not None:
+                    la.setdefault(a, set()).add(b)
+                    la.setdefault(b, set()).add(a)
+            layer_adjs.append(
+                {node: tuple(sorted(nb)) for node, nb in la.items()}
+            )
+
     spark = emb.sparkSession
     # Released by Spark's ContextCleaner once the serving DataFrame
     # (whose closure holds it) is garbage-collected — the standard
@@ -1872,10 +1937,12 @@ def nsw_broadcast_server(
     # ONCE and reuse it across query batches, not rebuild per call.
     bc = spark.sparkContext.broadcast(
         {"cidx": cidx, "V": V, "cbad": cbad, "cnorm": cnorm,
-         "cpoison": cpoison, "adj": adj, "hubs": hubs}
+         "cpoison": cpoison, "adj": adj, "hubs": hubs,
+         "lentry": lentry, "layer_adjs": layer_adjs}
     )
     id_type = emb.schema[id_col].dataType
     kk, bw, iters, excl, d = k, beam_width, n_iters, exclude_self, dim
+    lyr, db, di = layered, descent_beam, descent_iters
     neg_inf = float("-inf")
 
     def _key(item):
@@ -1890,6 +1957,7 @@ def nsw_broadcast_server(
         g = bc.value
         cidx, V, cbad, cnorm = g["cidx"], g["V"], g["cbad"], g["cnorm"]
         cpoison, adj, hubs = g["cpoison"], g["adj"], g["hubs"]
+        lentry, layer_adjs = g["lentry"], g["layer_adjs"]
 
         def search(qid, qvec):
             qbad = qvec is None
@@ -1912,7 +1980,7 @@ def nsw_broadcast_server(
                 qnorm = float(np.sqrt(qsq))
             sims: dict = {}
 
-            def score(cands):
+            def score(cands, width=bw, exclude=excl):
                 present = [c for c in cands if c in cidx]
                 if qpoison and present:
                     raise ValueError(
@@ -1956,12 +2024,30 @@ def nsw_broadcast_server(
                 scored = [
                     (c, sims[c])
                     for c in present
-                    if not (excl and c == qid)
+                    if not (exclude and c == qid)
                 ]
                 scored.sort(key=_key)
-                return scored[:bw]
+                return scored[:width]
 
-            beam = score(hubs)
+            if lyr:
+                # Hierarchical descent (hnsw_search joins path,
+                # clause for clause): no self-exclusion, keep
+                # descent_beam, empty layers rescore the carry.
+                beam = score(
+                    [] if lentry is None else [lentry],
+                    width=db, exclude=False,
+                )
+                for la in layer_adjs:
+                    for _ in range(di):
+                        cand = {node for node, _ in beam}
+                        for node, _ in beam:
+                            cand.update(la.get(node, ()))
+                        beam = score(cand, width=db, exclude=False)
+                # layer-0 hop-0: rescore the descent's nodes under
+                # the serving contract (exclusion, full beam width)
+                beam = score([node for node, _ in beam])
+            else:
+                beam = score(hubs)
             for _ in range(iters):
                 cand = {node for node, _ in beam}
                 for node, _ in beam:
