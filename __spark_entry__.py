@@ -9652,8 +9652,12 @@ def q_nsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes label IN (...) into the parquet read) and reaches the
     search as an id table; the search pays one semi-join on the
     visited set (O(hops x beam x degree) rows per query, corpus-
-    independent). Fully deterministic -> FULL value-hash oracle (the
-    nsw_beam hop CTEs + one visited-union/filter/re-rank block)."""
+    independent). Serves via the BROADCAST kernel (walk + allow-list
+    filter per query in one mapInPandas pass, bit-identical to the
+    distributed joins shape — tests/test_nsw_filtered.py pins both
+    strategies and the NULL-vector contracts). Fully deterministic ->
+    FULL value-hash oracle (the nsw_beam hop CTEs + one
+    visited-union/filter/re-rank block)."""
     from cs6300_vectordbs_spark.operators.ann import nsw_filtered_search
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -9664,6 +9668,7 @@ def q_nsw_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _query_batch(emb), TOPK, edges=_nsw_edges(spark, sf_dir),
         allowed=allowed, beam_width=_NSW_BEAM, n_iters=_NSW_HOPS,
         n_entries=_NSW_ENTRIES, dim=EMB_DIM, exclude_self=True,
+        serve="broadcast",
     )
     return out.select(
         F.col("query_id").cast("bigint"),

@@ -1573,6 +1573,9 @@ def nsw_filtered_search(
     exclude_self: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    serve: str = "joins",
+    max_broadcast_nodes: int = 2_000_000,
+    max_broadcast_edges: int = 32_000_000,
 ) -> DataFrame:
     """METADATA-FILTERED graph serving — the ``where=`` surface the
     reference stores advertise (/root/reference/src/chroma.py:3
@@ -1606,8 +1609,25 @@ def nsw_filtered_search(
     returns at least as good a top-k as nsw_beam_search, because it
     ranks over the whole visited set (hnswlib's candidate queue), not
     just the surviving final beam.
+
+    ``serve`` carries the family's physical split: ``"joins"``
+    (default) is the distributed shape the SQL oracle mirrors;
+    ``"broadcast"`` ships graph + corpus + allow-list once and runs
+    walk-and-filter per query in one mapInPandas pass
+    (nsw_broadcast_server's filtered mode) — bit-identical, pinned in
+    tests/test_nsw_filtered.py, same guarded budgets.
     """
     beam_width = max(beam_width, k)
+    if serve == "broadcast":
+        return nsw_broadcast_server(
+            emb, edges=edges, k=k, beam_width=beam_width,
+            n_iters=n_iters, n_entries=n_entries, dim=dim,
+            exclude_self=exclude_self, id_col=id_col, vec_col=vec_col,
+            max_nodes=max_broadcast_nodes, max_edges=max_broadcast_edges,
+            allowed=allowed.select(F.col(id_col)),
+        )(queries)
+    if serve != "joins":
+        raise ValueError(f"serve must be 'joins' or 'broadcast', got {serve!r}")
     dirs = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1719,6 +1739,7 @@ def nsw_broadcast_server(
     levels: DataFrame | None = None,
     descent_beam: int = 4,
     descent_iters: int = 2,
+    allowed: DataFrame | None = None,
 ):
     """Broadcast-graph beam serving: the in-memory half of
     nsw_beam_search's ``serve`` switch (see its docstring for the
@@ -1783,6 +1804,16 @@ def nsw_broadcast_server(
     ``n_entries``/hub selection is bypassed — the hierarchy IS the
     entry mechanism. Bit-identical to hnsw_search(serve='joins'),
     pinned in tests/test_hnsw_broadcast.py.
+
+    FILTERED mode: pass ``allowed`` (an id table — the metadata
+    filter's output) and the kernel runs nsw_filtered_search's
+    allow-list semantics in-process: routing beams identical to the
+    unfiltered walk, result = exact top-k over the VISITED nodes
+    whose id is in the allow-list (hnswlib's filter). The id set
+    collects under the ``max_nodes`` budget (the corpus already
+    does). Bit-identical to nsw_filtered_search, pinned in
+    tests/test_nsw_filtered.py. Not composable with layered mode —
+    no joins twin exists for that combination yet, so it fails loud.
     """
     import math
 
@@ -1888,6 +1919,21 @@ def nsw_broadcast_server(
     # NULL nodes ignored (Spark min() skips NULLs), entry None when
     # levels is all-NULL (the joins path's empty-join => zero rows).
     layered = layer_edges is not None
+    if layered and allowed is not None:
+        raise ValueError(
+            "layered + allowed is not supported: the filtered joins "
+            "twin (nsw_filtered_search) routes from hubs; compose "
+            "the filter with the flat graph or serve='joins'"
+        )
+    allow_set = None
+    if allowed is not None:
+        arows = allowed.limit(max_nodes + 1).collect()
+        if len(arows) > max_nodes:
+            raise ValueError(
+                f"allow-list exceeds max_broadcast_nodes={max_nodes}; "
+                "use nsw_filtered_search (distributed joins) instead"
+            )
+        allow_set = {r[0] for r in arows if r[0] is not None}
     lentry = None
     layer_adjs: list = []
     if layered:
@@ -1938,7 +1984,8 @@ def nsw_broadcast_server(
     bc = spark.sparkContext.broadcast(
         {"cidx": cidx, "V": V, "cbad": cbad, "cnorm": cnorm,
          "cpoison": cpoison, "adj": adj, "hubs": hubs,
-         "lentry": lentry, "layer_adjs": layer_adjs}
+         "lentry": lentry, "layer_adjs": layer_adjs,
+         "allow": allow_set}
     )
     id_type = emb.schema[id_col].dataType
     kk, bw, iters, excl, d = k, beam_width, n_iters, exclude_self, dim
@@ -1957,7 +2004,7 @@ def nsw_broadcast_server(
         g = bc.value
         cidx, V, cbad, cnorm = g["cidx"], g["V"], g["cbad"], g["cnorm"]
         cpoison, adj, hubs = g["cpoison"], g["adj"], g["hubs"]
-        lentry, layer_adjs = g["lentry"], g["layer_adjs"]
+        lentry, layer_adjs, allow = g["lentry"], g["layer_adjs"], g["allow"]
 
         def search(qid, qvec):
             qbad = qvec is None
@@ -2048,11 +2095,28 @@ def nsw_broadcast_server(
                 beam = score([node for node, _ in beam])
             else:
                 beam = score(hubs)
+            visited = set(hubs) if allow is not None else None
             for _ in range(iters):
                 cand = {node for node, _ in beam}
                 for node, _ in beam:
                     cand.update(adj.get(node, ()))
+                if allow is not None:
+                    visited.update(cand)
                 beam = score(cand)
+            if allow is not None:
+                # nsw_filtered_search semantics: rank the VISITED
+                # nodes passing the allow-list (routing was the
+                # unfiltered walk above, so the filter can't strand
+                # it); sims are memoized from the walk.
+                return [
+                    (qid, r + 1, node, sim)
+                    for r, (node, sim) in enumerate(
+                        score(
+                            [c for c in visited if c in allow],
+                            width=kk, exclude=excl,
+                        )
+                    )
+                ]
             return [
                 (qid, r + 1, node, sim)
                 for r, (node, sim) in enumerate(beam[:kk])

@@ -108,3 +108,58 @@ def test_unfiltered_allow_list_at_least_as_good_as_beam(spark):
     b = {(r["query_id"], r["rank"]): r["sim"] for r in beam}
     assert set(f) == set(b)
     assert all(f[key] >= b[key] - 1e-12 for key in b)
+
+
+def test_broadcast_filtered_bit_identity(spark):
+    corpus = _corpus(spark, n=110)
+    edges = _edges(corpus)
+    allowed = corpus.filter(F.col("label").isin(1, 3)).select("vec_id")
+    kw = dict(
+        edges=edges, allowed=allowed, beam_width=10, n_iters=3,
+        n_entries=4, dim=8, exclude_self=True,
+    )
+    q = _q(corpus, 7)
+    j = nsw_filtered_search(corpus, q, 4, serve="joins", **kw).collect()
+    b = nsw_filtered_search(corpus, q, 4, serve="broadcast", **kw).collect()
+    assert sorted(map(tuple, j)) == sorted(map(tuple, b)) and len(j) == 28
+
+
+def test_broadcast_filtered_null_vectors_bit_identity(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(80):
+        vec = None if i < 4 else [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, vec, i % 4))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+    edges = _edges(corpus)
+    allowed = corpus.filter(F.col("label") == 1).select("vec_id")
+    kw = dict(
+        edges=edges, allowed=allowed, beam_width=8, n_iters=3,
+        n_entries=4, dim=8, exclude_self=True,
+    )
+    q = _q(corpus, 6)  # includes NULL-vector queries
+    j = nsw_filtered_search(corpus, q, 3, serve="joins", **kw).collect()
+    b = nsw_filtered_search(corpus, q, 3, serve="broadcast", **kw).collect()
+    assert sorted(map(tuple, j)) == sorted(map(tuple, b))
+
+
+def test_layered_plus_allowed_fails_loud(spark):
+    import pytest
+
+    from cs6300_vectordbs_spark.operators.ann import nsw_broadcast_server
+
+    corpus = _corpus(spark, n=30)
+    edges = _edges(corpus)
+    allowed = corpus.select("vec_id")
+    levels = corpus.select(
+        F.col("vec_id").alias("node"), F.lit(1).alias("lvl")
+    )
+    with pytest.raises(ValueError, match="layered"):
+        nsw_broadcast_server(
+            corpus, edges=edges, k=3, dim=8,
+            layer_edges={1: edges}, levels=levels, allowed=allowed,
+        )
