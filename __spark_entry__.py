@@ -9377,12 +9377,14 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
 
 # HNSW hierarchy parameters: geometric promotion with p = 1/branch
 # (md5-portable, operators/hnsw.hnsw_levels), 3 upper layers, paper
-# M/2M degree split (upper k=6 vs layer-0 k=12), greedy descent with
-# a 4-wide beam and 2 hops per layer. Measured at sf0.01: recall@5 =
-# 0.98 vs exact with 4 per-query entries vs the flat path's 16 global
-# hubs (docs/ANN_QUALITY.md).
+# M/2M degree split (upper k=6 vs layer-0 k=12), single greedy hop
+# per layer with a 2-wide carry — the paper's ef=1 descent. Measured
+# at sf0.1 (docs/ANN_QUALITY.md): recall@5 = 0.90 vs exact, matching
+# the flat path's 16 global hubs with 2 descent-derived entries; the
+# (iters=2, beam=4) variant measured 0.88 at 1.7x the serve cost, so
+# the greedy knee wins on both axes.
 _HNSW_BRANCH, _HNSW_MAXLVL, _HNSW_KUP = 4, 3, 6
-_HNSW_DBEAM, _HNSW_DITERS = 4, 2
+_HNSW_DBEAM, _HNSW_DITERS = 2, 1
 _HNSW_LSALT = "hl1"
 
 
