@@ -9481,18 +9481,30 @@ def q_hnsw_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_hnsw() -> str:
+def _oracle_hnsw(tomb: bool = False) -> str:
     """The layered twin: levels CASE (the portable md5-geometric
     promotion), the layer-0 graph CTEs (identical to
     _oracle_nsw_beam's build), one kNN-build CTE block per upper
     layer, the entry-point scalar (min id of the highest populated
     layer, corpus-min fallback), every descent hop unrolled
     top-layer-down, then the standard layer-0 beam seeded from the
-    final descent beam."""
+    final descent beam.
+
+    ``tomb`` emits the DELETE variant (hnsw_tombstoned_topk): the
+    graph builds on the FULL corpus (the stored edge lists predate
+    the deletes), then a tombstone CTE filters the level table, the
+    scoring corpus, and every edge list by endpoint — exactly
+    sources/hnsw_index.apply_hnsw_tombstones — before the descent
+    and beam run over the survivor view."""
     sim = (
         "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
         " / (q.nrm * n.nrm)"
     )
+    # Scoring corpus and level table: the live (survivor) views under
+    # tomb, the full tables otherwise. Query vectors always come from
+    # the full corpus (the query batch is not subject to deletion).
+    sn = "hnvl" if tomb else "hnv"
+    lv = "hlvv" if tomb else "hlv"
     cases = " ".join(
         f"WHEN h % {_HNSW_BRANCH**lay} = 0 THEN {lay}"
         for lay in range(_HNSW_MAXLVL, 0, -1)
@@ -9535,9 +9547,30 @@ hedges AS MATERIALIZED (
     FROM hknn
     UNION ALL
     SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM hsc)
+)"""]
+    if tomb:
+        ctes.append(f"""htomb AS MATERIALIZED (
+  SELECT vec_id FROM embeddings
+  WHERE vec_id % {_TOMB_MOD} = {_TOMB_REM}
 ),
-hdir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedges
-          UNION ALL SELECT b, a FROM hedges)"""]
+hnvl AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm FROM hnv
+  WHERE vec_id NOT IN (SELECT vec_id FROM htomb)
+),
+hlvv AS MATERIALIZED (
+  SELECT node, lvl FROM hlv
+  WHERE node NOT IN (SELECT vec_id FROM htomb)
+),
+hedgl AS MATERIALIZED (
+  SELECT a, b FROM hedges
+  WHERE a NOT IN (SELECT vec_id FROM htomb)
+    AND b NOT IN (SELECT vec_id FROM htomb)
+),
+hdir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedgl
+          UNION ALL SELECT b, a FROM hedgl)""")
+    else:
+        ctes.append("""hdir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedges
+          UNION ALL SELECT b, a FROM hedges)""")
     for lay in range(1, _HNSW_MAXLVL + 1):
         ctes.append(f"""hsub{lay} AS MATERIALIZED (
   SELECT n.vec_id, n.embedding, n.nrm
@@ -9558,14 +9591,23 @@ hedgu{lay} AS MATERIALIZED (
   SELECT DISTINCT least(query_id, vec_id) AS a,
          greatest(query_id, vec_id) AS b
   FROM hknnu{lay}
+)""")
+        if tomb:
+            ctes.append(f"""hedgul{lay} AS MATERIALIZED (
+  SELECT a, b FROM hedgu{lay}
+  WHERE a NOT IN (SELECT vec_id FROM htomb)
+    AND b NOT IN (SELECT vec_id FROM htomb)
 ),
-hdiru{lay} AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedgu{lay}
+hdiru{lay} AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedgul{lay}
+           UNION ALL SELECT b, a FROM hedgul{lay})""")
+        else:
+            ctes.append(f"""hdiru{lay} AS MATERIALIZED (SELECT a AS src, b AS dst FROM hedgu{lay}
            UNION ALL SELECT b, a FROM hedgu{lay})""")
     ctes.append(f"""hent AS (
   SELECT coalesce(
-    (SELECT min(node) FROM hlv WHERE lvl >= 1
-       AND lvl = (SELECT max(lvl) FROM hlv WHERE lvl >= 1)),
-    (SELECT min(node) FROM hlv)) AS node
+    (SELECT min(node) FROM {lv} WHERE lvl >= 1
+       AND lvl = (SELECT max(lvl) FROM {lv} WHERE lvl >= 1)),
+    (SELECT min(node) FROM {lv})) AS node
 ),
 hqb AS MATERIALIZED (SELECT vec_id AS query_id, embedding, nrm FROM hnv
         WHERE vec_id < {N_QUERIES}),
@@ -9574,7 +9616,7 @@ hd0 AS MATERIALIZED (
     SELECT query_id, node, row_number() OVER (
       PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
     FROM (SELECT q.query_id, e.node, {sim} AS sim
-          FROM hqb q CROSS JOIN hent e JOIN hnv n ON n.vec_id = e.node)
+          FROM hqb q CROSS JOIN hent e JOIN {sn} n ON n.vec_id = e.node)
   ) WHERE rn <= {_HNSW_DBEAM}
 )""")
     step = 0
@@ -9593,7 +9635,7 @@ hd{step} AS MATERIALIZED (
     SELECT query_id, node, row_number() OVER (
       PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
     FROM (SELECT c.query_id, c.node, {sim} AS sim
-          FROM hdc{step} c JOIN hnv n ON n.vec_id = c.node
+          FROM hdc{step} c JOIN {sn} n ON n.vec_id = c.node
           JOIN hnv q ON q.vec_id = c.query_id)
   ) WHERE rn <= {_HNSW_DBEAM}
 )""")
@@ -9602,7 +9644,7 @@ hd{step} AS MATERIALIZED (
     SELECT query_id, node, sim, row_number() OVER (
       PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
     FROM (SELECT c.query_id, c.node, {sim} AS sim
-          FROM hd{step} c JOIN hnv n ON n.vec_id = c.node
+          FROM hd{step} c JOIN {sn} n ON n.vec_id = c.node
           JOIN hnv q ON q.vec_id = c.query_id
           WHERE c.node != c.query_id)
   ) WHERE rn <= {_NSW_BEAM}
@@ -9620,7 +9662,7 @@ hb{i} AS MATERIALIZED (
     SELECT query_id, node, sim, row_number() OVER (
       PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
     FROM (SELECT c.query_id, c.node, {sim} AS sim
-          FROM hc{i} c JOIN hnv n ON n.vec_id = c.node
+          FROM hc{i} c JOIN {sn} n ON n.vec_id = c.node
           JOIN hnv q ON q.vec_id = c.query_id
           WHERE c.node != c.query_id)
   ) WHERE rn <= {_NSW_BEAM}
@@ -9633,6 +9675,59 @@ SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
     PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
   FROM hb{_NSW_HOPS}
 ) WHERE rank <= {TOPK}"""
+    )
+
+
+def q_hnsw_tombstoned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE for the LAYERED graph index (sources/hnsw_index.
+    apply_hnsw_tombstones): ~1/9 of the corpus is tombstoned — the
+    dedup-loser shape — and the standard query batch serves over the
+    filtered hierarchy: tombstoned nodes leave the level table (a
+    deleted node can never be the descent entry), every upper layer's
+    edge list, the layer-0 edge list, and the scoring corpus, so no
+    descent step or beam hop routes through a deleted node. Soft
+    delete: the stored per-layer edge lists are untouched; past the
+    tombstone-fraction threshold compact_hnsw_tombstones rebuilds all
+    layers over survivors (tests/test_hnsw.py). Serves broadcast over
+    the survivor views (the layered kernel sees only the filtered
+    DataFrames); shares the hnsw family's determinism -> FULL
+    value-hash oracle (_oracle_hnsw(tomb=True): full-corpus build
+    CTEs, tombstone filters, filtered descent + beam)."""
+    from cs6300_vectordbs_spark.operators.hnsw import hnsw_search
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        delete_from_nsw_graph,
+    )
+    from cs6300_vectordbs_spark.sources.hnsw_index import (
+        apply_hnsw_tombstones,
+        ensure_hnsw_graph,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/hnsw_tomb_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_hnsw_graph(
+        spark, emb, path, k=_NSW_K, branch=_HNSW_BRANCH,
+        max_level=_HNSW_MAXLVL, level_salt=_HNSW_LSALT, k_upper=_HNSW_KUP,
+    )
+    dels = emb.filter(
+        F.col("vec_id") % _TOMB_MOD == _TOMB_REM
+    ).select("vec_id")
+    delete_from_nsw_graph(spark, dels, path)
+    live, edges0, layer_edges, levels = apply_hnsw_tombstones(
+        spark, emb, path, max_level=_HNSW_MAXLVL
+    )
+    out = hnsw_search(
+        live, _query_batch(emb), TOPK, edges0=edges0,
+        layer_edges=layer_edges, levels=levels, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, descent_beam=_HNSW_DBEAM,
+        descent_iters=_HNSW_DITERS, dim=EMB_DIM, exclude_self=True,
+        serve="broadcast",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
     )
 
 
@@ -10634,13 +10729,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_topk": q_hnsw_topk,
         "hnsw_persisted_topk": q_hnsw_persisted_topk,
         "nsw_filtered_topk": q_nsw_filtered_topk,
+        "hnsw_tombstoned_topk": q_hnsw_tombstoned_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "bm25_persisted_topk": q_bm25_persisted_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "incremental_dedup_stream": q_incremental_dedup_stream,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ivf_search_stream": q_ivf_search_stream,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -10811,6 +10907,7 @@ def oracle_sql() -> dict[str, str]:
         "nsw_persisted_topk": _oracle_nsw_beam(),
         "hnsw_topk": _oracle_hnsw(),
         "hnsw_persisted_topk": _oracle_hnsw(),
+        "hnsw_tombstoned_topk": _oracle_hnsw(tomb=True),
         "nsw_filtered_topk": _oracle_nsw_filtered(),
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,

@@ -128,3 +128,91 @@ def ensure_hnsw_graph(
     }
     levels = spark.read.parquet(f"{path}/levels")
     return edges0, layer_edges, levels
+
+
+def apply_hnsw_tombstones(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    max_level: int = 3,
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame, dict[int, DataFrame], DataFrame]:
+    """(live_corpus, live_edges0, live_layer_edges, live_levels) for
+    serving the LAYERED graph at ``path`` under its tombstone set —
+    the delete verb (graph_index.delete_from_nsw_graph writes the
+    same ``{path}/tombstones`` table; the store layout is what
+    differs). Tombstoned nodes drop from the scoring corpus, the
+    level table (so a deleted node can never be the descent entry),
+    the layer-0 edge list, and EVERY upper layer's edge list (either
+    endpoint) — no descent step or beam hop routes through a deleted
+    node on any layer, on both serve strategies. All filters are
+    anti-joins against the deletes-sized tombstone table."""
+    from .graph_index import read_nsw_tombstones
+
+    tombs = read_nsw_tombstones(spark, path, like=corpus, id_col=id_col)
+    live = corpus.join(F.broadcast(tombs), id_col, "left_anti")
+    t_a = tombs.select(F.col(id_col).alias("a"))
+    t_b = tombs.select(F.col(id_col).alias("b"))
+
+    def _filt(e: DataFrame) -> DataFrame:
+        return e.join(F.broadcast(t_a), "a", "left_anti").join(
+            F.broadcast(t_b), "b", "left_anti"
+        )
+
+    live_edges0 = _filt(spark.read.parquet(f"{path}/edges"))
+    stored = spark.read.parquet(f"{path}/layers")
+    live_layers = {
+        layer: _filt(stored.filter(F.col("layer") == layer).select("a", "b"))
+        for layer in range(1, max_level + 1)
+    }
+    live_levels = spark.read.parquet(f"{path}/levels").join(
+        F.broadcast(tombs.select(F.col(id_col).alias("node"))),
+        "node",
+        "left_anti",
+    )
+    return live, live_edges0, live_layers, live_levels
+
+
+def compact_hnsw_tombstones(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    *,
+    threshold: float = 0.2,
+    k: int = 12,
+    salt: int = 17,
+    branch: int = 4,
+    max_level: int = 3,
+    level_salt: str = "hl1",
+    k_upper: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Fold the tombstone set into the layered store once the
+    tombstoned fraction reaches ``threshold``: rebuild ALL layers over
+    the survivors (restoring the per-layer kNN connectivity the
+    endpoint filtering eroded) and clear the tombstone table —
+    graph_index.compact_nsw_tombstones' policy on the layered layout,
+    with the same crash order (tombstones cleared only AFTER the new
+    fingerprint commits)."""
+    from .graph_index import read_nsw_tombstones
+
+    tombs = read_nsw_tombstones(spark, path, like=corpus, id_col=id_col)
+    n_tomb = tombs.count()
+    if n_tomb == 0:
+        return False
+    n_corpus = corpus.count()
+    if n_corpus == 0 or (n_tomb / n_corpus) < threshold:
+        return False
+    survivors = corpus.join(F.broadcast(tombs), id_col, "left_anti")
+    survivors = survivors.localCheckpoint(eager=True)
+    ensure_hnsw_graph(
+        spark, survivors, path, k=k, salt=salt, branch=branch,
+        max_level=max_level, level_salt=level_salt, k_upper=k_upper,
+        id_col=id_col, vec_col=vec_col,
+    )
+    import shutil
+
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return True

@@ -259,3 +259,60 @@ def test_flat_nsw_hub_path_unchanged(spark):
         dim=8, exclude_self=True, entries=ent,
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, seeded))
+
+
+def test_layered_tombstone_lifecycle(spark, tmp_path):
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        delete_from_nsw_graph,
+        read_nsw_tombstones,
+    )
+    from cs6300_vectordbs_spark.sources.hnsw_index import (
+        apply_hnsw_tombstones,
+        compact_hnsw_tombstones,
+        ensure_hnsw_graph,
+    )
+    from cs6300_vectordbs_spark.sources.index_common import read_fingerprint
+
+    corpus = _corpus(spark, n=70).localCheckpoint(eager=True)
+    path = str(tmp_path / "hnsw_tomb")
+    kw = dict(k=6, branch=2, max_level=2, k_upper=3)
+    ensure_hnsw_graph(spark, corpus, path, **kw)
+    fp_before = read_fingerprint(path)
+
+    dels = corpus.filter(F.col("vec_id") % 10 == 3).select("vec_id")
+    del_ids = {r["vec_id"] for r in dels.collect()}
+    delete_from_nsw_graph(spark, dels, path)
+    # idempotent: replaying the delete doesn't grow the table
+    delete_from_nsw_graph(spark, dels, path)
+    assert read_nsw_tombstones(
+        spark, path, like=corpus
+    ).count() == len(del_ids)
+
+    live, e0, lay, lv = apply_hnsw_tombstones(spark, corpus, path,
+                                              max_level=2)
+    assert not {r["vec_id"] for r in live.select("vec_id").collect()} & del_ids
+    for df in [e0, *lay.values()]:
+        for r in df.collect():
+            assert r["a"] not in del_ids and r["b"] not in del_ids
+    assert not {r["node"] for r in lv.collect()} & del_ids
+    # serve over the survivor views: no deleted id ranks
+    q = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = hnsw_search(
+        live, q, 3, edges0=e0, layer_edges=lay, levels=lv,
+        beam_width=8, n_iters=3, descent_beam=2, descent_iters=1,
+        dim=8, exclude_self=True,
+    ).collect()
+    assert out and all(r["vec_id"] not in del_ids for r in out)
+
+    # 10% tombstoned: below the 0.2 threshold -> no-op
+    assert not compact_hnsw_tombstones(spark, corpus, path,
+                                       threshold=0.2, **kw)
+    assert read_fingerprint(path) == fp_before
+    # at threshold 0.05 -> rebuild over survivors, tombstones cleared
+    assert compact_hnsw_tombstones(spark, corpus, path,
+                                   threshold=0.05, **kw)
+    assert read_fingerprint(path) != fp_before
+    assert read_nsw_tombstones(spark, path, like=corpus).count() == 0
