@@ -9731,6 +9731,332 @@ def q_hnsw_tombstoned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LAYERED-graph maintenance (operators/hnsw.
+    hnsw_insert via the persisted two-layer store sources/hnsw_index.
+    append_hnsw_graph): the corpus splits into an indexed part (6/7
+    of ids, persisted layered build) and a new batch (1/7); each new
+    vector gets its md5-geometric level, descends the existing
+    hierarchy with a k_upper-wide carry, CONNECTS at every layer it
+    was promoted to (the paper's insert, Malkov & Yashunin 2018 §4,
+    batch-parallel: one descent pipeline for the whole batch), and
+    links its k best layer-0 beam results. The standard query batch
+    then serves over the merged hierarchy (broadcast descent). This
+    completes the layered store's lifecycle: build / serve x2 /
+    filter / delete / compact / INSERT — hnswlib runs this insert on
+    every collection upsert (/root/reference/src/chroma.py:74-87).
+    Fully deterministic -> FULL value-hash oracle: the old layered
+    build, the insert descent + per-layer link CTEs, the layer-0
+    insert beam, then the merged-hierarchy serve, all unrolled."""
+    from cs6300_vectordbs_spark.operators.hnsw import hnsw_search
+    from cs6300_vectordbs_spark.sources.hnsw_index import append_hnsw_graph
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/hnsw_ins_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % _INS_MOD != _INS_REM)
+    new = emb.filter(
+        (F.col("vec_id") % _INS_MOD == _INS_REM)
+        & F.col("embedding").isNotNull()
+    )
+    levels, layer_edges, edges0 = append_hnsw_graph(
+        spark, old, new, path, k=_NSW_K, branch=_HNSW_BRANCH,
+        max_level=_HNSW_MAXLVL, level_salt=_HNSW_LSALT,
+        k_upper=_HNSW_KUP, beam_width=_NSW_BEAM, n_iters=_NSW_HOPS,
+        descent_iters=1, dim=EMB_DIM,
+    )
+    merged_corpus = old.unionByName(new)
+    out = hnsw_search(
+        merged_corpus, _query_batch(emb), TOPK, edges0=edges0,
+        layer_edges=layer_edges, levels=levels, beam_width=_NSW_BEAM,
+        n_iters=_NSW_HOPS, descent_beam=_HNSW_DBEAM,
+        descent_iters=_HNSW_DITERS, dim=EMB_DIM, exclude_self=True,
+        serve="broadcast",
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
+def _oracle_hnsw_insert() -> str:
+    """The layered insert's twin, five unrolled blocks: (1) the old
+    split's layered build (levels CASE + layer-0 kNN/shortcuts + one
+    kNN block per upper layer), (2) the batch's levels, (3) the
+    insert descent (k_upper-wide, one hop per layer top-down) with a
+    per-layer link CTE gated on the batch node's promotion level,
+    (4) the layer-0 insert beam seeded from the final descent carry
+    (no self-exclusion — ids are disjoint) linking each new node's
+    top-k, (5) the standard layered serve over the merged corpus /
+    levels / edge lists."""
+    sim = (
+        "list_dot_product(q.embedding::DOUBLE[], n.embedding::DOUBLE[])"
+        " / (q.nrm * n.nrm)"
+    )
+    cases = " ".join(
+        f"WHEN h % {_HNSW_BRANCH**lay} = 0 THEN {lay}"
+        for lay in range(_HNSW_MAXLVL, 0, -1)
+    )
+    lvl_cte = (
+        "SELECT vec_id AS node, CASE " + cases + " ELSE 0 END AS lvl\n"
+        "  FROM (SELECT vec_id,\n"
+        f"          (('0x' || substr(md5('{_HNSW_LSALT}|' || vec_id::VARCHAR), 1, 15))::BIGINT)\n"
+        "            AS h\n"
+        "        FROM {src})"
+    )
+    # (1) old layered build
+    ctes = [f"""xoc AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_INS_MOD} != {_INS_REM}
+),
+xov AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM xoc
+),
+xlvo AS MATERIALIZED (
+  {lvl_cte.format(src="xoc")}
+),
+xsims AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM xov q JOIN xov e ON e.vec_id != q.vec_id
+),
+xknn AS MATERIALIZED (
+  SELECT query_id, vec_id FROM xsims
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_NSW_K}
+),
+xncnt AS MATERIALIZED (SELECT count(*) AS n FROM xoc),
+xsc AS MATERIALIZED (
+  SELECT e.vec_id AS src, d.vec_id AS dst
+  FROM xoc e JOIN xoc d
+    ON d.vec_id = (('0x' || substr(md5('s17|' || e.vec_id::VARCHAR), 1, 15))::BIGINT
+                   % (SELECT n FROM xncnt))
+  WHERE e.vec_id != d.vec_id
+),
+xedges AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT least(query_id, vec_id) AS a, greatest(query_id, vec_id) AS b
+    FROM xknn
+    UNION ALL
+    SELECT least(src, dst) AS a, greatest(src, dst) AS b FROM xsc)
+),
+xdir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM xedges
+          UNION ALL SELECT b, a FROM xedges)"""]
+    for lay in range(1, _HNSW_MAXLVL + 1):
+        ctes.append(f"""xsub{lay} AS MATERIALIZED (
+  SELECT n.vec_id, n.embedding, n.nrm
+  FROM xov n JOIN xlvo l ON l.node = n.vec_id AND l.lvl >= {lay}
+),
+xsimsu{lay} AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (q.nrm * e.nrm) AS sim
+  FROM xsub{lay} q JOIN xsub{lay} e ON e.vec_id != q.vec_id
+),
+xknnu{lay} AS MATERIALIZED (
+  SELECT query_id, vec_id FROM xsimsu{lay}
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) <= {_HNSW_KUP}
+),
+xedgu{lay} AS MATERIALIZED (
+  SELECT DISTINCT least(query_id, vec_id) AS a,
+         greatest(query_id, vec_id) AS b
+  FROM xknnu{lay}
+),
+xdiru{lay} AS MATERIALIZED (SELECT a AS src, b AS dst FROM xedgu{lay}
+           UNION ALL SELECT b, a FROM xedgu{lay})""")
+    # (2) the batch + its levels, (3) insert descent + links
+    ctes.append(f"""xnc AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_INS_MOD} = {_INS_REM} AND embedding IS NOT NULL
+),
+xnv AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM xnc
+),
+xlvn AS MATERIALIZED (
+  {lvl_cte.format(src="xnc")}
+),
+xent AS (
+  SELECT coalesce(
+    (SELECT min(node) FROM xlvo WHERE lvl >= 1
+       AND lvl = (SELECT max(lvl) FROM xlvo WHERE lvl >= 1)),
+    (SELECT min(node) FROM xlvo)) AS node
+),
+xd0 AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, e.node, {sim} AS sim
+          FROM (SELECT vec_id AS query_id, embedding, nrm FROM xnv) q
+          CROSS JOIN xent e JOIN xov n ON n.vec_id = e.node)
+  ) WHERE rn <= {_HNSW_KUP}
+)""")
+    step = 0
+    for lay in range(_HNSW_MAXLVL, 0, -1):
+        step += 1
+        ctes.append(f"""xdc{step} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM xd{step - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM xd{step - 1} b JOIN xdiru{lay} d ON d.src = b.node)
+),
+xd{step} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM xdc{step} c JOIN xov n ON n.vec_id = c.node
+          JOIN xnv q ON q.vec_id = c.query_id)
+  ) WHERE rn <= {_HNSW_KUP}
+),
+xlnku{lay} AS MATERIALIZED (
+  SELECT DISTINCT least(query_id, node) AS a, greatest(query_id, node) AS b
+  FROM xd{step}
+  WHERE query_id IN (SELECT node FROM xlvn WHERE lvl >= {lay})
+),
+xmedgu{lay} AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM xedgu{lay} UNION ALL SELECT a, b FROM xlnku{lay})
+),
+xmdiru{lay} AS MATERIALIZED (SELECT a AS src, b AS dst FROM xmedgu{lay}
+            UNION ALL SELECT b, a FROM xmedgu{lay})""")
+    # (4) layer-0 insert beam from the final descent carry
+    ctes.append(f"""xib0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM xd{step} c JOIN xov n ON n.vec_id = c.node
+          JOIN xnv q ON q.vec_id = c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""xic{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM xib{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM xib{i - 1} b JOIN xdir0 d ON d.src = b.node)
+),
+xib{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM xic{i} c JOIN xov n ON n.vec_id = c.node
+          JOIN xnv q ON q.vec_id = c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    # (5) merged structures + the standard layered serve
+    ctes.append(f"""xlnk0 AS MATERIALIZED (
+  SELECT DISTINCT least(query_id, node) AS a, greatest(query_id, node) AS b
+  FROM (SELECT query_id, node, row_number() OVER (
+          PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rnk
+        FROM xib{_NSW_HOPS})
+  WHERE rnk <= {_NSW_K}
+),
+xme AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM xedges UNION ALL SELECT a, b FROM xlnk0)
+),
+xmdir0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM xme
+           UNION ALL SELECT b, a FROM xme),
+xmv AS MATERIALIZED (
+  SELECT vec_id, embedding, nrm FROM xov
+  UNION ALL SELECT vec_id, embedding, nrm FROM xnv
+),
+xmlv AS MATERIALIZED (
+  SELECT node, lvl FROM xlvo UNION ALL SELECT node, lvl FROM xlvn
+),
+xsent AS (
+  SELECT coalesce(
+    (SELECT min(node) FROM xmlv WHERE lvl >= 1
+       AND lvl = (SELECT max(lvl) FROM xmlv WHERE lvl >= 1)),
+    (SELECT min(node) FROM xmlv)) AS node
+),
+xqb AS MATERIALIZED (
+  SELECT vec_id AS query_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS nrm
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+xsd0 AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT q.query_id, e.node, {sim} AS sim
+          FROM xqb q CROSS JOIN xsent e JOIN xmv n ON n.vec_id = e.node)
+  ) WHERE rn <= {_HNSW_DBEAM}
+)""")
+    sstep = 0
+    for lay in range(_HNSW_MAXLVL, 0, -1):
+        for _ in range(_HNSW_DITERS):
+            sstep += 1
+            ctes.append(f"""xsdc{sstep} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM xsd{sstep - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM xsd{sstep - 1} b JOIN xmdiru{lay} d ON d.src = b.node)
+),
+xsd{sstep} AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT query_id, node, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM xsdc{sstep} c JOIN xmv n ON n.vec_id = c.node
+          JOIN xqb q ON q.query_id = c.query_id)
+  ) WHERE rn <= {_HNSW_DBEAM}
+)""")
+    ctes.append(f"""xsb0 AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM xsd{sstep} c JOIN xmv n ON n.vec_id = c.node
+          JOIN xqb q ON q.query_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    for i in range(1, _NSW_HOPS + 1):
+        ctes.append(f"""xsc{i} AS MATERIALIZED (
+  SELECT DISTINCT query_id, node FROM (
+    SELECT query_id, node FROM xsb{i - 1}
+    UNION ALL
+    SELECT b.query_id, d.dst AS node
+    FROM xsb{i - 1} b JOIN xmdir0 d ON d.src = b.node)
+),
+xsb{i} AS MATERIALIZED (
+  SELECT query_id, node, sim FROM (
+    SELECT query_id, node, sim, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rn
+    FROM (SELECT c.query_id, c.node, {sim} AS sim
+          FROM xsc{i} c JOIN xmv n ON n.vec_id = c.node
+          JOIN xqb q ON q.query_id = c.query_id
+          WHERE c.node != c.query_id)
+  ) WHERE rn <= {_NSW_BEAM}
+)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank::BIGINT AS rank, node AS vec_id, sim FROM (
+  SELECT query_id, node, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, node ASC) AS rank
+  FROM xsb{_NSW_HOPS}
+) WHERE rank <= {TOPK}"""
+    )
+
+
 # Filtered graph search: ~30% selectivity on the embeddings table's
 # own metadata column (labels 1, 4, 7 of the 10 uniform labels).
 _FILT_LABELS = (1, 4, 7)
@@ -10730,12 +11056,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_persisted_topk": q_hnsw_persisted_topk,
         "nsw_filtered_topk": q_nsw_filtered_topk,
         "hnsw_tombstoned_topk": q_hnsw_tombstoned_topk,
+        "hnsw_insert_topk": q_hnsw_insert_topk,
         "ivf_persisted_topk": q_ivf_persisted_topk,
-        "bm25_persisted_topk": q_bm25_persisted_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "ivf_search_stream": q_ivf_search_stream,
+        "bm25_persisted_topk": q_bm25_persisted_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "exact_dedup": q_exact_dedup,
         "incremental_dedup": q_incremental_dedup,
@@ -10908,6 +11235,7 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_topk": _oracle_hnsw(),
         "hnsw_persisted_topk": _oracle_hnsw(),
         "hnsw_tombstoned_topk": _oracle_hnsw(tomb=True),
+        "hnsw_insert_topk": _oracle_hnsw_insert(),
         "nsw_filtered_topk": _oracle_nsw_filtered(),
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,

@@ -270,3 +270,155 @@ def hnsw_search(
         n_iters=n_iters, dim=dim, exclude_self=exclude_self,
         id_col=id_col, vec_col=vec_col, entries=beam,
     )
+
+
+def hnsw_insert(
+    emb: DataFrame,
+    new_vecs: DataFrame,
+    *,
+    edges0: DataFrame,
+    layer_edges: dict[int, DataFrame],
+    levels: DataFrame,
+    k: int = 12,
+    k_upper: int = 6,
+    branch: int = 4,
+    max_level: int = 3,
+    level_salt: str = "hl1",
+    beam_width: int = 32,
+    n_iters: int = 6,
+    descent_iters: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    check_disjoint: bool = True,
+) -> tuple[DataFrame, dict[int, DataFrame], DataFrame]:
+    """HNSW-style INSERT of a batch into the LAYERED graph — the
+    paper's algorithm (Malkov & Yashunin 2018 §4) made batch-parallel:
+    each new vector gets its md5-geometric level, descends the
+    existing hierarchy, and CONNECTS at every layer it belongs to —
+    at layer L <= level(new), to the k_upper best nodes its layer-L
+    search beam found; at layer 0, to the k best of the standard
+    beam. This is the maintenance verb that lets a daily-ingest
+    pipeline keep the hierarchy without the rebuild (Chroma's hnswlib
+    inserts into all layers on every upsert,
+    /root/reference/src/chroma.py:74-87); the flat-graph counterpart
+    is ann.nsw_insert_edges.
+
+    Returns (merged_levels, merged_layer_edges, merged_edges0): old
+    structures unioned with the new nodes' levels and links,
+    distinct. Like the flat insert, links connect old<->new only —
+    the batch searches the EXISTING graph, so inserts are
+    batch-parallel (one descent pipeline for the whole batch, not a
+    sequential per-row loop); new<->new proximity arrives at the next
+    rebuild/compaction, the same drift contract as the flat chain.
+
+    Cost per new vector: O(layers x descent-beam x degree + n_iters x
+    beam_width x degree) score evaluations — corpus-independent,
+    vs the O(N^2/B) full rebuild. Fully deterministic (the descent
+    and beam carry the engine's total tie orders; levels are the md5
+    assignment), so a serve over the merged graph carries a FULL
+    value-hash oracle.
+
+    New ids must be DISJOINT from the existing corpus ids (enforced
+    like nsw_insert_edges: an id collision is an upsert, and a
+    silently merged edge list is worse than an error).
+    """
+    from .ann import nsw_beam_search
+
+    if check_disjoint:
+        clash = new_vecs.select(F.col(id_col)).join(
+            emb.select(F.col(id_col)), id_col, "inner"
+        )
+        hit = clash.take(1)
+        if hit:
+            raise ValueError(
+                f"hnsw_insert: new id {hit[0][0]!r} already exists in "
+                "the indexed corpus — an id collision is an UPSERT; "
+                "route it through delete (tombstone) + insert, or the "
+                "rebuild lifecycle"
+            )
+
+    new_levels = hnsw_levels(
+        new_vecs, branch=branch, max_level=max_level,
+        salt=level_salt, id_col=id_col,
+    ).localCheckpoint(eager=True)
+    nq = new_vecs.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("node").asc()
+    )
+
+    def _score_top(cand: DataFrame, width: int) -> DataFrame:
+        return (
+            cand.join(corpus, "node")
+            .join(F.broadcast(nq), "query_id")
+            .select(
+                "query_id",
+                "node",
+                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= width)
+            .select("query_id", "node")
+        )
+
+    promoted = (
+        levels.filter(F.col("lvl") >= 1)
+        .groupBy("lvl")
+        .agg(F.min("node").alias("__n1"))
+        .agg(F.max_by("__n1", "lvl").alias("__n1"))
+    )
+    entry = (
+        promoted.crossJoin(levels.agg(F.min("node").alias("__n2")))
+        .select(F.coalesce("__n1", "__n2").alias("node"))
+    )
+    # Descent with a k_upper-wide carry: the layer-L beam IS the
+    # paper's per-layer candidate set the new node connects to.
+    beam = _score_top(
+        nq.select("query_id").crossJoin(F.broadcast(entry)), k_upper
+    ).localCheckpoint(eager=True)
+    new_layers: dict[int, DataFrame] = {}
+    for layer in sorted(layer_edges, reverse=True):
+        e = layer_edges[layer]
+        dirs = e.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        for _ in range(descent_iters):
+            neigh = beam.join(dirs, beam["node"] == dirs["src"]).select(
+                "query_id", F.col("dst").alias("node")
+            )
+            cand = beam.unionByName(neigh).distinct()
+            beam = _score_top(cand, k_upper).localCheckpoint(eager=True)
+        # connect at this layer: only new nodes promoted to it
+        members = new_levels.filter(F.col("lvl") >= layer).select(
+            F.col("node").alias("query_id")
+        )
+        links = (
+            beam.join(F.broadcast(members), "query_id")
+            .select(
+                F.least("query_id", "node").alias("a"),
+                F.greatest("query_id", "node").alias("b"),
+            )
+        )
+        new_layers[layer] = (
+            layer_edges[layer].unionByName(links).distinct()
+        )
+    # layer 0: every new node connects to its k best beam results
+    found = nsw_beam_search(
+        emb, nq, k, edges=edges0, beam_width=beam_width,
+        n_iters=n_iters, dim=dim, exclude_self=False,
+        id_col=id_col, vec_col=vec_col, entries=beam,
+    )
+    links0 = found.select(
+        F.least("query_id", F.col(id_col)).alias("a"),
+        F.greatest("query_id", F.col(id_col)).alias("b"),
+    )
+    merged_edges0 = edges0.unionByName(links0).distinct()
+    merged_levels = levels.unionByName(new_levels)
+    return merged_levels, new_layers, merged_edges0

@@ -130,6 +130,95 @@ def ensure_hnsw_graph(
     return edges0, layer_edges, levels
 
 
+def append_hnsw_graph(
+    spark: SparkSession,
+    corpus: DataFrame,
+    new_vecs: DataFrame,
+    path: str,
+    *,
+    k: int = 12,
+    salt: int = 17,
+    branch: int = 4,
+    max_level: int = 3,
+    level_salt: str = "hl1",
+    k_upper: int = 6,
+    beam_width: int = 32,
+    n_iters: int = 6,
+    descent_iters: int = 1,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, DataFrame], DataFrame]:
+    """Persisted incremental maintenance for the LAYERED graph — the
+    stored form of operators/hnsw.hnsw_insert, mirroring
+    graph_index.append_nsw_graph's two-layer layout:
+
+    - ``{path}/base``: the full layered build for ``corpus``
+      (ensure_hnsw_graph — levels + upper layers + layer-0 edges).
+    - ``{path}/merged``: the base structures plus the batch's levels
+      and per-layer insert links, committed under a fingerprint
+      covering the BASE fingerprint transitively, the batch content,
+      and every insert parameter. Unchanged inputs serve the stored
+      merged hierarchy without re-running the insert beams.
+
+    Returns (levels, {layer: edges}, edges0) read from the merged
+    store. Same crash discipline as every store here (invalidate-
+    first, fingerprint-last, per-path lock); new ids must be disjoint
+    (enforced inside hnsw_insert)."""
+    base_e0, base_layers, base_levels = ensure_hnsw_graph(
+        spark, corpus, f"{path}/base", k=k, salt=salt, branch=branch,
+        max_level=max_level, level_salt=level_salt, k_upper=k_upper,
+        id_col=id_col, vec_col=vec_col,
+    )
+    base_fp = read_fingerprint(f"{path}/base")
+    batch_fp = corpus_fingerprint(new_vecs, [id_col, vec_col])
+    merged_fp = (
+        f"base={base_fp}|batch={batch_fp}"
+        f"|beam={beam_width},iters={n_iters},di={descent_iters}"
+        f",dim={dim},scheme=hnsw-append-v1"
+    )
+    mpath = f"{path}/merged"
+    if not (hnsw_graph_exists(mpath) and read_fingerprint(mpath) == merged_fp):
+        with build_lock(mpath):
+            if not (
+                hnsw_graph_exists(mpath)
+                and read_fingerprint(mpath) == merged_fp
+            ):
+                from ..operators.hnsw import hnsw_insert
+
+                invalidate_fingerprint(mpath)
+                mlv, mlay, me0 = hnsw_insert(
+                    corpus, new_vecs, edges0=base_e0,
+                    layer_edges=base_layers, levels=base_levels,
+                    k=k, k_upper=k_upper, branch=branch,
+                    max_level=max_level, level_salt=level_salt,
+                    beam_width=beam_width, n_iters=n_iters,
+                    descent_iters=descent_iters, dim=dim,
+                    id_col=id_col, vec_col=vec_col,
+                )
+                me0.write.mode("overwrite").parquet(f"{mpath}/edges")
+                layers = None
+                for layer, e in sorted(mlay.items()):
+                    tagged = e.select(
+                        F.lit(layer).cast("int").alias("layer"), "a", "b"
+                    )
+                    layers = (
+                        tagged if layers is None
+                        else layers.unionByName(tagged)
+                    )
+                layers.write.mode("overwrite").parquet(f"{mpath}/layers")
+                mlv.write.mode("overwrite").parquet(f"{mpath}/levels")
+                write_fingerprint(mpath, merged_fp)
+    edges0 = spark.read.parquet(f"{mpath}/edges")
+    stored = spark.read.parquet(f"{mpath}/layers")
+    layer_edges = {
+        layer: stored.filter(F.col("layer") == layer).select("a", "b")
+        for layer in range(1, max_level + 1)
+    }
+    levels = spark.read.parquet(f"{mpath}/levels")
+    return levels, layer_edges, edges0
+
+
 def apply_hnsw_tombstones(
     spark: SparkSession,
     corpus: DataFrame,

@@ -316,3 +316,84 @@ def test_layered_tombstone_lifecycle(spark, tmp_path):
                                    threshold=0.05, **kw)
     assert read_fingerprint(path) != fp_before
     assert read_nsw_tombstones(spark, path, like=corpus).count() == 0
+
+
+def test_layered_insert_and_append_lifecycle(spark, tmp_path):
+    from cs6300_vectordbs_spark.operators.hnsw import hnsw_insert
+    from cs6300_vectordbs_spark.sources.hnsw_index import append_hnsw_graph
+    from cs6300_vectordbs_spark.sources.index_common import read_fingerprint
+
+    corpus = _corpus(spark, n=90).localCheckpoint(eager=True)
+    old = corpus.filter(F.col("vec_id") < 70).localCheckpoint(eager=True)
+    new = corpus.filter(F.col("vec_id") >= 70).localCheckpoint(eager=True)
+    path = str(tmp_path / "hnsw_app")
+    kw = dict(k=6, branch=2, max_level=2, k_upper=3, beam_width=10,
+              n_iters=3, dim=8)
+    lv, lay, e0 = append_hnsw_graph(spark, old, new, path, **kw)
+    # every new node present in the merged levels; its layer links
+    # respect its promotion level
+    lv_rows = {r["node"]: r["lvl"] for r in lv.collect()}
+    assert set(lv_rows) == {r["vec_id"] for r in corpus.collect()}
+    for layer, e in lay.items():
+        for r in e.collect():
+            for end in (r["a"], r["b"]):
+                if end >= 70:
+                    assert lv_rows[end] >= layer
+    # new nodes are connected at layer 0
+    linked = {r["a"] for r in e0.collect()} | {r["b"] for r in e0.collect()}
+    assert all(i in linked for i in range(70, 90))
+    # unchanged inputs: both fingerprints stable (stored serve)
+    fp_b = read_fingerprint(f"{path}/base")
+    fp_m = read_fingerprint(f"{path}/merged")
+    append_hnsw_graph(spark, old, new, path, **kw)
+    assert read_fingerprint(f"{path}/base") == fp_b
+    assert read_fingerprint(f"{path}/merged") == fp_m
+    # changed batch: merged rebuilds, base reused
+    new2 = corpus.filter(F.col("vec_id") >= 68).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="already exists"):
+        # ids 68,69 collide with the indexed corpus -> loud
+        hnsw_insert(
+            old, new2,
+            edges0=spark.createDataFrame([], "a bigint, b bigint"),
+            layer_edges={}, levels=old.select(
+                F.col("vec_id").alias("node"), F.lit(0).alias("lvl")),
+            dim=8,
+        )
+    new3 = _corpus(spark, n=95, seed=9).filter(
+        F.col("vec_id") >= 90
+    ).localCheckpoint(eager=True)
+    append_hnsw_graph(spark, old.unionByName(
+        corpus.filter(F.col("vec_id") >= 70)).localCheckpoint(eager=True),
+        new3, path, **kw)
+    assert read_fingerprint(f"{path}/merged") != fp_m
+
+
+def test_layered_insert_served_recall(spark):
+    from cs6300_vectordbs_spark.operators.hnsw import hnsw_insert
+
+    corpus = _corpus(spark, n=120).localCheckpoint(eager=True)
+    old = corpus.filter(F.col("vec_id") % 5 != 2).localCheckpoint(eager=True)
+    new = corpus.filter(F.col("vec_id") % 5 == 2).localCheckpoint(eager=True)
+    edges0 = _edges0(old)
+    levels, layer_edges = _search_args(spark, old)
+    mlv, mlay, me0 = hnsw_insert(
+        old, new, edges0=edges0, layer_edges=layer_edges, levels=levels,
+        k=6, k_upper=3, branch=2, max_level=3, beam_width=12, n_iters=3,
+        dim=8,
+    )
+    q = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = hnsw_search(
+        corpus, q, 4, edges0=me0.localCheckpoint(eager=True),
+        layer_edges={L: d.localCheckpoint(eager=True) for L, d in mlay.items()},
+        levels=mlv.localCheckpoint(eager=True), beam_width=16, n_iters=4,
+        descent_beam=2, descent_iters=1, dim=8, exclude_self=True,
+    ).collect()
+    exact = similarity_topk_blocked(corpus, q, 4, exclude_self=True).collect()
+    a = {(r["query_id"], r["vec_id"]) for r in got}
+    b = {(r["query_id"], r["vec_id"]) for r in exact}
+    assert len(a & b) / len(b) >= 0.8
+    # inserted nodes are findable
+    assert any(v % 5 == 2 for _, v in a)
