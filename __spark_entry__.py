@@ -7035,6 +7035,45 @@ def q_nsw_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HIERARCHICAL graph search: the query batch arrives
+    as a file stream and every micro-batch runs the full HNSW
+    descent-and-beam over the persisted layered store, served by ONE
+    layered broadcast server built before the first batch
+    (streaming/search.serve_hnsw_query_stream). Per-query
+    independence makes the drained stream row-identical to the batch
+    layered serve, so this shares hnsw_topk's full value-hash oracle.
+    Same exactly-once contract as the other drains (per-batch
+    overwrite dirs, params sidecar pinning graph/corpus/tombstone
+    content and every descent parameter)."""
+    from cs6300_vectordbs_spark.sources.hnsw_index import ensure_hnsw_graph
+    from cs6300_vectordbs_spark.streaming.search import (
+        read_query_stream,
+        serve_hnsw_query_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/hnsw_graph_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_hnsw_graph(
+        spark, emb, path, k=_NSW_K, branch=_HNSW_BRANCH,
+        max_level=_HNSW_MAXLVL, level_salt=_HNSW_LSALT, k_upper=_HNSW_KUP,
+    )
+    qs = read_query_stream(spark, sf_dir, N_QUERIES)
+    out = serve_hnsw_query_stream(
+        spark, qs, emb, path, TOPK,
+        dim=EMB_DIM, beam_width=_NSW_BEAM, n_iters=_NSW_HOPS,
+        max_level=_HNSW_MAXLVL, descent_beam=_HNSW_DBEAM,
+        descent_iters=_HNSW_DITERS, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint"),
+        F.col("rank").cast("bigint"),
+        F.col("vec_id").cast("bigint"),
+        "sim",
+    )
+
+
 def q_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stored-text-index serving path (sources/text_index.py): ensure
     the on-disk BM25 impact index exists (create-if-absent with
@@ -11057,11 +11096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_filtered_topk": q_nsw_filtered_topk,
         "hnsw_tombstoned_topk": q_hnsw_tombstoned_topk,
         "hnsw_insert_topk": q_hnsw_insert_topk,
+        "hnsw_search_stream": q_hnsw_search_stream,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
-        "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "incremental_dedup_stream": q_incremental_dedup_stream,
         "ivf_search_stream": q_ivf_search_stream,
+        "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "bm25_persisted_topk": q_bm25_persisted_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "exact_dedup": q_exact_dedup,
@@ -11236,6 +11276,7 @@ def oracle_sql() -> dict[str, str]:
         "hnsw_persisted_topk": _oracle_hnsw(),
         "hnsw_tombstoned_topk": _oracle_hnsw(tomb=True),
         "hnsw_insert_topk": _oracle_hnsw_insert(),
+        "hnsw_search_stream": _oracle_hnsw(),
         "nsw_filtered_topk": _oracle_nsw_filtered(),
         "semdedup_survivors": _oracle_semdedup(),
         "dup_span_removal": _ORACLE_DUP_SPAN_REMOVAL,

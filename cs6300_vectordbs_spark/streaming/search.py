@@ -347,3 +347,92 @@ def serve_graph_query_stream(
             spark.createDataFrame([], queries_stream.schema)
         ),
     )
+
+
+def serve_hnsw_query_stream(
+    spark: SparkSession,
+    queries_stream: DataFrame,
+    corpus: DataFrame,
+    graph_path: str,
+    k: int = 5,
+    *,
+    dim: int,
+    beam_width: int = 32,
+    n_iters: int = 6,
+    max_level: int = 3,
+    descent_beam: int = 4,
+    descent_iters: int = 2,
+    exclude_self: bool = False,
+    out_path: str | None = None,
+    checkpoint_location: str | None = None,
+    post_batch_hook=None,
+) -> DataFrame:
+    """Drain a query stream against the persisted LAYERED (HNSW)
+    graph — serve_graph_query_stream's hierarchical sibling, same
+    exactly-once / sidecar / snapshot semantics.
+
+    One layered broadcast server per drain: corpus, layer-0 edges,
+    upper layers, and levels collect and broadcast before the first
+    micro-batch (nsw_broadcast_server's layered mode), and every
+    batch runs the full descent-and-beam in its one mapInPandas pass.
+    Tombstones (sources/hnsw_index.apply_hnsw_tombstones) apply
+    before the server builds, so every batch serves the survivor
+    hierarchy; the resumable-drain sidecar pins graph content,
+    corpus content, the tombstone snapshot, AND every
+    descent/serving parameter — a resume over any changed input
+    raises instead of mixing serving views. ``graph_path`` is the
+    ensure_hnsw_graph root (build first; a serving job must not race
+    a build)."""
+    import os
+
+    from ..operators.ann import nsw_broadcast_server
+    from ..sources.hnsw_index import apply_hnsw_tombstones
+
+    live, live_e0, live_layers, live_levels = apply_hnsw_tombstones(
+        spark, corpus, graph_path, max_level=max_level
+    )
+    server = nsw_broadcast_server(
+        live, edges=live_e0, k=k, beam_width=beam_width,
+        n_iters=n_iters, dim=dim, exclude_self=exclude_self,
+        layer_edges=live_layers, levels=live_levels,
+        descent_beam=descent_beam, descent_iters=descent_iters,
+    )
+    params = {
+        "kind": "hnsw_serve",
+        "graph_path": os.path.abspath(graph_path),
+        "k": int(k),
+        "dim": int(dim),
+        "beam_width": int(beam_width),
+        "n_iters": int(n_iters),
+        "max_level": int(max_level),
+        "descent_beam": int(descent_beam),
+        "descent_iters": int(descent_iters),
+        "exclude_self": bool(exclude_self),
+    }
+    if checkpoint_location is not None:
+        from ..sources.graph_index import read_nsw_tombstones
+        from ..sources.index_common import (
+            corpus_fingerprint,
+            read_fingerprint,
+        )
+
+        params["corpus_fp"] = corpus_fingerprint(
+            corpus, ["vec_id", "embedding"]
+        )
+        params["graph_fp"] = read_fingerprint(graph_path)
+        tombs = read_nsw_tombstones(spark, graph_path, like=corpus)
+        params["tombstone_fp"] = corpus_fingerprint(tombs, ["vec_id"])
+    return _drain(
+        spark,
+        queries_stream,
+        serve_batch=server,
+        tmp_prefix="hnsw_serve_",
+        params=params,
+        out_path=out_path,
+        checkpoint_location=checkpoint_location,
+        post_batch_hook=post_batch_hook,
+        out_cols=["query_id", "rank", "vec_id", "sim"],
+        empty_result=lambda: server(
+            spark.createDataFrame([], queries_stream.schema)
+        ),
+    )

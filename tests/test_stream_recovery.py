@@ -768,3 +768,106 @@ def test_graph_stream_respects_tombstones_and_pins_them(spark, tmp_path):
             spark, stream(), corpus, gpath, 3, dim=dim,
             out_path=out, checkpoint_location=ckpt,
         )
+
+
+def test_hnsw_stream_crash_and_tombstone_pin(spark, tmp_path):
+    """The layered drain's kill/restart + snapshot contract: a crash
+    inside the commit window converges to the batch layered serve
+    over the same query set, and a delete issued between drains makes
+    a resume over the old checkpoint refuse (tombstone_fp pin)."""
+    from cs6300_vectordbs_spark.operators.hnsw import hnsw_search
+    from cs6300_vectordbs_spark.sources.graph_index import (
+        delete_from_nsw_graph,
+    )
+    from cs6300_vectordbs_spark.sources.hnsw_index import (
+        apply_hnsw_tombstones,
+        ensure_hnsw_graph,
+    )
+    from cs6300_vectordbs_spark.streaming.search import (
+        serve_hnsw_query_stream,
+    )
+
+    dim, n = 8, 64
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    gpath = str(tmp_path / "hnswg")
+    src = str(tmp_path / "q_stream")
+    out = str(tmp_path / "serve_out")
+    ckpt = str(tmp_path / "serve_ckpt")
+    kw = dict(k=4, branch=2, max_level=2, k_upper=3)
+    ensure_hnsw_graph(spark, emb, gpath, **kw)
+
+    qrows = [
+        (i, [float((i * 5 + j) % 7 - 3) for j in range(dim)])
+        for i in range(6)
+    ]
+    for i in range(0, 6, 2):
+        spark.createDataFrame(
+            qrows[i : i + 2], "query_id long, query_vec array<double>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("query_id long, query_vec array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    seen: list[int] = []
+
+    def crash_on_second(bid: int) -> None:
+        seen.append(bid)
+        if len(seen) == 2:
+            raise RuntimeError("injected crash after sink, before commit")
+
+    skw = dict(
+        dim=dim, beam_width=6, n_iters=3, max_level=2,
+        descent_beam=2, descent_iters=1,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        serve_hnsw_query_stream(
+            spark, stream(), emb, gpath, 3, out_path=out,
+            checkpoint_location=ckpt, post_batch_hook=crash_on_second,
+            **skw,
+        )
+    assert len(seen) == 2
+
+    got = serve_hnsw_query_stream(
+        spark, stream(), emb, gpath, 3, out_path=out,
+        checkpoint_location=ckpt, **skw,
+    )
+    live, e0, lay, lv = apply_hnsw_tombstones(spark, emb, gpath,
+                                              max_level=2)
+    want = hnsw_search(
+        live,
+        spark.createDataFrame(
+            qrows, "query_id long, query_vec array<double>"
+        ),
+        3, edges0=e0, layer_edges=lay, levels=lv,
+        beam_width=6, n_iters=3, descent_beam=2, descent_iters=1,
+        dim=dim,
+    )
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim) for r in want.collect()
+    )
+    assert g == w and len(g) == 18
+    assert len(g) == len(set(g))
+
+    # delete between drains -> resume over the old checkpoint refuses
+    from pyspark.sql import functions as F
+
+    delete_from_nsw_graph(
+        spark, emb.filter(F.col("vec_id") % 9 == 1).select("vec_id"),
+        gpath,
+    )
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        serve_hnsw_query_stream(
+            spark, stream(), emb, gpath, 3, out_path=out,
+            checkpoint_location=ckpt, **skw,
+        )
