@@ -9798,7 +9798,7 @@ def q_hnsw_insert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % _INS_MOD == _INS_REM)
         & F.col("embedding").isNotNull()
     )
-    levels, layer_edges, edges0 = append_hnsw_graph(
+    edges0, layer_edges, levels = append_hnsw_graph(
         spark, old, new, path, k=_NSW_K, branch=_HNSW_BRANCH,
         max_level=_HNSW_MAXLVL, level_salt=_HNSW_LSALT,
         k_upper=_HNSW_KUP, beam_width=_NSW_BEAM, n_iters=_NSW_HOPS,

@@ -315,9 +315,12 @@ def main() -> None:
     )
     # Full per-query detail goes to a file; the printed line carries
     # only the headline block so it fits the driver's output-tail cap.
+    # The cold total voids together with the warm one: a query that
+    # failed a warm pass has a broken serving path, and summing its
+    # cold rep would read as a complete number for a void round.
     headline_cold = (
         None
-        if any(n not in cold for n in BENCH_QUERIES)
+        if headline is None or any(n not in cold for n in BENCH_QUERIES)
         else round(sum(cold[n] for n in BENCH_QUERIES), 3)
     )
     # The band the headline total moves in across the warm passes:

@@ -1904,13 +1904,6 @@ def nsw_broadcast_server(
         if a is not None and b is not None:
             adj.setdefault(a, set()).add(b)
             adj.setdefault(b, set()).add(a)
-    hubs = [
-        node
-        for node, _ in sorted(
-            degc.items(),
-            key=lambda kv: (-kv[1], kv[0] is not None, kv[0]),
-        )[:n_entries]
-    ]
     adj = {node: tuple(sorted(nb, key=lambda x: (x is not None, x))) for node, nb in adj.items()}
 
     # HNSW layers: per-layer adjacency (descending) + the descent
@@ -1919,6 +1912,18 @@ def nsw_broadcast_server(
     # NULL nodes ignored (Spark min() skips NULLs), entry None when
     # levels is all-NULL (the joins path's empty-join => zero rows).
     layered = layer_edges is not None
+    if layered:
+        # The hierarchy IS the entry mechanism — skip the corpus-wide
+        # degree sort entirely (it can be max_nodes entries).
+        hubs: list = []
+    else:
+        hubs = [
+            node
+            for node, _ in sorted(
+                degc.items(),
+                key=lambda kv: (-kv[1], kv[0] is not None, kv[0]),
+            )[:n_entries]
+        ]
     if layered and allowed is not None:
         raise ValueError(
             "layered + allowed is not supported: the filtered joins "

@@ -210,6 +210,38 @@ def hnsw_search(
         raise ValueError(f"serve must be 'joins' or 'broadcast', got {serve!r}")
 
     q = queries.select("query_id", "query_vec")
+    beam, _ = _descend(
+        q, emb, layer_edges, levels, width=descent_beam,
+        iters=descent_iters, dim=dim, id_col=id_col, vec_col=vec_col,
+    )
+    return nsw_beam_search(
+        emb, queries, k, edges=edges0, beam_width=beam_width,
+        n_iters=n_iters, dim=dim, exclude_self=exclude_self,
+        id_col=id_col, vec_col=vec_col, entries=beam,
+    )
+
+
+def _descend(
+    q: DataFrame,
+    emb: DataFrame,
+    layer_edges: dict[int, DataFrame],
+    levels: DataFrame,
+    *,
+    width: int,
+    iters: int,
+    dim: int | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, dict[int, DataFrame]]:
+    """The greedy layer descent shared by hnsw_search (serving: the
+    final beam seeds layer 0) and hnsw_insert (maintenance: each
+    layer's carry is the candidate set the paper connects the new
+    node to). Entry = min-id node of the highest populated layer
+    (corpus-min fallback — the search stays total on a corpus with no
+    promotions); each layer runs ``iters`` expand-and-keep-top-
+    ``width`` hops, NO self-exclusion (a query's own node is a
+    legitimate routing waypoint). Returns (final_beam,
+    {layer: beam-after-that-layer's-hops}); all orders total."""
     corpus = emb.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
     )
@@ -217,7 +249,7 @@ def hnsw_search(
         F.col("sim").desc(), F.col("node").asc()
     )
 
-    def _score_top(cand: DataFrame, width: int) -> DataFrame:
+    def _score_top(cand: DataFrame) -> DataFrame:
         scored = (
             cand.join(corpus, "node")
             .join(F.broadcast(q), "query_id")
@@ -236,7 +268,7 @@ def hnsw_search(
     # Highest populated layer's min-id node; one tiny agg, broadcast
     # to every query. max_by(min(node), lvl) over per-layer minima,
     # with the corpus-wide min id as the fallback when NO node was
-    # promoted (a tiny corpus) — the search stays total either way.
+    # promoted (a tiny corpus).
     promoted = (
         levels.filter(F.col("lvl") >= 1)
         .groupBy("lvl")
@@ -248,9 +280,9 @@ def hnsw_search(
         .select(F.coalesce("__n1", "__n2").alias("node"))
     )
     beam = _score_top(
-        q.select("query_id").crossJoin(F.broadcast(entry)), descent_beam
+        q.select("query_id").crossJoin(F.broadcast(entry))
     ).localCheckpoint(eager=True)
-
+    per_layer: dict[int, DataFrame] = {}
     for layer in sorted(layer_edges, reverse=True):
         e = layer_edges[layer]
         dirs = e.select(
@@ -258,18 +290,14 @@ def hnsw_search(
         ).unionByName(
             e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
-        for _ in range(descent_iters):
+        for _ in range(iters):
             neigh = beam.join(dirs, beam["node"] == dirs["src"]).select(
                 "query_id", F.col("dst").alias("node")
             )
             cand = beam.unionByName(neigh).distinct()
-            beam = _score_top(cand, descent_beam).localCheckpoint(eager=True)
-
-    return nsw_beam_search(
-        emb, queries, k, edges=edges0, beam_width=beam_width,
-        n_iters=n_iters, dim=dim, exclude_self=exclude_self,
-        id_col=id_col, vec_col=vec_col, entries=beam,
-    )
+            beam = _score_top(cand).localCheckpoint(eager=True)
+        per_layer[layer] = beam
+    return beam, per_layer
 
 
 def hnsw_insert(
@@ -304,9 +332,11 @@ def hnsw_insert(
     /root/reference/src/chroma.py:74-87); the flat-graph counterpart
     is ann.nsw_insert_edges.
 
-    Returns (merged_levels, merged_layer_edges, merged_edges0): old
-    structures unioned with the new nodes' levels and links,
-    distinct. Like the flat insert, links connect old<->new only —
+    Returns (merged_edges0, merged_layer_edges, merged_levels) — the
+    same order as ensure_hnsw_graph, so the two sources of a servable
+    hierarchy unpack identically: old structures unioned with the new
+    nodes' levels and links, distinct. Like the flat insert, links
+    connect old<->new only —
     the batch searches the EXISTING graph, so inserts are
     batch-parallel (one descent pipeline for the whole batch, not a
     sequential per-row loop); new<->new proximity arrives at the next
@@ -326,8 +356,10 @@ def hnsw_insert(
     from .ann import nsw_beam_search
 
     if check_disjoint:
-        clash = new_vecs.select(F.col(id_col)).join(
-            emb.select(F.col(id_col)), id_col, "inner"
+        # Broadcast the (small) batch side — the corpus side must not
+        # shuffle for a guard (the nsw_insert_edges discipline).
+        clash = emb.select(F.col(id_col)).join(
+            F.broadcast(new_vecs.select(F.col(id_col))), id_col, "inner"
         )
         hit = clash.take(1)
         if hit:
@@ -345,62 +377,20 @@ def hnsw_insert(
     nq = new_vecs.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    corpus = emb.select(
-        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("node").asc()
-    )
-
-    def _score_top(cand: DataFrame, width: int) -> DataFrame:
-        return (
-            cand.join(corpus, "node")
-            .join(F.broadcast(nq), "query_id")
-            .select(
-                "query_id",
-                "node",
-                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
-            )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= width)
-            .select("query_id", "node")
-        )
-
-    promoted = (
-        levels.filter(F.col("lvl") >= 1)
-        .groupBy("lvl")
-        .agg(F.min("node").alias("__n1"))
-        .agg(F.max_by("__n1", "lvl").alias("__n1"))
-    )
-    entry = (
-        promoted.crossJoin(levels.agg(F.min("node").alias("__n2")))
-        .select(F.coalesce("__n1", "__n2").alias("node"))
-    )
     # Descent with a k_upper-wide carry: the layer-L beam IS the
     # paper's per-layer candidate set the new node connects to.
-    beam = _score_top(
-        nq.select("query_id").crossJoin(F.broadcast(entry)), k_upper
-    ).localCheckpoint(eager=True)
+    beam, per_layer = _descend(
+        nq, emb, layer_edges, levels, width=k_upper,
+        iters=descent_iters, dim=dim, id_col=id_col, vec_col=vec_col,
+    )
     new_layers: dict[int, DataFrame] = {}
-    for layer in sorted(layer_edges, reverse=True):
-        e = layer_edges[layer]
-        dirs = e.select(
-            F.col("a").alias("src"), F.col("b").alias("dst")
-        ).unionByName(
-            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-        )
-        for _ in range(descent_iters):
-            neigh = beam.join(dirs, beam["node"] == dirs["src"]).select(
-                "query_id", F.col("dst").alias("node")
-            )
-            cand = beam.unionByName(neigh).distinct()
-            beam = _score_top(cand, k_upper).localCheckpoint(eager=True)
+    for layer, lbeam in per_layer.items():
         # connect at this layer: only new nodes promoted to it
         members = new_levels.filter(F.col("lvl") >= layer).select(
             F.col("node").alias("query_id")
         )
         links = (
-            beam.join(F.broadcast(members), "query_id")
+            lbeam.join(F.broadcast(members), "query_id")
             .select(
                 F.least("query_id", "node").alias("a"),
                 F.greatest("query_id", "node").alias("b"),
@@ -410,15 +400,17 @@ def hnsw_insert(
             layer_edges[layer].unionByName(links).distinct()
         )
     # layer 0: every new node connects to its k best beam results
+    # (nsw_beam_search's output id column is always "vec_id",
+    # whatever id_col the corpus uses)
     found = nsw_beam_search(
         emb, nq, k, edges=edges0, beam_width=beam_width,
         n_iters=n_iters, dim=dim, exclude_self=False,
         id_col=id_col, vec_col=vec_col, entries=beam,
     )
     links0 = found.select(
-        F.least("query_id", F.col(id_col)).alias("a"),
-        F.greatest("query_id", F.col(id_col)).alias("b"),
+        F.least("query_id", F.col("vec_id")).alias("a"),
+        F.greatest("query_id", F.col("vec_id")).alias("b"),
     )
     merged_edges0 = edges0.unionByName(links0).distinct()
     merged_levels = levels.unionByName(new_levels)
-    return merged_levels, new_layers, merged_edges0
+    return merged_edges0, new_layers, merged_levels

@@ -143,9 +143,16 @@ def delete_from_nsw_graph(
 
     Idempotent: already-tombstoned ids are anti-joined away before the
     append, so re-issuing a delete (a replayed batch) never grows the
-    table. Appends are single-writer like every store mutation here;
-    readers see the old set or the new set (parquet file listing),
-    never a torn row."""
+    table. Appends are single-writer like every store mutation here.
+    Crash window, stated honestly: parquet append is not atomic at
+    the SET level — a writer that dies mid-append leaves some of the
+    batch's part files visible (rows are never torn, but the batch
+    can be partial), so a reader in that window serves a survivor
+    view missing part of the in-flight delete. Recovery is the
+    idempotence above: re-issue the same delete and the anti-join
+    completes exactly the missing remainder. Resumable drains are
+    protected independently — they pin the tombstone snapshot
+    (``tombstone_fp``) and refuse to resume across any change."""
     tombs = ids.select(id_col).distinct()
     existing = read_nsw_tombstones(spark, path, like=ids, id_col=id_col)
     fresh = tombs.join(F.broadcast(existing), id_col, "left_anti")

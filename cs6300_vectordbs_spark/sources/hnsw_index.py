@@ -161,9 +161,11 @@ def append_hnsw_graph(
       and every insert parameter. Unchanged inputs serve the stored
       merged hierarchy without re-running the insert beams.
 
-    Returns (levels, {layer: edges}, edges0) read from the merged
-    store. Same crash discipline as every store here (invalidate-
-    first, fingerprint-last, per-path lock); new ids must be disjoint
+    Returns (edges0, {layer: edges}, levels) read from the merged
+    store — the SAME order as ensure_hnsw_graph, so callers unpack
+    both sources of a servable hierarchy identically. Same crash
+    discipline as every store here (invalidate-first,
+    fingerprint-last, per-path lock); new ids must be disjoint
     (enforced inside hnsw_insert)."""
     base_e0, base_layers, base_levels = ensure_hnsw_graph(
         spark, corpus, f"{path}/base", k=k, salt=salt, branch=branch,
@@ -187,7 +189,7 @@ def append_hnsw_graph(
                 from ..operators.hnsw import hnsw_insert
 
                 invalidate_fingerprint(mpath)
-                mlv, mlay, me0 = hnsw_insert(
+                me0, mlay, mlv = hnsw_insert(
                     corpus, new_vecs, edges0=base_e0,
                     layer_edges=base_layers, levels=base_levels,
                     k=k, k_upper=k_upper, branch=branch,
@@ -216,7 +218,7 @@ def append_hnsw_graph(
         for layer in range(1, max_level + 1)
     }
     levels = spark.read.parquet(f"{mpath}/levels")
-    return levels, layer_edges, edges0
+    return edges0, layer_edges, levels
 
 
 def apply_hnsw_tombstones(

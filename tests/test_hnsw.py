@@ -329,7 +329,7 @@ def test_layered_insert_and_append_lifecycle(spark, tmp_path):
     path = str(tmp_path / "hnsw_app")
     kw = dict(k=6, branch=2, max_level=2, k_upper=3, beam_width=10,
               n_iters=3, dim=8)
-    lv, lay, e0 = append_hnsw_graph(spark, old, new, path, **kw)
+    e0, lay, lv = append_hnsw_graph(spark, old, new, path, **kw)
     # every new node present in the merged levels; its layer links
     # respect its promotion level
     lv_rows = {r["node"]: r["lvl"] for r in lv.collect()}
@@ -376,7 +376,7 @@ def test_layered_insert_served_recall(spark):
     new = corpus.filter(F.col("vec_id") % 5 == 2).localCheckpoint(eager=True)
     edges0 = _edges0(old)
     levels, layer_edges = _search_args(spark, old)
-    mlv, mlay, me0 = hnsw_insert(
+    me0, mlay, mlv = hnsw_insert(
         old, new, edges0=edges0, layer_edges=layer_edges, levels=levels,
         k=6, k_upper=3, branch=2, max_level=3, beam_width=12, n_iters=3,
         dim=8,
