@@ -11031,12 +11031,252 @@ FROM keyed GROUP BY shard ORDER BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Two-stage compressed serving + diversified re-rank (operators/twostage.py,
+# operators/rerank.py) — the coarse-filter/exact-refine strategies modern
+# vector engines ship next to plain top-k. All three are deterministic end to
+# end (integer Hamming / bit-identical prefix cosine / IEEE-exact greedy MMR),
+# so unlike the LSH paths they carry full value-hash oracles.
+# ---------------------------------------------------------------------------
+
+_BQ_REFINE = 4  # stage-1 candidates per query = TOPK * refine
+_MAT_PREFIX = 16  # Matryoshka coarse pass scores the first 16 of 64 dims
+_MMR_CAND = 20  # MMR candidate pool (exact top-20)
+
+
+def _sql_cos_guarded(a: str, b: str) -> str:
+    """DuckDB cosine with the zero-norm -> 0.0 guard, bit-identical to
+    functions/vector.cosine_sim in ALL cases (the plain-division form
+    matches only when the denominator is nonzero — DuckDB yields NULL
+    on 0.0/0.0). Used by the two-stage/MMR oracles, whose wider
+    candidate windows (top-20) could legitimately reach a zero-norm
+    row in the hostile environment where top-5 never does."""
+    na = f"sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    nb = f"sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))"
+    return (
+        f"CASE WHEN ({na} * {nb}) = 0.0 THEN 0.0 ELSE "
+        f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / ({na} * {nb}) END"
+    )
+
+
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization two-stage search (operators/twostage.py):
+    sign bits packed into BIGINT words, whole-corpus Hamming ranking
+    via codegen bit_count(xor), exact cosine re-rank of the top
+    TOPK*4 candidates. The 32x-smaller packed representation is the
+    100 TB first-pass story; the oracle recomputes the identical
+    Hamming as a per-dimension sign-mismatch count (verified
+    bit-for-bit on every pair at sf0.001)."""
+    from cs6300_vectordbs_spark.operators.twostage import bq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = bq_topk(
+        emb, _query_batch(emb), TOPK,
+        dim=EMB_DIM, refine=_BQ_REFINE, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
+_BQ_HAMMING_TERMS = " + ".join(
+    f"CASE WHEN (CASE WHEN q.embedding[{i}]::DOUBLE > 0.0 THEN 1 ELSE 0 END)"
+    f" <> (CASE WHEN e.embedding[{i}]::DOUBLE > 0.0 THEN 1 ELSE 0 END)"
+    " THEN 1 ELSE 0 END"
+    for i in range(1, EMB_DIM + 1)
+)
+
+_ORACLE_BQ_TOPK = f"""
+WITH ham AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv,
+         e.vec_id AS vec_id, e.embedding AS ev,
+         ({_BQ_HAMMING_TERMS})::BIGINT AS hamming
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, qv, vec_id, ev, hamming FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC) AS hr
+    FROM ham
+  ) WHERE hr <= {TOPK * _BQ_REFINE}
+),
+scored AS (
+  SELECT query_id, vec_id, hamming, {_sql_cos_guarded('qv', 'ev')} AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, hamming, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, hamming, sim,
+       1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension two-stage search (operators/
+    twostage.py): the coarse pass scores cosine over the FIRST 16 of
+    64 dims (the unrolled expressions just stop early — a 4x flop/byte
+    reduction, and on a store with the prefix as its own column a 4x
+    scan reduction), exact full-dim cosine re-ranks the top TOPK*4.
+    Both stages share the left-fold accumulation order, so the
+    candidate SET is engine-exact and the oracle is full value-hash."""
+    from cs6300_vectordbs_spark.operators.twostage import matryoshka_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = matryoshka_topk(
+        emb, _query_batch(emb), TOPK,
+        dim=EMB_DIM, prefix_dim=_MAT_PREFIX, refine=_BQ_REFINE,
+        exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim_coarse"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
+_ORACLE_MATRYOSHKA_TOPK = f"""
+WITH coarse AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv,
+         e.vec_id AS vec_id, e.embedding AS ev,
+         {_sql_cos_guarded(f'(q.embedding[1:{_MAT_PREFIX}])',
+                           f'(e.embedding[1:{_MAT_PREFIX}])')} AS sim_coarse
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, qv, vec_id, ev, sim_coarse FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_coarse DESC, vec_id ASC) AS cr
+    FROM coarse WHERE sim_coarse IS NOT NULL
+  ) WHERE cr <= {TOPK * _BQ_REFINE}
+),
+scored AS (
+  SELECT query_id, vec_id, sim_coarse, {_sql_cos_guarded('qv', 'ev')} AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_coarse, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim_coarse, sim,
+       1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified serving (operators/rerank.py mmr_rerank): exact
+    top-20 candidates per query, then the greedy lambda=0.5 maximal-
+    marginal-relevance selection of 5 — the ``search_type='mmr'``
+    surface of RAG serving stacks. The greedy argmax sequence is
+    IEEE-exact across engines (candidate-pair cosines ride the shared
+    _sims_matrix bit-identity invariant), so the oracle is the k-step
+    unrolled SQL recursion, full value-hash."""
+    from cs6300_vectordbs_spark.operators.rerank import mmr_rerank
+    from cs6300_vectordbs_spark.operators.similarity import similarity_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = similarity_topk(
+        emb, _query_batch(emb), _MMR_CAND, exclude_self=True, dim=EMB_DIM
+    ).select("query_id", "vec_id", "sim")
+    cand = cand.join(emb.select("vec_id", "embedding"), on="vec_id")
+    out = mmr_rerank(cand, TOPK, lambda_=0.5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim"),
+        F.col("mmr"),
+    )
+
+
+def _oracle_mmr_topk() -> str:
+    """Unrolled k-step greedy MMR in SQL: step j's CTE re-ranks the
+    not-yet-selected candidates by 0.5*sim - 0.5*max(pair-sim vs the
+    selected set) with id-asc ties — the same two IEEE multiplies and
+    subtract, on bit-identical cosines, as the Arrow kernel."""
+    steps = []
+    prevs = "SELECT query_id, vec_id FROM s1"
+    for j in range(2, TOPK + 1):
+        steps.append(f"""
+prev{j} AS ({prevs}),
+red{j} AS (
+  SELECT p.query_id, p.va AS vec_id, max(p.psim) AS red
+  FROM pair p JOIN prev{j} s ON p.query_id = s.query_id AND p.vb = s.vec_id
+  GROUP BY p.query_id, p.va
+),
+s{j} AS (
+  SELECT query_id, vec_id, sim, mmr FROM (
+    SELECT c.query_id, c.vec_id, c.sim,
+           (0.5 * c.sim - 0.5 * r.red) AS mmr,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY (0.5 * c.sim - 0.5 * r.red) DESC, c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN red{j} r ON r.query_id = c.query_id AND r.vec_id = c.vec_id
+    LEFT JOIN prev{j} s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+    WHERE s.vec_id IS NULL
+  ) WHERE rn = 1
+)""")
+        prevs += f" UNION ALL SELECT query_id, vec_id FROM s{j}"
+    unions = "\nUNION ALL ".join(
+        f"SELECT query_id, {j}::BIGINT AS rank, vec_id, sim, mmr FROM s{j}"
+        for j in range(1, TOPK + 1)
+    )
+    return f"""
+WITH scored0 AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id, e.embedding AS ev,
+         {_sql_cos_guarded('q.embedding', 'e.embedding')} AS sim
+  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, vec_id, ev, sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored0 WHERE sim IS NOT NULL
+  ) WHERE rn <= {_MMR_CAND}
+),
+pair AS (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         {_sql_cos_guarded('a.ev', 'b.ev')} AS psim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.vec_id != b.vec_id
+),
+s1 AS (
+  SELECT query_id, vec_id, sim, (0.5 * sim - 0.5 * 0.0) AS mmr FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),{",".join(steps)}
+{unions}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # REGISTRATION ORDER IS LOAD-BEARING: the driver's correctness gate
     # checks only the FIRST 50 entries. DRIVER_COVERAGE.md is the
-    # cumulative ledger. The r09 window = this round's 2 NEW queries
-    # (nsw_chained_topk — the multi-batch chained persisted insert,
-    # and nsw_tombstoned_topk — the graph delete/tombstone serve),
+    # cumulative ledger. The r09 window = the third session's 3 NEW
+    # two-stage/diversity serving queries (bq_topk, matryoshka_topk,
+    # mmr_topk — zero driver evidence until now), this round's 2 NEW
+    # graph-lifecycle queries (nsw_chained_topk — the multi-batch
+    # chained persisted insert, and nsw_tombstoned_topk — the graph
+    # delete/tombstone serve),
     # then the committed r09 queue from DRIVER_COVERAGE.md verbatim:
     # pagerank_knn and user_first_events (displaced r04-green names),
     # nsw_search_stream (registered last round, first driver row now),
@@ -11051,6 +11291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # graph-fp sidecar pin (ivf_search_stream; nsw_search_stream is in
     # the queue slots above).
     return {
+        "bq_topk": q_bq_topk,
+        "matryoshka_topk": q_matryoshka_topk,
+        "mmr_topk": q_mmr_topk,
         "nsw_chained_topk": q_nsw_chained_topk,
         "nsw_tombstoned_topk": q_nsw_tombstoned_topk,
         "pagerank_knn": q_pagerank_knn,
@@ -11090,7 +11333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nsw_insert_topk": q_nsw_insert_topk,
         "nsw_appended_topk": q_nsw_appended_topk,
         "nsw_persisted_topk": q_nsw_persisted_topk,
-        "nsw_beam_topk": q_nsw_beam_topk,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_persisted_topk": q_hnsw_persisted_topk,
         "nsw_filtered_topk": q_nsw_filtered_topk,
@@ -11098,8 +11340,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_insert_topk": q_hnsw_insert_topk,
         "hnsw_search_stream": q_hnsw_search_stream,
         "ivf_persisted_topk": q_ivf_persisted_topk,
-        "dedup_groups_persisted": q_dedup_groups_persisted,
         "incremental_dedup_stream": q_incremental_dedup_stream,
+        # ---- window boundary (slot 50 above). Displaced by the 3 new
+        # two-stage/diversity queries, each with a named in-window
+        # representative of the same r09-touched path: nsw_beam_topk
+        # (entries= seam — exercised by hnsw_topk's layered descent),
+        # dedup_groups_persisted (index_common flock/fingerprint —
+        # exercised by ivf_persisted_topk), ivf_search_stream (_drain
+        # graph-fp sidecar pin — exercised by nsw_search_stream). All
+        # three head the r10 queue. ----
+        "nsw_beam_topk": q_nsw_beam_topk,
+        "dedup_groups_persisted": q_dedup_groups_persisted,
         "ivf_search_stream": q_ivf_search_stream,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
         "bm25_persisted_topk": q_bm25_persisted_topk,
@@ -11252,6 +11503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bq_topk": _ORACLE_BQ_TOPK,
+        "matryoshka_topk": _ORACLE_MATRYOSHKA_TOPK,
+        "mmr_topk": _oracle_mmr_topk(),
         "auto_ann_dispatch": _ORACLE_AUTO_DISPATCH,
         "dedup_groups_persisted": _ORACLE_DEDUP_GROUPS,
         "auto_ann_topk": _oracle_auto_ann_topk(),

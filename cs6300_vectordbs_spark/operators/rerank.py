@@ -83,6 +83,111 @@ def rerank_topk(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    *,
+    lambda_: float = 0.5,
+    query_id: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    Goldstein 1998) — the ``mmr`` search type every RAG serving stack
+    (and Chroma/pgvector-style stores) offers next to plain top-k.
+
+    Input: per-query candidate rows carrying the stage-1 relevance
+    score ``sim_col`` and the candidate vector ``vec_col`` (any first
+    stage works: exact, IVF, NSW — the operator only sees its output).
+    Greedy selection picks, ``k`` times, the candidate maximizing::
+
+        mmr = lambda * sim(q, d)  -  (1 - lambda) * max_{s in selected} sim(d, s)
+
+    with the redundancy max over the already-selected set (0.0 for the
+    first pick) and ties broken by ascending candidate id.  Returns
+    (query_id, rank, <id_col>, sim, mmr) — ``rank`` is the 1-based
+    selection step, ``mmr`` the score at selection time.
+
+    Determinism across engines: candidate-pair cosines go through the
+    shared ``_sims_matrix`` kernel (dimension-sequential IEEE
+    accumulation, zero-norm -> 0.0 — the same bit-identity invariant
+    every vectorized kernel in this repo pins against DuckDB's
+    ``list_dot_product`` left fold), the ``lambda`` arithmetic is two
+    IEEE multiplies and a subtract on bit-identical doubles, and max
+    is selection, not arithmetic — so the greedy argmax sequence, and
+    therefore the full output, value-hash-matches an unrolled k-step
+    SQL oracle.
+
+    Scale shape: ONE shuffle keyed by query id (groups are candidate
+    lists, O(k1) rows each — broadcast-sized by construction, so no
+    group can straggle), then an Arrow-batched per-group kernel doing
+    O(k * k1) float work.  The corpus is never touched: diversity
+    costs are confined to the candidate set the first stage already
+    paid for.
+    """
+    import pandas as pd
+
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_={lambda_} must be in [0, 1]")
+
+    by_name = {f.name: f.dataType.simpleString() for f in candidates.schema.fields}
+    schema = (
+        f"`{query_id}` {by_name[query_id]}, `rank` bigint, "
+        f"`{id_col}` {by_name[id_col]}, `sim` double, `mmr` double"
+    )
+    lam, one_minus = float(lambda_), 1.0 - float(lambda_)
+
+    def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from .similarity import _col_norms, _sims_matrix
+
+        pdf = pdf[pdf[sim_col].notna()]
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {query_id: [], "rank": [], id_col: [], "sim": [], "mmr": []}
+            )
+        ids = pdf[id_col].to_numpy()
+        sims = pdf[sim_col].to_numpy(dtype=np.float64)
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        T = V.T
+        P = _sims_matrix(V, T, _col_norms(T))  # (n, n) candidate pairs
+        qid = pdf[query_id].iloc[0]
+
+        # Redundancy = max pair-sim vs the SELECTED SET — which may be
+        # NEGATIVE (anti-correlated candidates get a diversity BONUS).
+        # Only the first pick uses 0.0 (max over the empty set by the
+        # paper's convention); clamping later steps at zero would be a
+        # different — and weaker — objective.
+        red = np.full(n, -np.inf)
+        taken = np.zeros(n, dtype=bool)
+        out_ids, out_sims, out_mmr = [], [], []
+        for step in range(min(k, n)):
+            score = lam * sims - one_minus * (
+                np.zeros(n) if step == 0 else red
+            )
+            score = np.where(taken, -np.inf, score)
+            pick = int(np.lexsort((ids, -score))[0])
+            taken[pick] = True
+            out_ids.append(ids[pick])
+            out_sims.append(sims[pick])
+            out_mmr.append(score[pick])
+            red = np.maximum(red, P[:, pick])
+        return pd.DataFrame(
+            {
+                query_id: [qid] * len(out_ids),
+                "rank": np.arange(1, len(out_ids) + 1, dtype=np.int64),
+                id_col: out_ids,
+                "sim": out_sims,
+                "mmr": out_mmr,
+            }
+        )
+
+    return candidates.groupBy(query_id).applyInPandas(select_group, schema=schema)
+
+
 def rerank_with_model(
     candidates: DataFrame,
     score_fn: Callable[[list[str], list[str]], "list[float]"],
