@@ -11121,6 +11121,38 @@ FROM ranked WHERE rank <= {TOPK}
 """
 
 
+def q_bq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-words serving (sources/bq_index.py): ensure the packed
+    sign-bit table exists on disk (S9 create-if-absent, index_common
+    flock/fingerprint lifecycle), then serve top-k with the Hamming
+    first pass scanning ONLY the packed BIGINTs (16 bytes/vector at
+    64-d vs 512 for the float math — the 32x scan story, pinned in
+    tests/test_bq_index.py) and a broadcast row-fetch join pulling
+    full vectors for the k*refine candidates. Same candidate rule and
+    tie-breaks as bq_topk -> shares its full value-hash oracle."""
+    from cs6300_vectordbs_spark.sources.bq_index import (
+        ensure_bq_index,
+        search_bq_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"/root/repo/spark-warehouse/bq_index_{tag}"
+    emb = _t(spark, sf_dir, "embeddings")
+    ensure_bq_index(spark, emb, path, dim=EMB_DIM)
+    out = search_bq_index(
+        spark, path, emb, _query_batch(emb), TOPK,
+        dim=EMB_DIM, refine=_BQ_REFINE, exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
 def q_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka prefix-dimension two-stage search (operators/
     twostage.py): the coarse pass scores cosine over the FIRST 16 of
@@ -11292,6 +11324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the queue slots above).
     return {
         "bq_topk": q_bq_topk,
+        "bq_persisted_topk": q_bq_persisted_topk,
         "matryoshka_topk": q_matryoshka_topk,
         "mmr_topk": q_mmr_topk,
         "nsw_chained_topk": q_nsw_chained_topk,
@@ -11331,7 +11364,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waiting_suppliers": q_waiting_suppliers,
         "weighted_sample": q_weighted_sample,
         "nsw_insert_topk": q_nsw_insert_topk,
-        "nsw_appended_topk": q_nsw_appended_topk,
         "nsw_persisted_topk": q_nsw_persisted_topk,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_persisted_topk": q_hnsw_persisted_topk,
@@ -11341,15 +11373,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_search_stream": q_hnsw_search_stream,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "incremental_dedup_stream": q_incremental_dedup_stream,
-        # ---- window boundary (slot 50 above). Displaced by the 3 new
+        # ---- window boundary (slot 50 above). Displaced by the 4 new
         # two-stage/diversity queries, each with a named in-window
         # representative of the same r09-touched path: nsw_beam_topk
         # (entries= seam — exercised by hnsw_topk's layered descent),
         # dedup_groups_persisted (index_common flock/fingerprint —
-        # exercised by ivf_persisted_topk), ivf_search_stream (_drain
-        # graph-fp sidecar pin — exercised by nsw_search_stream). All
-        # three head the r10 queue. ----
+        # exercised by ivf_persisted_topk and bq_persisted_topk),
+        # ivf_search_stream (_drain graph-fp sidecar pin — exercised
+        # by nsw_search_stream), nsw_appended_topk (single-batch
+        # append — a strict subset of nsw_chained_topk's multi-batch
+        # chain). All four head the r10 queue. ----
         "nsw_beam_topk": q_nsw_beam_topk,
+        "nsw_appended_topk": q_nsw_appended_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
         "ivf_search_stream": q_ivf_search_stream,
         "dedup_signatures_persisted": q_dedup_signatures_persisted,
@@ -11504,6 +11539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bq_topk": _ORACLE_BQ_TOPK,
+        "bq_persisted_topk": _ORACLE_BQ_TOPK,
         "matryoshka_topk": _ORACLE_MATRYOSHKA_TOPK,
         "mmr_topk": _oracle_mmr_topk(),
         "auto_ann_dispatch": _ORACLE_AUTO_DISPATCH,
