@@ -89,6 +89,9 @@ def search(
     exclude_self: bool = False,
     n_cells: int = 16,
     n_probe: int = 4,
+    diversify: str | None = None,
+    mmr_lambda: float = 0.5,
+    mmr_candidates: int | None = None,
 ) -> DataFrame:
     """Top-k cosine search; the engine picks the physical strategy.
 
@@ -98,6 +101,14 @@ def search(
     dispatch — pre-join, pushed into the scan, and for 'ivf' before
     the index build, so every strategy searches the same filtered
     corpus (the reference stores' `where=` surface, SURVEY V6).
+
+    ``diversify='mmr'`` is the facade's ``search_type='mmr'`` surface:
+    the chosen strategy retrieves ``mmr_candidates`` (default ``4*k``)
+    per query, then :func:`~.rerank.mmr_rerank` greedily selects ``k``
+    with the lambda-weighted relevance/redundancy trade-off. Dispatch
+    is unchanged — diversity is a re-rank over the candidate set, so
+    it composes with every strategy, and the output schema becomes
+    (query_id, rank, <corpus_id>, sim, mmr).
     """
     from .ann import ivf_topk
     from .similarity import (
@@ -120,23 +131,39 @@ def search(
         nq = query_count if query_count is not None else q_in.count()
         strategy = choose_strategy(nc, nq)
 
+    if diversify not in (None, "mmr"):
+        raise ValueError(f"unknown diversify mode: {diversify!r}")
+    k1 = k if diversify is None else (mmr_candidates or 4 * k)
+
     common = dict(
         corpus_id=corpus_id, corpus_vec=corpus_vec,
         query_id=query_id, query_vec=query_vec,
         exclude_self=exclude_self,
     )
     if strategy == "exact":
-        return similarity_topk(c, q_in, k, dim=dim, **common)
-    if strategy == "blocked":
-        return similarity_topk_blocked(c, q_in, k, **common)
-    if strategy == "grid":
-        return similarity_topk_grid(c, q_in, k, **common)
-    if strategy == "ivf":
+        out = similarity_topk(c, q_in, k1, dim=dim, **common)
+    elif strategy == "blocked":
+        out = similarity_topk_blocked(c, q_in, k1, **common)
+    elif strategy == "grid":
+        out = similarity_topk_grid(c, q_in, k1, **common)
+    elif strategy == "ivf":
         out = ivf_topk(
-            c, q_in, k, dim=dim, n_cells=n_cells, n_probe=n_probe, **common
+            c, q_in, k1, dim=dim, n_cells=n_cells, n_probe=n_probe, **common
         )
-        return out
-    raise ValueError(f"unknown search strategy: {strategy!r}")
+    else:
+        raise ValueError(f"unknown search strategy: {strategy!r}")
+
+    if diversify == "mmr":
+        from .rerank import mmr_rerank
+
+        cand = out.select(query_id, corpus_id, "sim").join(
+            c.select(F.col(corpus_id), F.col(corpus_vec)), on=corpus_id
+        )
+        return mmr_rerank(
+            cand, k, lambda_=mmr_lambda,
+            query_id=query_id, id_col=corpus_id, vec_col=corpus_vec,
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

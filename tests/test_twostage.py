@@ -302,3 +302,32 @@ def test_mmr_plan_single_group_exchange(spark, emb):
     # a row-at-a-time Python stage.
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# facade integration: search(..., diversify='mmr')
+# ---------------------------------------------------------------------------
+
+def test_search_facade_mmr_matches_explicit_pipeline(spark, emb):
+    from cs6300_vectordbs_spark.operators.search import search
+
+    got = search(
+        emb, _queries(emb, 10), 5, dim=DIM, diversify="mmr",
+        mmr_candidates=20, exclude_self=True,
+    ).collect()
+    cand = similarity_topk(emb, _queries(emb, 10), 20, dim=DIM,
+                           exclude_self=True).select(
+        "query_id", "vec_id", "sim"
+    ).join(emb.select("vec_id", "embedding"), on="vec_id")
+    want = mmr_rerank(cand, 5, lambda_=0.5).collect()
+    key = lambda rows: sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim, r.mmr) for r in rows
+    )
+    assert key(got) == key(want) and len(want) == 50
+
+
+def test_search_facade_diversify_validation(spark, emb):
+    from cs6300_vectordbs_spark.operators.search import search
+
+    with pytest.raises(ValueError, match="diversify"):
+        search(emb, _queries(emb), 5, dim=DIM, diversify="dpp")
