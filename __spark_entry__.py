@@ -11146,7 +11146,7 @@ def q_bq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("query_id").cast("bigint").alias("query_id"),
         F.col("rank").cast("bigint").alias("rank"),
-        F.col("id").cast("bigint").alias("vec_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
         F.col("hamming").cast("bigint").alias("hamming"),
         F.col("sim"),
         F.col("dist"),

@@ -141,7 +141,7 @@ def mmr_rerank(
     def select_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        from .similarity import _col_norms, _sims_matrix
+        from .similarity import _col_norms, _sims_matrix, _topk_order
 
         pdf = pdf[pdf[sim_col].notna()]
         n = len(pdf)
@@ -169,7 +169,10 @@ def mmr_rerank(
                 np.zeros(n) if step == 0 else red
             )
             score = np.where(taken, -np.inf, score)
-            pick = int(np.lexsort((ids, -score))[0])
+            # Shared (score desc, id asc) ordering kernel — keeps the
+            # repo's NaN-is-greatest convention (a NaN score is out of
+            # contract but must never silently sort LAST and vanish).
+            pick = int(_topk_order(score, ids)[0])
             taken[pick] = True
             out_ids.append(ids[pick])
             out_sims.append(sims[pick])

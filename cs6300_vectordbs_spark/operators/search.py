@@ -133,7 +133,14 @@ def search(
 
     if diversify not in (None, "mmr"):
         raise ValueError(f"unknown diversify mode: {diversify!r}")
-    k1 = k if diversify is None else (mmr_candidates or 4 * k)
+    if mmr_candidates is not None and mmr_candidates < k:
+        # A pool smaller than k would silently emit < k rows per query.
+        raise ValueError(
+            f"mmr_candidates={mmr_candidates} must be >= k={k}"
+        )
+    k1 = k if diversify is None else (
+        4 * k if mmr_candidates is None else mmr_candidates
+    )
 
     common = dict(
         corpus_id=corpus_id, corpus_vec=corpus_vec,
@@ -156,9 +163,12 @@ def search(
     if diversify == "mmr":
         from .rerank import mmr_rerank
 
-        cand = out.select(query_id, corpus_id, "sim").join(
-            c.select(F.col(corpus_id), F.col(corpus_vec)), on=corpus_id
-        )
+        # Every strategy emits its query column under the LITERAL name
+        # "query_id" regardless of the input parameter; re-alias to the
+        # caller's name so the diversified output keeps their schema.
+        cand = out.select(
+            F.col("query_id").alias(query_id), corpus_id, "sim"
+        ).join(c.select(F.col(corpus_id), F.col(corpus_vec)), on=corpus_id)
         return mmr_rerank(
             cand, k, lambda_=mmr_lambda,
             query_id=query_id, id_col=corpus_id, vec_col=corpus_vec,

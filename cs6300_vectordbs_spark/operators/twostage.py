@@ -51,6 +51,34 @@ from .util import spread
 WORD_BITS = 32
 
 
+def n_words_for(dim: int, word_bits: int = WORD_BITS) -> int:
+    """Packed BIGINT words needed for ``dim`` sign bits — the ONE home
+    for the layout arithmetic both the in-memory and persisted paths
+    (sources/bq_index.py) must agree on."""
+    return (dim + word_bits - 1) // word_bits
+
+
+def bq_hamming(
+    n_words: int, corpus_prefix: str = "__cw", query_prefix: str = "__qw"
+) -> Column:
+    """Hamming distance between two packed-word column families:
+    ``sum_w bit_count(corpus_w XOR query_w)`` as BIGINT.  Shared by
+    bq_topk and sources/bq_index.search_bq_index so the candidate rule
+    the two paths' oracle parity depends on lives in exactly one
+    place — a layout or distance change cannot drift them apart."""
+    return sum(
+        [
+            F.bit_count(
+                F.col(f"{corpus_prefix}{i}").bitwiseXOR(
+                    F.col(f"{query_prefix}{i}")
+                )
+            ).cast("bigint")
+            for i in range(n_words)
+        ],
+        F.lit(0).cast("bigint"),
+    )
+
+
 def bq_pack_words(vec_col: str, dim: int, word_bits: int = WORD_BITS) -> list[Column]:
     """Sign-bit packing: word ``w`` left-folds dims ``[w*word_bits,
     (w+1)*word_bits)`` as ``acc*2 + (v[i] > 0 ? 1 : 0)`` — first
@@ -118,7 +146,7 @@ def bq_topk(
     so the demonstrated plan shape — coarse WindowGroupLimit, exact
     cosine on candidates only — is the one that survives the scale-up.
     """
-    n_words = (dim + WORD_BITS - 1) // WORD_BITS
+    n_words = n_words_for(dim)
 
     c = spread(corpus).select(
         F.col(corpus_id),
@@ -143,16 +171,7 @@ def bq_topk(
     if exclude_self:
         joined = joined.filter(F.col(corpus_id) != F.col("__qid"))
 
-    hamming = sum(
-        [
-            F.bit_count(
-                F.col(f"__cw{i}").bitwiseXOR(F.col(f"__qw{i}"))
-            ).cast("bigint")
-            for i in range(n_words)
-        ],
-        F.lit(0).cast("bigint"),
-    )
-    coarse = joined.withColumn("hamming", hamming).filter(
+    coarse = joined.withColumn("hamming", bq_hamming(n_words)).filter(
         F.col("hamming").isNotNull()  # NULL vectors never enter the ranking
     )
 
@@ -226,25 +245,47 @@ def matryoshka_topk(
     if not 1 <= prefix_dim <= dim:
         raise ValueError(f"prefix_dim={prefix_dim} must be in [1, dim={dim}]")
 
+    # Above UNROLL_MAX_DIM the dim=N early-stop is unavailable (dot/
+    # l2_norm silently fall back to a WHOLE-ARRAY fold — which here
+    # would make sim_coarse the exact full-dim cosine, not the prefix
+    # score). In that regime the prefix is materialized as an explicit
+    # slice so the HOF fold sees ONLY the leading components; the left
+    # fold over a slice is bit-identical to the unrolled early-stop.
+    from ..functions.vector import UNROLL_MAX_DIM
+
+    hof_prefix = prefix_dim > UNROLL_MAX_DIM
+
+    def _pnorm(col_name: str) -> Column:
+        if hof_prefix:
+            return l2_norm(F.slice(F.col(col_name), 1, prefix_dim))
+        return l2_norm(col_name, prefix_dim)
+
     c = spread(corpus).select(
         F.col(corpus_id),
         F.col(corpus_vec),
         l2_norm(corpus_vec, dim).alias("__cnorm"),
-        l2_norm(corpus_vec, prefix_dim).alias("__cnorm_p"),
+        _pnorm(corpus_vec).alias("__cnorm_p"),
     )
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qvec"),
         l2_norm(query_vec, dim).alias("__qnorm"),
-        l2_norm(query_vec, prefix_dim).alias("__qnorm_p"),
+        _pnorm(query_vec).alias("__qnorm_p"),
     )
 
     joined = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         joined = joined.filter(F.col(corpus_id) != F.col("__qid"))
 
+    if hof_prefix:
+        dot_p = dot(
+            F.slice(F.col("__qvec"), 1, prefix_dim),
+            F.slice(F.col(corpus_vec), 1, prefix_dim),
+        )
+    else:
+        dot_p = dot("__qvec", corpus_vec, prefix_dim)
     sim_p = cosine_from_parts(
-        dot("__qvec", corpus_vec, prefix_dim),
+        dot_p,
         F.col("__qnorm_p"),
         F.col("__cnorm_p"),
     )

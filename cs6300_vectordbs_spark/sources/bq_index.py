@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_from_parts, dot, l2_norm
-from ..operators.twostage import WORD_BITS, bq_pack_words
+from ..operators.twostage import (
+    WORD_BITS,
+    bq_hamming,
+    bq_pack_words,
+    n_words_for,
+)
 from ..operators.util import spread
 from .index_common import (
     build_lock,
@@ -53,9 +58,12 @@ from .index_common import (
     write_fingerprint,
 )
 
-
-def _n_words(dim: int) -> int:
-    return (dim + WORD_BITS - 1) // WORD_BITS
+#: Largest candidate-id set collected for the parquet-pushdown row
+#: fetch (queries x k x refine ids — bounded by the same broadcast-
+#: sized-query-batch contract as search_ivf_index's probed cells).
+#: Past it the fetch falls back to the broadcast hash join: still
+#: candidates-only compute, but a full (id, embedding) scan.
+MAX_FETCH_IDS = 100_000
 
 
 def build_bq_index(
@@ -139,15 +147,26 @@ def search_bq_index(
     per-query top ``k * refine`` by (hamming asc, id asc) compiles to
     WindowGroupLimit — O(queries x candidates x partitions) rows move.
     Pass 2 fetches full vectors for the candidate ids only: the
-    candidate set (small by construction) broadcasts into one hash
-    join against the corpus, the exact cosine runs on those rows, and
-    the final top-k re-ranks by (sim desc, id asc).
+    distinct candidate ids (queries x k x refine — bounded by the same
+    broadcast-sized-query-batch contract as search_ivf_index's probed
+    cells) are collected and pushed as a literal IN filter into the
+    corpus scan, so parquet row-group pruning confines the float read
+    to candidate rows; norms are computed on the FETCHED rows only.
+    Past ``MAX_FETCH_IDS`` ids the fetch degrades gracefully to the
+    broadcast hash join (full (id, vector) scan, candidates-only
+    compute).
 
-    Output schema and every tie rule match operators/twostage.bq_topk,
-    so this serving path shares its full value-hash oracle.
+    Column names, candidate rule, and every tie rule match
+    operators/twostage.bq_topk (the id column comes back under
+    ``corpus_id``), so this serving path shares its full value-hash
+    oracle — the distance/candidate expressions are literally the
+    shared bq_hamming/bq_pack_words code.
     """
-    n_words = _n_words(dim)
-    words = spread(spark.read.parquet(f"{path}/words"))
+    n_words = n_words_for(dim)
+    words = spread(spark.read.parquet(f"{path}/words")).select(
+        F.col("id").alias(corpus_id),
+        *[F.col(f"w{i}").alias(f"__cw{i}") for i in range(n_words)],
+    )
 
     q = queries.select(
         F.col(query_id).alias("__qid"),
@@ -161,48 +180,54 @@ def search_bq_index(
 
     joined = words.join(F.broadcast(q), how="cross")
     if exclude_self:
-        joined = joined.filter(F.col("id") != F.col("__qid"))
+        joined = joined.filter(F.col(corpus_id) != F.col("__qid"))
 
-    hamming = sum(
-        [
-            F.bit_count(
-                F.col(f"w{i}").bitwiseXOR(F.col(f"__qw{i}"))
-            ).cast("bigint")
-            for i in range(n_words)
-        ],
-        F.lit(0).cast("bigint"),
-    )
-    coarse = joined.withColumn("hamming", hamming)
+    coarse = joined.withColumn("hamming", bq_hamming(n_words))
 
     wh = Window.partitionBy("__qid").orderBy(
-        F.col("hamming").asc(), F.col("id").asc()
+        F.col("hamming").asc(), F.col(corpus_id).asc()
     )
     cand = (
         coarse.withColumn("__hr", F.row_number().over(wh))
         .filter(F.col("__hr") <= k * refine)
-        .select("__qid", "__qvec", "__qnorm", "id", "hamming")
+        .select("__qid", "__qvec", "__qnorm", corpus_id, "hamming")
+        # Materialized once: both the candidate-id collect below and
+        # the row-fetch join reuse it — the Hamming pass never re-runs.
+        .localCheckpoint(eager=True)
     )
 
     vecs = corpus.filter(F.col(corpus_vec).isNotNull()).select(
-        F.col(corpus_id).alias("id"),
-        F.col(corpus_vec),
-        l2_norm(corpus_vec, dim).alias("__cnorm"),
+        F.col(corpus_id), F.col(corpus_vec)
     )
-    # Candidates broadcast into the corpus scan: the row-fetch join.
-    fetched = vecs.join(F.broadcast(cand), on="id")
+    cand_ids = sorted(
+        r[0]
+        for r in cand.select(corpus_id).distinct().limit(
+            MAX_FETCH_IDS + 1
+        ).collect()
+    )
+    if len(cand_ids) <= MAX_FETCH_IDS:
+        # Literal IN filter -> parquet row-group pruning: the float
+        # bytes read are candidates-only, the module's scan story.
+        vecs = vecs.filter(F.col(corpus_id).isin(cand_ids))
+    # Candidates broadcast into the (pruned) corpus scan.
+    fetched = vecs.join(F.broadcast(cand), on=corpus_id)
+    # Norms under the join output: computed once per FETCHED row.
+    fetched = fetched.withColumn(
+        "__cnorm", l2_norm(corpus_vec, dim)
+    )
 
     sim = cosine_from_parts(
         dot("__qvec", corpus_vec, dim), F.col("__qnorm"), F.col("__cnorm")
     )
     scored = fetched.select(
         F.col("__qid").alias("query_id"),
-        F.col("id"),
+        F.col(corpus_id),
         F.col("hamming"),
         sim.alias("sim"),
     ).filter(F.col("sim").isNotNull())
 
     w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("id").asc()
+        F.col("sim").desc(), F.col(corpus_id).asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -210,7 +235,7 @@ def search_bq_index(
         .select(
             "query_id",
             "rank",
-            "id",
+            corpus_id,
             "hamming",
             "sim",
             (F.lit(1.0) - F.col("sim")).alias("dist"),

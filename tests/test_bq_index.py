@@ -33,7 +33,7 @@ def test_persisted_search_equals_in_memory_bq(spark, emb, tmp_path):
         emb, _queries(emb), 5, dim=64, refine=4, exclude_self=True
     )
     got = {
-        (r.query_id, r.rank, r.id, r.hamming, r.sim) for r in stored.collect()
+        (r.query_id, r.rank, r.vec_id, r.hamming, r.sim) for r in stored.collect()
     }
     want = {
         (r.query_id, r.rank, r.vec_id, r.hamming, r.sim)
@@ -69,7 +69,7 @@ def test_ensure_rebuilds_on_corpus_change(spark, emb, tmp_path):
     out = search_bq_index(
         spark, path, emb, _queries(emb, 1), 5, dim=64, refine=1000
     ).collect()
-    assert {r.id for r in out} <= {r.vec_id for r in emb.collect()}
+    assert {r.vec_id for r in out} <= {r.vec_id for r in emb.collect()}
 
 
 def test_null_vectors_quarantined_at_build(spark, emb, tmp_path):
@@ -88,11 +88,13 @@ def test_null_vectors_quarantined_at_build(spark, emb, tmp_path):
     assert words.filter(F.col("id") == 999999).count() == 0
 
 
-def test_first_pass_reads_words_table_only(spark, emb, tmp_path):
-    """The Hamming pass must scan the packed table, not the corpus:
-    the corpus parquet appears in the plan only under the candidate
-    row-fetch join (reading id/embedding), and the words scan carries
-    no float column."""
+def test_fetch_prunes_to_candidate_ids_and_reuses_coarse_pass(spark, emb, tmp_path):
+    """The serving plan's scan story: the coarse Hamming pass runs
+    ONCE (materialized — the words parquet never appears in the final
+    plan, only the checkpointed candidate RDD), and the float fetch is
+    candidate-ids-only — the corpus parquet scan carries a literal
+    In(vec_id, ...) pushed filter (row-group pruning at scale) and
+    reads just (id, vector)."""
     path = str(tmp_path / "bq")
     ensure_bq_index(spark, emb, path, dim=64)
     df = search_bq_index(spark, path, emb, _queries(emb), 5, dim=64)
@@ -101,6 +103,23 @@ def test_first_pass_reads_words_table_only(spark, emb, tmp_path):
         df.explain("formatted")
     plan = buf.getvalue()
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
-    words_reads = [ln for ln in reads if "w0:bigint" in ln]
-    assert words_reads and all("embedding" not in ln for ln in words_reads)
-    assert "WindowGroupLimit" in plan
+    # Exactly one parquet scan — the corpus fetch; the words table is
+    # consumed inside the materialized coarse pass, not re-scanned.
+    assert len(reads) == 1 and "embedding" in reads[0]
+    assert "w0" not in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(vec_id," in pushed[0]
+    assert "Scan ExistingRDD" in plan  # checkpointed candidates
+    assert "WindowGroupLimit" in plan  # the exact-rerank partial top-k
+
+
+def test_words_table_stores_packed_longs_only(spark, emb, tmp_path):
+    """The persisted first-pass artifact carries no float column —
+    the 16-bytes-per-vector scan claim."""
+    path = str(tmp_path / "bq")
+    ensure_bq_index(spark, emb, path, dim=64)
+    words = spark.read.parquet(f"{path}/words")
+    assert [f.dataType.simpleString() for f in words.schema.fields] == [
+        "bigint", "bigint", "bigint"
+    ]
+    assert set(words.columns) == {"id", "w0", "w1"}

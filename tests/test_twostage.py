@@ -331,3 +331,51 @@ def test_search_facade_diversify_validation(spark, emb):
 
     with pytest.raises(ValueError, match="diversify"):
         search(emb, _queries(emb), 5, dim=DIM, diversify="dpp")
+
+
+def test_matryoshka_prefix_above_unroll_is_true_prefix(spark):
+    """prefix_dim > UNROLL_MAX_DIM must still score the PREFIX: the
+    dim=N early-stop is unavailable there (dot/l2_norm fall back to a
+    whole-array fold), so the operator slices explicitly. The original
+    form silently made sim_coarse the exact full-dim cosine."""
+    import random
+
+    from cs6300_vectordbs_spark.functions.vector import (
+        UNROLL_MAX_DIM,
+        cosine_sim,
+    )
+
+    dim, pref = UNROLL_MAX_DIM + 44, UNROLL_MAX_DIM + 24
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(dim)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = matryoshka_topk(
+        df, qs, 3, dim=dim, prefix_dim=pref, refine=5, exclude_self=True
+    )
+    # Expected coarse score: cosine over the sliced arrays (HOF form).
+    expect = (
+        df.crossJoin(
+            qs.select(
+                F.col("query_id"), F.col("query_vec").alias("__qv")
+            )
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(
+                F.slice(F.col("__qv"), 1, pref),
+                F.slice(F.col("embedding"), 1, pref),
+            ).alias("want_coarse"),
+        )
+    )
+    joined = out.join(expect, on=["query_id", "vec_id"]).collect()
+    assert len(joined) == 9
+    assert all(r.sim_coarse == r.want_coarse for r in joined)
+    # And the coarse score is genuinely the prefix, not the full cosine.
+    assert any(r.sim_coarse != r.sim for r in joined)
