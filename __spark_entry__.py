@@ -11091,12 +11091,17 @@ _BQ_HAMMING_TERMS = " + ".join(
     for i in range(1, EMB_DIM + 1)
 )
 
-_ORACLE_BQ_TOPK = f"""
-WITH ham AS (
+def _oracle_bq(prelude: str = "", src: str = "embeddings") -> str:
+    """BQ two-stage oracle over corpus source ``src`` (optionally a
+    ``prelude`` CTE defining it — the maintained-index twin recomputes
+    the post-upsert/post-delete corpus directly). Queries always come
+    from the ORIGINAL embeddings table, mirroring the Spark side."""
+    return f"""
+WITH {prelude}ham AS (
   SELECT q.vec_id AS query_id, q.embedding AS qv,
          e.vec_id AS vec_id, e.embedding AS ev,
          ({_BQ_HAMMING_TERMS})::BIGINT AS hamming
-  FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  FROM embeddings q JOIN {src} e ON e.vec_id != q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 cand AS (
@@ -11119,6 +11124,85 @@ SELECT query_id, rank::BIGINT AS rank, vec_id, hamming, sim,
        1.0 - sim AS dist
 FROM ranked WHERE rank <= {TOPK}
 """
+
+
+_ORACLE_BQ_TOPK = _oracle_bq()
+
+# The maintained-index twin: corpus = flip the first coordinate of
+# every vec_id % 10 == 7 (IEEE-exact and sign-VISIBLE — it flips a
+# packed bit, so Hamming genuinely changes) and DELETE vec_id % 10
+# == 3; queries stay the original batch. A broken upsert append,
+# latest-wins resolution, or tombstone filter value-hash-fails.
+_ORACLE_BQ_MAINTAINED = _oracle_bq(
+    prelude=f"""mod AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 10 = 7
+              THEN [-(embedding[1]::DOUBLE)] || (embedding[2:{EMB_DIM}])::DOUBLE[]
+              ELSE embedding::DOUBLE[] END AS embedding
+  FROM embeddings
+  WHERE vec_id % 10 != 3
+),
+""",
+    src="mod",
+)
+
+
+def q_bq_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BQ index's full maintenance lifecycle as one driver-checked
+    row (sources/bq_index.py upsert/delete verbs): build the packed
+    words, UPSERT first-coordinate-flipped vectors (vec_id % 10 == 7,
+    gen=1 appends), DELETE vec_id % 10 == 3 (tombstones), then serve
+    PRE-compaction — so the driver exercises the serve-time
+    latest-wins generation dedup AND the tombstone anti-join, the two
+    paths a compacted index never touches. The oracle recomputes the
+    post-maintenance corpus directly. Hermetic temp dir per run
+    (persistence is bq_persisted_topk's row; compaction parity is
+    pinned in tests/test_bq_index.py)."""
+    import shutil
+    import tempfile
+
+    from cs6300_vectordbs_spark.sources.bq_index import (
+        build_bq_index,
+        delete_from_bq_index,
+        search_bq_index,
+        upsert_bq_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="bq_maint_")
+    try:
+        build_bq_index(emb, path, dim=EMB_DIM)
+        flipped = emb.filter(F.col("vec_id") % 10 == 7).select(
+            "vec_id",
+            F.concat(
+                F.array(-F.col("embedding")[0]),
+                F.slice(F.col("embedding"), 2, EMB_DIM - 1),
+            ).alias("embedding"),
+        )
+        upsert_bq_index(spark, flipped, path, dim=EMB_DIM, gen=1)
+        delete_from_bq_index(
+            spark, emb.filter(F.col("vec_id") % 10 == 3).select("vec_id"),
+            path,
+        )
+        current = (
+            emb.select("vec_id", "embedding")
+            .filter((F.col("vec_id") % 10 != 7) & (F.col("vec_id") % 10 != 3))
+            .unionByName(flipped)
+        )
+        out = search_bq_index(
+            spark, path, current, _query_batch(emb), TOPK,
+            dim=EMB_DIM, refine=_BQ_REFINE, exclude_self=True,
+        )
+        return out.select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+            F.col("sim"),
+            F.col("dist"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def q_bq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11186,6 +11270,84 @@ WITH coarse AS (
          {_sql_cos_guarded(f'(q.embedding[1:{_MAT_PREFIX}])',
                            f'(e.embedding[1:{_MAT_PREFIX}])')} AS sim_coarse
   FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, qv, vec_id, ev, sim_coarse FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY sim_coarse DESC, vec_id ASC) AS cr
+    FROM coarse WHERE sim_coarse IS NOT NULL
+  ) WHERE cr <= {TOPK * _BQ_REFINE}
+),
+scored AS (
+  SELECT query_id, vec_id, sim_coarse, {_sql_cos_guarded('qv', 'ev')} AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, vec_id, sim_coarse, sim, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, vec_id, sim_coarse, sim,
+       1.0 - sim AS dist
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+_MAT384_PREFIX = 288  # > UNROLL_MAX_DIM: forces the sliced-HOF path
+
+
+def q_matryoshka_topk_384d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage at the reference's real 384-d with
+    prefix_dim 288 — ABOVE UNROLL_MAX_DIM, so the coarse pass takes
+    the sliced-HOF branch (operators/twostage.py): the regime where
+    the unrolled early-stop is unavailable and a whole-array fold
+    would silently score the FULL cosine (the bug the r09 review
+    caught, regression-pinned in tests/test_twostage.py — this row
+    puts that branch under the DRIVER gate). Corpus embeds documents
+    via the 384-d hash-projection embedder, same as
+    topk_cosine_384d."""
+    from cs6300_vectordbs_spark.functions.embed import embed_text
+    from cs6300_vectordbs_spark.operators.twostage import matryoshka_topk
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = docs.select(
+        F.col("doc_id").cast("bigint").alias("vec_id"),
+        embed_text("text", dim=384).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = matryoshka_topk(
+        corpus, queries, TOPK,
+        dim=384, prefix_dim=_MAT384_PREFIX, refine=_BQ_REFINE,
+        exclude_self=True,
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("sim_coarse"),
+        F.col("sim"),
+        F.col("dist"),
+    )
+
+
+_ORACLE_MATRYOSHKA_384D = f"""
+WITH emb AS (
+  SELECT doc_id AS vec_id,
+         list_transform(range(0, 384), j ->
+           (('0x' || substr(md5('e' || j || '|' || text), 1, 15))::BIGINT
+            % 2000001) / 1000000.0 - 1.0) AS embedding
+  FROM documents WHERE text IS NOT NULL
+),
+coarse AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qv,
+         e.vec_id AS vec_id, e.embedding AS ev,
+         {_sql_cos_guarded(f'(q.embedding[1:{_MAT384_PREFIX}])',
+                           f'(e.embedding[1:{_MAT384_PREFIX}])')} AS sim_coarse
+  FROM emb q JOIN emb e ON e.vec_id != q.vec_id
   WHERE q.vec_id < {N_QUERIES}
 ),
 cand AS (
@@ -11325,7 +11487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bq_topk": q_bq_topk,
         "bq_persisted_topk": q_bq_persisted_topk,
+        "bq_maintained_topk": q_bq_maintained_topk,
         "matryoshka_topk": q_matryoshka_topk,
+        "matryoshka_topk_384d": q_matryoshka_topk_384d,
         "mmr_topk": q_mmr_topk,
         "nsw_chained_topk": q_nsw_chained_topk,
         "nsw_tombstoned_topk": q_nsw_tombstoned_topk,
@@ -11363,8 +11527,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "volume_shipping": q_volume_shipping,
         "waiting_suppliers": q_waiting_suppliers,
         "weighted_sample": q_weighted_sample,
-        "nsw_insert_topk": q_nsw_insert_topk,
-        "nsw_persisted_topk": q_nsw_persisted_topk,
         "hnsw_topk": q_hnsw_topk,
         "hnsw_persisted_topk": q_hnsw_persisted_topk,
         "nsw_filtered_topk": q_nsw_filtered_topk,
@@ -11373,17 +11535,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hnsw_search_stream": q_hnsw_search_stream,
         "ivf_persisted_topk": q_ivf_persisted_topk,
         "incremental_dedup_stream": q_incremental_dedup_stream,
-        # ---- window boundary (slot 50 above). Displaced by the 4 new
-        # two-stage/diversity queries, each with a named in-window
-        # representative of the same r09-touched path: nsw_beam_topk
-        # (entries= seam — exercised by hnsw_topk's layered descent),
+        # ---- window boundary (slot 50 above). Displaced by the 6 new
+        # two-stage/diversity/maintenance queries, each with a named
+        # in-window representative of the same r09-touched path:
+        # nsw_beam_topk (entries= seam — exercised by hnsw_topk's
+        # layered descent), nsw_insert_topk (insert-link computation
+        # incl. the collision guard — exercised by nsw_chained_topk's
+        # per-batch nsw_insert_edges calls), nsw_persisted_topk (flat
+        # broadcast-kernel serve — exercised by nsw_filtered_topk's
+        # broadcast mode and hnsw_persisted_topk's layered broadcast),
         # dedup_groups_persisted (index_common flock/fingerprint —
         # exercised by ivf_persisted_topk and bq_persisted_topk),
         # ivf_search_stream (_drain graph-fp sidecar pin — exercised
         # by nsw_search_stream), nsw_appended_topk (single-batch
         # append — a strict subset of nsw_chained_topk's multi-batch
-        # chain). All four head the r10 queue. ----
+        # chain). All six head the r10 queue. ----
         "nsw_beam_topk": q_nsw_beam_topk,
+        "nsw_insert_topk": q_nsw_insert_topk,
+        "nsw_persisted_topk": q_nsw_persisted_topk,
         "nsw_appended_topk": q_nsw_appended_topk,
         "dedup_groups_persisted": q_dedup_groups_persisted,
         "ivf_search_stream": q_ivf_search_stream,
@@ -11540,7 +11709,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bq_topk": _ORACLE_BQ_TOPK,
         "bq_persisted_topk": _ORACLE_BQ_TOPK,
+        "bq_maintained_topk": _ORACLE_BQ_MAINTAINED,
         "matryoshka_topk": _ORACLE_MATRYOSHKA_TOPK,
+        "matryoshka_topk_384d": _ORACLE_MATRYOSHKA_384D,
         "mmr_topk": _oracle_mmr_topk(),
         "auto_ann_dispatch": _ORACLE_AUTO_DISPATCH,
         "dedup_groups_persisted": _ORACLE_DEDUP_GROUPS,

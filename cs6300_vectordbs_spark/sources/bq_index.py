@@ -75,10 +75,11 @@ def build_bq_index(
     corpus_vec: str = "embedding",
 ) -> None:
     """Write ``{path}/words``: one row per corpus vector, the id plus
-    ``ceil(dim/32)`` packed BIGINT words. Map-only over the corpus —
-    no shuffle; the table inherits the corpus partitioning. NULL
-    vectors are quarantined at build (they cannot be ranked; DuckDB's
-    list math refuses them too), mirroring the IVF build."""
+    ``ceil(dim/32)`` packed BIGINT words and a generation column
+    (``gen=0``; upserts append higher generations). Map-only over the
+    corpus — no shuffle; the table inherits the corpus partitioning.
+    NULL vectors are quarantined at build (they cannot be ranked;
+    DuckDB's list math refuses them too), mirroring the IVF build."""
     corpus = corpus.filter(F.col(corpus_vec).isNotNull())
     words = corpus.select(
         F.col(corpus_id).alias("id"),
@@ -86,8 +87,125 @@ def build_bq_index(
             c.alias(f"w{i}")
             for i, c in enumerate(bq_pack_words(corpus_vec, dim))
         ],
+        F.lit(0).cast("bigint").alias("gen"),
     )
     words.write.mode("overwrite").parquet(f"{path}/words")
+    _clear_marker(path, "HAS_UPSERTS")
+    _clear_tombstones(path)
+
+
+def _marker(path: str, name: str) -> str:
+    return f"{path}/{name}"
+
+
+def _set_marker(path: str, name: str) -> None:
+    with open(_marker(path, name), "w", encoding="utf-8") as f:
+        f.write("1")
+
+
+def _has_marker(path: str, name: str) -> bool:
+    return os.path.exists(_marker(path, name))
+
+
+def _clear_marker(path: str, name: str) -> None:
+    try:
+        os.remove(_marker(path, name))
+    except FileNotFoundError:
+        pass
+
+
+def _tombstones_path(path: str) -> str:
+    return f"{path}/tombstones"
+
+
+def _clear_tombstones(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(_tombstones_path(path), ignore_errors=True)
+
+
+def upsert_bq_index(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    gen: int = 1,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Incremental maintenance (V5 against the stored words): pack
+    ONLY the new/changed vectors and append them at a higher
+    generation — no rebuild, no touch of unaffected rows. Re-upserted
+    ids resolve at read time by search_bq_index's latest-wins dedup
+    (the same plain-parquet MERGE pattern as upsert_ivf_index); the
+    ``HAS_UPSERTS`` marker tells the serve to pay that dedup window
+    only while generations actually exist — compaction clears it.
+    Like the IVF lifecycle, upsert mutates the index WITHOUT updating
+    the content fingerprint: a later ensure_ over the updated corpus
+    rebuilds from scratch (content-addressed), while explicit
+    maintenance callers use this path."""
+    new_vectors = new_vectors.filter(F.col(corpus_vec).isNotNull())
+    words = new_vectors.select(
+        F.col(corpus_id).alias("id"),
+        *[
+            c.alias(f"w{i}")
+            for i, c in enumerate(bq_pack_words(corpus_vec, dim))
+        ],
+        F.lit(gen).cast("bigint").alias("gen"),
+    )
+    words.write.mode("append").parquet(f"{path}/words")
+    _set_marker(path, "HAS_UPSERTS")
+
+
+def delete_from_bq_index(
+    spark: SparkSession,
+    ids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete verb: append the ids to ``{path}/tombstones``; serving
+    anti-joins them (broadcast — the table is output-of-deletes-sized)
+    before the Hamming ranking, so deleted vectors can neither rank
+    nor displace candidates. Physical removal happens at
+    compact_bq_index, the same tombstone-then-compact contract as the
+    graph indexes."""
+    ids.select(F.col(id_col).cast("bigint").alias("id")).write.mode(
+        "append"
+    ).parquet(_tombstones_path(path))
+
+
+def compact_bq_index(spark: SparkSession, path: str) -> None:
+    """Resolve all generations (latest wins per id), drop tombstoned
+    rows, rewrite the words table at gen 0, clear the tombstones and
+    the upsert marker — restoring the one-row-per-id, dedup-free
+    serving shape. Same swap discipline as compact_ivf_index: the
+    replacement is fully materialized BESIDE the live table before the
+    rename pair, so a mid-write failure leaves the old index serving."""
+    import shutil
+
+    words = spark.read.parquet(f"{path}/words")
+    dw = Window.partitionBy("id").orderBy(F.col("gen").desc())
+    latest = (
+        words.withColumn("__rn", F.row_number().over(dw))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("gen", F.lit(0).cast("bigint"))
+    )
+    if os.path.exists(f"{_tombstones_path(path)}/_SUCCESS"):
+        tombs = spark.read.parquet(_tombstones_path(path)).distinct()
+        latest = latest.join(F.broadcast(tombs), on="id", how="left_anti")
+    tmp = f"{path}/words.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    latest.write.mode("overwrite").parquet(tmp)
+    old = f"{path}/words.old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(f"{path}/words", old)
+    os.rename(tmp, f"{path}/words")
+    shutil.rmtree(old, ignore_errors=True)
+    _clear_tombstones(path)
+    _clear_marker(path, "HAS_UPSERTS")
 
 
 def bq_index_exists(path: str) -> bool:
@@ -161,9 +279,32 @@ def search_bq_index(
     ``corpus_id``), so this serving path shares its full value-hash
     oracle — the distance/candidate expressions are literally the
     shared bq_hamming/bq_pack_words code.
+
+    Maintenance state is honored at serve time: upsert generations
+    resolve latest-wins (only while the HAS_UPSERTS marker exists —
+    compaction restores the dedup-free shape), and tombstoned ids are
+    anti-joined out BEFORE the ranking, so a deleted vector can
+    neither rank nor displace a candidate. ``corpus`` must reflect the
+    CURRENT vector values (it is the row-fetch side); the packed words
+    carry the index's own upsert history.
     """
     n_words = n_words_for(dim)
-    words = spread(spark.read.parquet(f"{path}/words")).select(
+    raw = spark.read.parquet(f"{path}/words")
+    if _has_marker(path, "HAS_UPSERTS"):
+        # Latest-wins per id across upsert generations. Paid ONLY
+        # while generations exist (one shuffle keyed id over the
+        # 16-byte packed rows); compact_bq_index restores the
+        # dedup-free shape and clears the marker.
+        dw = Window.partitionBy("id").orderBy(F.col("gen").desc())
+        raw = (
+            raw.withColumn("__rn", F.row_number().over(dw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if os.path.exists(f"{_tombstones_path(path)}/_SUCCESS"):
+        tombs = spark.read.parquet(_tombstones_path(path)).distinct()
+        raw = raw.join(F.broadcast(tombs), on="id", how="left_anti")
+    words = spread(raw).select(
         F.col("id").alias(corpus_id),
         *[F.col(f"w{i}").alias(f"__cw{i}") for i in range(n_words)],
     )
