@@ -36,6 +36,96 @@ from ..functions.vector import cosine_sim, dot
 from .util import spread
 
 
+def _hop_tables(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int | None,
+    *,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame, Column]:
+    """Checkpointed (query, corpus) serving tables + the per-pair sim
+    expression for the graph hop loops (nsw/hnsw beam and descent).
+
+    Two r09 optimizations, both guide-motivated, results bit-identical:
+
+    - HOIST (guide §2.4/§5): every hop job broadcast-joins the query
+      batch and equi-joins the corpus; materializing both ONCE means
+      the 2+n_iters hop jobs each re-broadcast from a persisted RDD
+      instead of re-running the parquet scan + derivation behind both
+      tables every hop.
+    - FACTOR NORMS UNDER THE JOIN (guide §1.2 per-task work; the
+      ivf_neardup_pairs discipline): cosine_sim inlines THREE unrolled
+      dim-term chains per pair (dot + both norms). The norms depend on
+      one side each, so they are precomputed per ROW in the hoisted
+      tables and the per-hop expression is ONE unrolled dot +
+      cosine_from_parts. Cuts per-pair arithmetic 3x at scale and, as
+      measured locally, the per-hop plan/codegen constant (the 192-term
+      tree re-optimized per hop was the single largest hop cost).
+
+    ERROR/NULL contract is unchanged and stays LAZY (pinned by
+    tests/test_nsw_broadcast.py): the precomputed norm is guarded by
+    ``size(vec) >= dim`` so a short array checkpoints as NULL norm
+    instead of raising; at SCORING time the norm column is re-wrapped
+    so that a short array that the beam actually touches still raises
+    INVALID_ARRAY_INDEX — via one ``vec[dim-1]`` access, not a second
+    unrolled chain (a NULL norm can mean either "NULL/short vector" or
+    "NULL element"; the single index access raises exactly for the
+    short case, returns a value otherwise, and in the NULL-element
+    case the per-pair DOT is NULL anyway so sim stays NULL). NULL
+    vectors -> NULL norm -> NULL sim; zero norms -> 0.0 sim; arrays
+    LONGER than dim use their first ``dim`` elements — all exactly as
+    cosine_sim evaluates them. For dim=None (or above the unroll cap)
+    the HOF cosine_sim is kept per pair: its short-array semantics
+    (NULL, no error) must not change.
+    """
+    from ..functions.vector import (
+        UNROLL_MAX_DIM,
+        cosine_from_parts,
+        l2_norm,
+    )
+
+    def _guarded(norm_col: str, vec: str) -> Column:
+        # NULL norm + non-NULL vector: either a short array (the index
+        # access RAISES, preserving the lazy ANSI error) or an array
+        # with a NULL element (the access returns some element; the
+        # dot is NULL for that pair, so sim is NULL regardless of the
+        # value substituted here).
+        return (
+            F.when(F.col(norm_col).isNotNull(), F.col(norm_col))
+            .when(F.col(vec).isNull(), F.lit(None).cast("double"))
+            .otherwise(F.col(vec).getItem(dim - 1).cast("double"))
+        )
+
+    if dim is not None and dim <= UNROLL_MAX_DIM:
+        qn = F.when(
+            F.size(F.col("query_vec")) >= dim, l2_norm("query_vec", dim)
+        )
+        q = queries.select(
+            "query_id", "query_vec", qn.alias("__qn")
+        ).localCheckpoint(eager=True)
+        nn = F.when(F.size(F.col(vec_col)) >= dim, l2_norm(vec_col, dim))
+        corpus = emb.select(
+            F.col(id_col).alias("node"),
+            F.col(vec_col).alias("__nvec"),
+            nn.alias("__nn"),
+        ).localCheckpoint(eager=True)
+        sim = cosine_from_parts(
+            dot("query_vec", "__nvec", dim),
+            _guarded("__qn", "query_vec"),
+            _guarded("__nn", "__nvec"),
+        )
+    else:
+        q = queries.select("query_id", "query_vec").localCheckpoint(
+            eager=True
+        )
+        corpus = emb.select(
+            F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+        ).localCheckpoint(eager=True)
+        sim = cosine_sim("query_vec", "__nvec", dim)
+    return q, corpus, sim
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
@@ -1500,7 +1590,10 @@ def nsw_beam_search(
     dirs = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    q = queries.select("query_id", "query_vec")
+    q, corpus, hop_sim = _hop_tables(
+        emb, queries.select("query_id", "query_vec"), dim,
+        id_col=id_col, vec_col=vec_col,
+    )
     if entries is not None:
         # Per-query entry points (query_id, node) — the HNSW layer
         # descent feeds this: each query starts its layer-0 beam from
@@ -1516,9 +1609,6 @@ def nsw_beam_search(
         )
         beam = q.select("query_id").crossJoin(F.broadcast(hubs))
 
-    corpus = emb.select(
-        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("node").asc()
     )
@@ -1527,11 +1617,7 @@ def nsw_beam_search(
         scored = (
             cand.join(corpus, "node")
             .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "node",
-                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
-            )
+            .select("query_id", "node", hop_sim.alias("sim"))
         )
         if exclude_self:
             scored = scored.filter(F.col("node") != F.col("query_id"))
@@ -1539,6 +1625,12 @@ def nsw_beam_search(
             F.col("__rn") <= beam_width
         ).select("query_id", "node", "sim")
 
+    # Eager per-hop checkpoints are deliberate: lazy (eager=False) was
+    # measured 1.8x SLOWER end-to-end (24.1 s vs 13.3 s warm on the
+    # sf0.1 micro-bench) — deferring materialization denies AQE its
+    # per-hop re-plan (runtime partition coalescing over the tiny beam
+    # frontier), which costs far more than the per-hop job barrier
+    # saves. Measured r09, guide §1.1 empirical loop.
     beam = _score_topb(beam).localCheckpoint(eager=True)
     for _ in range(n_iters):
         neigh = beam.join(
@@ -1637,9 +1729,10 @@ def nsw_filtered_search(
         .limit(n_entries)
         .select(F.col("src").alias("node"))
     )
-    q = queries.select("query_id", "query_vec")
-    corpus = emb.select(
-        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+    # Hoisted serving tables + factored-norm sim (see _hop_tables).
+    q, corpus, hop_sim = _hop_tables(
+        emb, queries.select("query_id", "query_vec"), dim,
+        id_col=id_col, vec_col=vec_col,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("node").asc()
@@ -1649,11 +1742,7 @@ def nsw_filtered_search(
         scored = (
             cand.join(corpus, "node")
             .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "node",
-                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
-            )
+            .select("query_id", "node", hop_sim.alias("sim"))
         )
         if exclude_self:
             scored = scored.filter(F.col("node") != F.col("query_id"))

@@ -242,8 +242,15 @@ def _descend(
     ``width`` hops, NO self-exclusion (a query's own node is a
     legitimate routing waypoint). Returns (final_beam,
     {layer: beam-after-that-layer's-hops}); all orders total."""
-    corpus = emb.select(
-        F.col(id_col).alias("node"), F.col(vec_col).alias("__nvec")
+    # Hoisted serving tables + factored-norm sim (one eager
+    # materialization each instead of a parquet re-scan +
+    # re-broadcast derivation inside every descent-hop job; norms
+    # precomputed per row instead of three unrolled chains per pair —
+    # see ann._hop_tables, r09).
+    from .ann import _hop_tables
+
+    q, corpus, hop_sim = _hop_tables(
+        emb, q, dim, id_col=id_col, vec_col=vec_col
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("node").asc()
@@ -253,11 +260,7 @@ def _descend(
         scored = (
             cand.join(corpus, "node")
             .join(F.broadcast(q), "query_id")
-            .select(
-                "query_id",
-                "node",
-                cosine_sim("query_vec", "__nvec", dim).alias("sim"),
-            )
+            .select("query_id", "node", hop_sim.alias("sim"))
         )
         return (
             scored.withColumn("__rn", F.row_number().over(w))
