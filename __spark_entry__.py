@@ -5481,10 +5481,6 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_batch(emb)
-    exact = similarity_topk(
-        emb, q, TOPK, exclude_self=True, dim=EMB_DIM
-    ).select("query_id", "vec_id").localCheckpoint(eager=True)
-    n_exact = exact.count()
 
     # Cell assignment and full probe ranking are computed ONCE and
     # sliced per probe depth — the per-arm work is only the probed-cell
@@ -5496,29 +5492,54 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cvec"))
     )
     sim_to_cent = cosine_sim("embedding", "__cvec", EMB_DIM)
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.struct(F.col("__cid").alias("cell"), F.col("embedding").alias("vec")),
-                F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
-            ).alias("best")
-        )
-        .select("vec_id", F.col("best.cell").alias("cell"), F.col("best.vec").alias("vec"))
-        .localCheckpoint(eager=True)
-    )
     qsim = cosine_sim("query_vec", "__cvec", EMB_DIM)
     qw = Window.partitionBy("query_id").orderBy(
         qsim.desc(), F.col("__cid").asc()
     )
-    probes = (
-        q.crossJoin(F.broadcast(cent))
-        .withColumn("__rn", F.row_number().over(qw))
-        .filter(F.col("__rn") <= max(_TUNE_PROBES))
-        .select("query_id", "query_vec", F.col("__cid").alias("cell"), "__rn")
-        .localCheckpoint(eager=True)
-    )
+
+    # The three eager inputs (exact arm, cell assignment, probe
+    # ranking) are mutually independent, so they are materialized from
+    # a small thread pool and Spark overlaps the jobs (guide §2.6) —
+    # the exact arm's straggler tail no longer serializes ahead of the
+    # IVF builds. Results and plan shapes are identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return similarity_topk(
+            emb, q, TOPK, exclude_self=True, dim=EMB_DIM
+        ).select("query_id", "vec_id").localCheckpoint(eager=True)
+
+    def _assigned():
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("__cid").alias("cell"), F.col("embedding").alias("vec")),
+                    F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
+                ).alias("best")
+            )
+            .select("vec_id", F.col("best.cell").alias("cell"), F.col("best.vec").alias("vec"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _probes():
+        return (
+            q.crossJoin(F.broadcast(cent))
+            .withColumn("__rn", F.row_number().over(qw))
+            .filter(F.col("__rn") <= max(_TUNE_PROBES))
+            .select("query_id", "query_vec", F.col("__cid").alias("cell"), "__rn")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        exact_f = pool.submit(_exact)
+        assigned_f = pool.submit(_assigned)
+        probes_f = pool.submit(_probes)
+        exact = exact_f.result()
+        assigned = assigned_f.result()
+        probes = probes_f.result()
+    n_exact = exact.count()
 
     parts = []
     for p in _TUNE_PROBES:
@@ -5638,31 +5659,50 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_batch(emb)
-    exact = similarity_topk(
-        emb, q, TOPK, exclude_self=True, dim=EMB_DIM
-    ).select("query_id", "vec_id").localCheckpoint(eager=True)
-    n_exact = exact.count()
 
-    cbits = emb.select(
-        "vec_id",
-        "embedding",
-        *[
-            b.alias(f"b{i}")
-            for i, b in enumerate(
-                srp_bits("embedding", EMB_DIM, _SRP_BITS, _SRP_SEED)
-            )
-        ],
-    ).localCheckpoint(eager=True)
-    qbits = q.select(
-        "query_id",
-        "query_vec",
-        *[
-            b.alias(f"b{i}")
-            for i, b in enumerate(
-                srp_bits("query_vec", EMB_DIM, _SRP_BITS, _SRP_SEED)
-            )
-        ],
-    ).localCheckpoint(eager=True)
+    # The three eager inputs (exact arm, corpus sign bits, query sign
+    # bits) are mutually independent — materialized from a thread pool
+    # so Spark overlaps the jobs (guide §2.6), same as
+    # ann_tuning_report. Results and plan shapes are identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return similarity_topk(
+            emb, q, TOPK, exclude_self=True, dim=EMB_DIM
+        ).select("query_id", "vec_id").localCheckpoint(eager=True)
+
+    def _cbits():
+        return emb.select(
+            "vec_id",
+            "embedding",
+            *[
+                b.alias(f"b{i}")
+                for i, b in enumerate(
+                    srp_bits("embedding", EMB_DIM, _SRP_BITS, _SRP_SEED)
+                )
+            ],
+        ).localCheckpoint(eager=True)
+
+    def _qbits():
+        return q.select(
+            "query_id",
+            "query_vec",
+            *[
+                b.alias(f"b{i}")
+                for i, b in enumerate(
+                    srp_bits("query_vec", EMB_DIM, _SRP_BITS, _SRP_SEED)
+                )
+            ],
+        ).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        exact_f, cbits_f, qbits_f = (
+            pool.submit(_exact), pool.submit(_cbits), pool.submit(_qbits)
+        )
+        exact, cbits, qbits = (
+            exact_f.result(), cbits_f.result(), qbits_f.result()
+        )
+    n_exact = exact.count()
 
     def keys(bands: int, bit_prefix: str = "b") -> F.Column:
         rows = _SRP_BITS // bands
@@ -9453,14 +9493,28 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = hnsw_levels(
         emb, branch=_HNSW_BRANCH, max_level=_HNSW_MAXLVL, salt=_HNSW_LSALT
     ).localCheckpoint(eager=True)
-    layer_edges = {
-        lay: hnsw_layer_edges(
-            emb, levels, lay, k_upper=_HNSW_KUP
-        ).localCheckpoint(eager=True)
-        for lay in range(1, _HNSW_MAXLVL + 1)
-    }
+    # The four graph builds are independent of each other (each layer's
+    # kNN build needs only `levels`; the layer-0 edge build needs
+    # nothing), so they are submitted from a small thread pool and
+    # Spark overlaps the jobs — later builds back-fill executors freed
+    # by earlier builds' straggler tails (guide §2.6). Results and
+    # plan shapes are identical to the sequential submission.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        lay_futs = {
+            lay: pool.submit(
+                lambda lay=lay: hnsw_layer_edges(
+                    emb, levels, lay, k_upper=_HNSW_KUP
+                ).localCheckpoint(eager=True)
+            )
+            for lay in range(1, _HNSW_MAXLVL + 1)
+        }
+        e0_fut = pool.submit(_nsw_edges, spark, sf_dir)
+        layer_edges = {lay: f.result() for lay, f in lay_futs.items()}
+        edges0 = e0_fut.result()
     out = hnsw_search(
-        emb, _query_batch(emb), TOPK, edges0=_nsw_edges(spark, sf_dir),
+        emb, _query_batch(emb), TOPK, edges0=edges0,
         layer_edges=layer_edges, levels=levels, beam_width=_NSW_BEAM,
         n_iters=_NSW_HOPS, descent_beam=_HNSW_DBEAM,
         descent_iters=_HNSW_DITERS, dim=EMB_DIM, exclude_self=True,

@@ -552,34 +552,49 @@ def kmeans_centroids_det(
             # column x dim x n_iters otherwise — the documented
             # construction-collapse trick from functions/vector.py).
             # SQL ROUND/CAST/literals parse to the identical plan nodes.
+            # r09: the mean is aggregated in EXPLODED form — groupBy
+            # (cell, dim) over posexplode'd coordinates — instead of
+            # one 64-sum-expression aggregate. The integer sum is
+            # order-free, ROUND/CAST/divide are the identical SQL
+            # functions, and the (cell, dim, mean) rows reassemble to
+            # the same floats, so centroids are bit-identical (hash-
+            # checked against the wide form). What changes is the
+            # PLAN: a 3-expression aggregate whose shuffle key is
+            # (cell, dim) — cardinality n_cells x dim — rather than a
+            # dim-wide aggregate re-optimized and re-codegen'd every
+            # iteration; measured 4.0-4.5 s -> 3.2-3.9 s warm (11.7 ->
+            # 8.9 cold) for the 3-iteration training loop at sf0.1,
+            # centroid hash identical. At scale the narrow shuffle
+            # rides map-side partials exactly like label_centroids.
+            ex = assigned.select(
+                "cell", F.posexplode("vec").alias("__d", "__x")
+            )
             means = (
-                assigned.groupBy("cell")
+                ex.groupBy("cell", "__d")
                 .agg(
                     F.count(F.lit(1)).alias("__n"),
-                    *[
-                        F.expr(
-                            f"sum(CAST(ROUND(CAST(vec[{d}] AS DOUBLE)"
-                            f" * {_MEAN_SCALE_SQL}) AS BIGINT))"
-                        ).alias(f"__s{d}")
-                        for d in range(dim)
-                    ],
+                    F.expr(
+                        "sum(CAST(ROUND(CAST(__x AS DOUBLE)"
+                        f" * {_MEAN_SCALE_SQL}) AS BIGINT))"
+                    ).alias("__s"),
                 )
                 .select(
                     "cell",
-                    *[
-                        F.expr(
-                            f"round(CAST(__s{d} AS DOUBLE) / __n"
-                            f" / {_MEAN_SCALE_SQL}, {round_dp})"
-                        ).alias(f"c{d}")
-                        for d in range(dim)
-                    ],
+                    "__d",
+                    F.expr(
+                        "round(CAST(__s AS DOUBLE) / __n"
+                        f" / {_MEAN_SCALE_SQL}, {round_dp})"
+                    ).alias("__c"),
                 )
             )
-            got = {
-                r["cell"]: [float(r[f"c{d}"]) for d in range(dim)]
-                for r in means.collect()
-            }
-            cents = [got.get(cid, cents[cid]) for cid in range(n_cells)]
+            got: dict[int, dict[int, float]] = {}
+            for r in means.collect():
+                got.setdefault(r["cell"], {})[r["__d"]] = float(r["__c"])
+            cents = [
+                [got[cid][d] for d in range(dim)] if cid in got
+                else cents[cid]
+                for cid in range(n_cells)
+            ]
     finally:
         train.unpersist()
     return spark.createDataFrame(

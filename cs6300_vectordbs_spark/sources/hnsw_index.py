@@ -58,24 +58,34 @@ def build_hnsw_graph(
     """Layer 0 = the flat NSW build (exact k-NN + shortcuts); layers
     1..max_level = exact k_upper-NN over each promoted subset; levels
     = the md5 geometric assignment. All three written as parquet."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.hnsw import hnsw_layer_edges, hnsw_levels
 
-    build_nsw_graph(
-        corpus, path, k=k, salt=salt, id_col=id_col, vec_col=vec_col
-    )
-    levels = hnsw_levels(
-        corpus, branch=branch, max_level=max_level,
-        salt=level_salt, id_col=id_col,
-    ).localCheckpoint(eager=True)
-    layers = None
-    for layer in range(1, max_level + 1):
-        e = hnsw_layer_edges(
-            corpus, levels, layer, k_upper=k_upper,
-            id_col=id_col, vec_col=vec_col,
-        ).select(F.lit(layer).cast("int").alias("layer"), "a", "b")
-        layers = e if layers is None else layers.unionByName(e)
-    layers.write.mode("overwrite").parquet(f"{path}/layers")
-    levels.write.mode("overwrite").parquet(f"{path}/levels")
+    # The layer-0 build and the upper-layer builds are independent
+    # (upper layers need only `levels`), so the flat-NSW build runs on
+    # a second driver thread and Spark overlaps the jobs — the upper
+    # layers back-fill executors the layer-0 tail leaves idle (guide
+    # §2.6). Writes target disjoint subdirectories. Same artifacts.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        f0 = pool.submit(
+            build_nsw_graph,
+            corpus, path, k=k, salt=salt, id_col=id_col, vec_col=vec_col,
+        )
+        levels = hnsw_levels(
+            corpus, branch=branch, max_level=max_level,
+            salt=level_salt, id_col=id_col,
+        ).localCheckpoint(eager=True)
+        layers = None
+        for layer in range(1, max_level + 1):
+            e = hnsw_layer_edges(
+                corpus, levels, layer, k_upper=k_upper,
+                id_col=id_col, vec_col=vec_col,
+            ).select(F.lit(layer).cast("int").alias("layer"), "a", "b")
+            layers = e if layers is None else layers.unionByName(e)
+        layers.write.mode("overwrite").parquet(f"{path}/layers")
+        levels.write.mode("overwrite").parquet(f"{path}/levels")
+        f0.result()
 
 
 def ensure_hnsw_graph(
