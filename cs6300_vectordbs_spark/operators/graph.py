@@ -74,6 +74,15 @@ def connected_components(
             F.col("node").alias("__cnode"),
             F.col("component").alias("__clabel"),
         )
+        # LAZY checkpoint + the convergence count as the materializing
+        # action (r09): eager=True ran one job to persist `merged` and
+        # a second to count the changed labels — the count now
+        # materializes (and persists) the checkpoint itself. Measured
+        # locally this is neutral (the old count read the fresh cache),
+        # but on a cluster one fewer driver-synchronized job per round
+        # is one fewer barrier on the critical path. `merged` has a
+        # single downstream consumer per round, so there is no
+        # double-compute race; lineage truncation is unchanged.
         merged = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .join(hop, labels.component == hop.__cnode, "left")
@@ -86,7 +95,7 @@ def connected_components(
                     F.coalesce("__clabel", F.col("component")),
                 ).alias("new_component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = merged.filter(
             F.col("new_component") < F.col("component")
