@@ -153,17 +153,31 @@ def srp_lsh_topk(
     More bands / fewer rows-per-band => higher recall, more candidates.
     Output schema matches similarity_topk: (query_id, rank, <id>, sim, dist).
     """
+    # Norms factored under the candidate join (r09, the
+    # similarity_topk discipline): one L2 chain per signed row instead
+    # of three unrolled chains per colliding pair. Error semantics
+    # unchanged: the sign-bit projection already reads every element
+    # of every row, so a short array raised before this point anyway.
+    from ..functions.vector import cosine_from_parts, l2_norm
+
     csig = spread(corpus).select(
         F.col(corpus_id),
         F.col(corpus_vec),
+        l2_norm(corpus_vec, dim).alias("__cnorm"),
         _band_keys_from_vec(corpus_vec, dim, n_bits, bands, seed).alias("__bands"),
-    ).select(corpus_id, corpus_vec, F.explode("__bands").alias("band_key"))
+    ).select(
+        corpus_id, corpus_vec, "__cnorm",
+        F.explode("__bands").alias("band_key"),
+    )
 
     qsig = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qvec"),
+        l2_norm(query_vec, dim).alias("__qnorm"),
         _band_keys_from_vec(query_vec, dim, n_bits, bands, seed).alias("__bands"),
-    ).select("__qid", "__qvec", F.explode("__bands").alias("band_key"))
+    ).select(
+        "__qid", "__qvec", "__qnorm", F.explode("__bands").alias("band_key")
+    )
 
     cand = (
         csig.join(F.broadcast(qsig), on="band_key")
@@ -175,7 +189,11 @@ def srp_lsh_topk(
     scored = cand.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id),
-        cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+        cosine_from_parts(
+            dot("__qvec", corpus_vec, dim),
+            F.col("__qnorm"),
+            F.col("__cnorm"),
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc()
@@ -311,9 +329,20 @@ def assign_cells(
         .limit(n_cells)
         .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
     )
-    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    # Norms factored under the cross join (r09) — one chain per row /
+    # per centroid, one dot per pair; bit-identical (cosine_from_parts).
+    from ..functions.vector import cosine_from_parts, l2_norm
+
+    cent = cent.select(
+        "__cid", "__cvec", l2_norm("__cvec", dim).alias("__cn")
+    )
+    sim_to_cent = cosine_from_parts(
+        dot(corpus_vec, "__cvec", dim), F.col("__vn"), F.col("__cn")
+    )
     return (
-        spread(corpus).crossJoin(F.broadcast(cent))
+        spread(corpus)
+        .select("*", l2_norm(corpus_vec, dim).alias("__vn"))
+        .crossJoin(F.broadcast(cent))
         .groupBy(corpus_id)
         .agg(
             F.max_by(
@@ -648,32 +677,64 @@ def _ivf_from_centroids(
     exclude_self: bool,
 ) -> DataFrame:
     """Shared IVF plan: broadcast centroids -> cell assignment argmax ->
-    broadcast query probes -> exact re-rank inside probed cells."""
+    broadcast query probes -> exact re-rank inside probed cells.
+
+    r09: L2 norms are factored UNDER the joins (the similarity_topk /
+    ivf_neardup_pairs discipline — a Project below a Join survives
+    Catalyst): each side's norm is computed once per ROW instead of
+    once per (row, centroid) / (query, candidate) PAIR, so per-pair
+    work is the dot product alone. cosine_from_parts is bit-identical
+    to cosine_sim (same product, division, zero guard), and every
+    corpus row was already scored eagerly by the assignment argmax, so
+    error/NULL semantics are unchanged: a short array still raises at
+    assignment, a NULL vector still yields NULL sims."""
+    from ..functions.vector import cosine_from_parts, l2_norm
+
+    cent = cent.select(
+        "__cid", "__cvec", l2_norm("__cvec", dim).alias("__cnorm")
+    )
     # Cell assignment: argmax_c cos(v, c), ties to the lowest centroid id.
     # max_by over struct(sim, -cid) realizes exactly that ordering.
-    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    sim_to_cent = cosine_from_parts(
+        dot(corpus_vec, "__cvec", dim), F.col("__vnorm"), F.col("__cnorm")
+    )
     assigned = (
-        spread(corpus).crossJoin(F.broadcast(cent))
+        spread(corpus).select(
+            corpus_id, corpus_vec, l2_norm(corpus_vec, dim).alias("__vnorm")
+        )
+        .crossJoin(F.broadcast(cent))
         .groupBy(corpus_id)
         .agg(
             F.max_by(
-                F.struct(F.col("__cid").alias("cell"), F.col(corpus_vec).alias("vec")),
+                F.struct(
+                    F.col("__cid").alias("cell"),
+                    F.col(corpus_vec).alias("vec"),
+                    F.col("__vnorm").alias("vnorm"),
+                ),
                 F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
             ).alias("best")
         )
-        .select(corpus_id, F.col("best.cell").alias("cell"), F.col("best.vec").alias(corpus_vec))
+        .select(
+            corpus_id,
+            F.col("best.cell").alias("cell"),
+            F.col("best.vec").alias(corpus_vec),
+            F.col("best.vnorm").alias("__vnorm"),
+        )
     )
 
-    qsim = cosine_sim("__qvec", "__cvec", dim)
+    qsim = cosine_from_parts(
+        dot("__qvec", "__cvec", dim), F.col("__qnorm"), F.col("__cnorm")
+    )
     qw = Window.partitionBy("__qid").orderBy(qsim.desc(), F.col("__cid").asc())
     probes = (
         queries.select(
             F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
         )
+        .select("__qid", "__qvec", l2_norm("__qvec", dim).alias("__qnorm"))
         .crossJoin(F.broadcast(cent))
         .withColumn("__rn", F.row_number().over(qw))
         .filter(F.col("__rn") <= n_probe)
-        .select("__qid", "__qvec", F.col("__cid").alias("cell"))
+        .select("__qid", "__qvec", "__qnorm", F.col("__cid").alias("cell"))
     )
 
     # A vector lives in exactly one cell and a query probes distinct
@@ -685,7 +746,11 @@ def _ivf_from_centroids(
     scored = cand.select(
         F.col("__qid").alias("query_id"),
         F.col(corpus_id),
-        cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+        cosine_from_parts(
+            dot("__qvec", corpus_vec, dim),
+            F.col("__qnorm"),
+            F.col("__vnorm"),
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc()
@@ -737,13 +802,33 @@ def ivf_neardup_pairs(
         .limit(n_cells)
         .select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cvec"))
     )
-    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    # Norms factored UNDER both joins (once per row, not per pair —
+    # the cosine_from_parts discipline). r09: the row norm is computed
+    # BEFORE the assignment cross join and carried through the argmax,
+    # so the centroid fan-out pays one dot per (row, centroid) instead
+    # of a dot plus two norm folds, and the self-join below reuses the
+    # same per-row norm. Bit-identical: same sqrt values, same
+    # dot/(norm_a * norm_b) grouping as the SQL twin's _sql_cos.
+    from ..functions.vector import cosine_from_parts, l2_norm
+
+    cent = cent.select(
+        "__cid", "__cvec", l2_norm("__cvec", dim).alias("__cn")
+    )
+    sim_to_cent = cosine_from_parts(
+        dot(corpus_vec, "__cvec", dim), F.col("__n"), F.col("__cn")
+    )
     cells = (
-        spread(corpus).crossJoin(F.broadcast(cent))
+        spread(corpus)
+        .select("*", l2_norm(corpus_vec, dim).alias("__n"))
+        .crossJoin(F.broadcast(cent))
         .groupBy(corpus_id)
         .agg(
             F.max_by(
-                F.struct(F.col("__cid").alias("cell"), F.col(corpus_vec).alias("vec")),
+                F.struct(
+                    F.col("__cid").alias("cell"),
+                    F.col(corpus_vec).alias("vec"),
+                    F.col("__n").alias("n"),
+                ),
                 F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
             ).alias("best")
         )
@@ -751,21 +836,13 @@ def ivf_neardup_pairs(
             corpus_id,
             F.col("best.cell").alias("cell"),
             F.col("best.vec").alias(corpus_vec),
+            F.col("best.n").alias("__n"),
         )
     )
-    # Norms factored UNDER the self-join (once per row, not per pair —
-    # the cosine_from_parts discipline): the pair loop pays one dot,
-    # not one dot plus two norm folds. Bit-identical to the per-pair
-    # cosine: same sqrt values, same dot/(norm_a * norm_b) grouping as
-    # the SQL twin's _sql_cos.
-    from ..functions.vector import cosine_from_parts, l2_norm
-
     # Materialize the assigned+norm table ONCE before the self-join
     # (the minhash-signature checkpoint discipline): without it both
     # join inputs re-run the centroid fan-out + argmax groupBy.
-    with_norm = cells.withColumn(
-        "__n", l2_norm(corpus_vec, dim)
-    ).localCheckpoint(eager=True)
+    with_norm = cells.localCheckpoint(eager=True)
     a = with_norm.select(
         F.col("cell"),
         F.col(corpus_id).alias("id_a"),
@@ -879,9 +956,17 @@ def brp_lsh_pairs_det(
     (small-by-contract) query side's keys broadcast into the bucket
     equi-join, so shuffle volume is O(candidates).
     """
+    # Norms factored under the candidate join (r09): one L2 chain per
+    # bucketed row instead of three unrolled chains per colliding
+    # pair; the bucket projection already reads every element of every
+    # row, so error semantics are unchanged. Bit-identical
+    # (cosine_from_parts).
+    from ..functions.vector import cosine_from_parts, l2_norm
+
     csig = spread(corpus).select(
         F.col(corpus_id),
         F.col(corpus_vec),
+        l2_norm(corpus_vec, dim).alias("__cnorm"),
         F.explode(
             brp_bucket_keys(
                 corpus_vec, dim, n_tables=n_tables,
@@ -892,6 +977,7 @@ def brp_lsh_pairs_det(
     qsig = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(query_vec).alias("__qvec"),
+        l2_norm(query_vec, dim).alias("__qnorm"),
         F.explode(
             brp_bucket_keys(
                 query_vec, dim, n_tables=n_tables,
@@ -907,7 +993,11 @@ def brp_lsh_pairs_det(
         cand.select(
             F.col("__qid").alias("query_id"),
             F.col(corpus_id),
-            cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+            cosine_from_parts(
+                dot("__qvec", corpus_vec, dim),
+                F.col("__qnorm"),
+                F.col("__cnorm"),
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)
     )
@@ -1333,10 +1423,21 @@ def ivfpq_topk(
         return _pq_d2_slice(a, b, mi, sub)
 
     # Index build pass 1: coarse cell assignment (argmax cosine, ties
-    # to lowest centroid id).
-    sim_to_cent = cosine_sim(corpus_vec, "__cvec", dim)
+    # to lowest centroid id). Norms factored under the cross join
+    # (r09): one chain per row / per centroid, one dot per pair;
+    # bit-identical (cosine_from_parts).
+    from ..functions.vector import cosine_from_parts, l2_norm
+
+    centn = cent.select(
+        "__cid", "__cvec", l2_norm("__cvec", dim).alias("__cn")
+    )
+    sim_to_cent = cosine_from_parts(
+        dot(corpus_vec, "__cvec", dim), F.col("__vn"), F.col("__cn")
+    )
     assigned = (
-        spread(corpus).crossJoin(F.broadcast(cent))
+        spread(corpus)
+        .select("*", l2_norm(corpus_vec, dim).alias("__vn"))
+        .crossJoin(F.broadcast(centn))
         .groupBy(corpus_id)
         .agg(
             F.max_by(

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import cosine_sim
+from ..functions.vector import cosine_from_parts, dot, l2_norm
 from ..operators.util import spread
 from .index_common import (
     build_lock,
@@ -69,9 +69,19 @@ def build_ivf_index(
     # counted by corpus_null_audit upstream.
     corpus = corpus.filter(F.col(corpus_vec).isNotNull())
     cent = _centroids(corpus, corpus_id, corpus_vec, n_cells)
-    sim = cosine_sim(corpus_vec, "cvec", dim)
+    # Norms factored under the cross join (r09, the similarity_topk
+    # discipline): one norm per row / per centroid instead of three
+    # unrolled chains per (row, centroid) pair. cosine_from_parts is
+    # bit-identical; every row is scored by the argmax anyway, so
+    # error/NULL semantics are unchanged.
+    cent = cent.select("cid", "cvec", l2_norm("cvec", dim).alias("__cn"))
+    sim = cosine_from_parts(
+        dot(corpus_vec, "cvec", dim), F.col("__vn"), F.col("__cn")
+    )
     assigned = (
-        spread(corpus).crossJoin(F.broadcast(cent))
+        spread(corpus)
+        .select("*", l2_norm(corpus_vec, dim).alias("__vn"))
+        .crossJoin(F.broadcast(cent))
         .groupBy(corpus_id)
         .agg(
             F.max_by(
@@ -87,7 +97,10 @@ def build_ivf_index(
             F.lit(0).alias("gen"),
         )
     )
-    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+    # __cn is a plan-side artifact; the stored format stays (cid, cvec).
+    cent.select("cid", "cvec").write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/cells"
     )
@@ -156,17 +169,29 @@ def search_ivf_index(
     contract as broadcasting the query batch) and applied as a literal
     IN filter, which prunes cell directories at the file listing level:
     the scan never touches unprobed partitions."""
-    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
-    qsim = cosine_sim("__qvec", "cvec", dim)
+    # Norms factored under the joins (r09): the centroid and query
+    # norms are computed once per row before the probe cross join, and
+    # the stored-cell norm once per candidate ROW below the candidate
+    # join — per-pair work is the dot alone. Bit-identical
+    # (cosine_from_parts); every row of a probed cell was already
+    # scored, so error/NULL semantics are unchanged.
+    cent = F.broadcast(
+        spark.read.parquet(f"{path}/centroids")
+        .select("cid", "cvec", l2_norm("cvec", dim).alias("__cn"))
+    )
+    qsim = cosine_from_parts(
+        dot("__qvec", "cvec", dim), F.col("__qn"), F.col("__cn")
+    )
     qw = Window.partitionBy("__qid").orderBy(qsim.desc(), F.col("cid").asc())
     probes = (
         queries.select(
             F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qvec")
         )
+        .select("__qid", "__qvec", l2_norm("__qvec", dim).alias("__qn"))
         .crossJoin(cent)
         .withColumn("__rn", F.row_number().over(qw))
         .filter(F.col("__rn") <= n_probe)
-        .select("__qid", "__qvec", F.col("cid").alias("cell"))
+        .select("__qid", "__qvec", "__qn", F.col("cid").alias("cell"))
     )
     probed_cells = sorted(
         {r.cell for r in probes.select("cell").distinct().collect()}
@@ -184,13 +209,16 @@ def search_ivf_index(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    cells = cells.select("*", l2_norm("vec", dim).alias("__vn"))
     cand = cells.join(F.broadcast(probes), on="cell")
     if exclude_self:
         cand = cand.filter(F.col("id") != F.col("__qid"))
     scored = cand.select(
         F.col("__qid").alias("query_id"),
         F.col("id"),
-        cosine_sim("__qvec", "vec", dim).alias("sim"),
+        cosine_from_parts(
+            dot("__qvec", "vec", dim), F.col("__qn"), F.col("__vn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("id").asc()
@@ -224,11 +252,20 @@ def upsert_ivf_index(
     MERGE INTO + dynamic partition overwrite). At 100 TB this is the
     difference between a nightly full rebuild and a streaming-rate
     index feed."""
-    cent = F.broadcast(spark.read.parquet(f"{path}/centroids"))
-    sim = cosine_sim(corpus_vec, "cvec", dim)
+    cent = F.broadcast(
+        spark.read.parquet(f"{path}/centroids")
+        .select("cid", "cvec", l2_norm("cvec", dim).alias("__cn"))
+    )
+    # Norms factored under the cross join (r09) — see build_ivf_index.
+    sim = cosine_from_parts(
+        dot(corpus_vec, "cvec", dim), F.col("__vn"), F.col("__cn")
+    )
     new_vectors = new_vectors.filter(F.col(corpus_vec).isNotNull())
     assigned = (
-        new_vectors.crossJoin(cent)
+        new_vectors.select(
+            "*", l2_norm(corpus_vec, dim).alias("__vn")
+        )
+        .crossJoin(cent)
         .groupBy(corpus_id)
         .agg(
             F.max_by(
