@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import cosine_sim, dot
-from .util import spread
+from .util import no_pushdown, spread
 
 
 def _hop_tables(
@@ -861,7 +861,12 @@ def ivf_neardup_pairs(
     return (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
+        # no_pushdown keeps the threshold OUT of the join condition:
+        # pushed, the whole dot chain was evaluated per same-cell pair
+        # on the interpreted predicate path and again for survivors —
+        # measured 4.5 s vs 0.17 s on the sf0.1 self-join (r09). Value
+        # bit-identical (see operators/util.no_pushdown).
+        .select("id_a", "id_b", no_pushdown(sim).alias("sim"))
         .filter(F.col("sim") >= min_sim)
     )
 

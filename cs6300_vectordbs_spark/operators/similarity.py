@@ -366,8 +366,14 @@ def pairwise_similarity(
     else:
         sim = cosine_sim("vec_a", "vec_b")
     cond = F.col("id_a") < F.col("id_b") if upper_triangle else F.lit(True)
+    # no_pushdown keeps the threshold out of the join condition, where
+    # the whole cosine would be evaluated per pair on the interpreted
+    # predicate path and re-evaluated for survivors (r09; measured on
+    # the IVF self-join: 4.5 s -> 0.17 s). Value bit-identical.
+    from .util import no_pushdown
+
     out = l.join(r, on=cond, how="inner").select(
-        "id_a", "id_b", sim.alias("sim")
+        "id_a", "id_b", no_pushdown(sim).alias("sim")
     )
     if min_sim is not None:
         out = out.filter(F.col("sim") >= min_sim)

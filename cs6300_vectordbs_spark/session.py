@@ -52,6 +52,24 @@ def get_spark(
         # rather than shuffling the big fact/corpus side.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # HotSpot refuses to JIT-compile methods over 8000 bytecodes
+        # (DontCompileHugeMethods, on by default) — and this engine's
+        # statically-unrolled vector chains (functions/vector.py)
+        # routinely codegen into single methods past that limit when
+        # they land in a Filter/Join consume path, which then runs
+        # INTERPRETED. Measured r09 on the IVF near-dup self-join at
+        # sf0.1: 4.4 s -> 1.0 s from this flag alone (jstack showed the
+        # hot frame stuck in the un-JIT-ed GeneratedIterator). Applied
+        # to the driver (the only JVM in local mode) and executors (the
+        # same generated code runs there on a cluster).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
