@@ -5477,7 +5477,11 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed cells; the recall join is queries x k rows."""
     from pyspark.sql.window import Window
 
-    from cs6300_vectordbs_spark.functions.vector import cosine_sim
+    from cs6300_vectordbs_spark.functions.vector import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_batch(emb)
@@ -5486,13 +5490,24 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sliced per probe depth — the per-arm work is only the probed-cell
     # scan + window (the oracle is structured identically). Re-running
     # ivf_topk per arm would redo the corpus-side argmax three times.
+    # Norms are factored under every join (r09, the similarity_topk /
+    # _ivf_from_centroids discipline): computed once per corpus row /
+    # query row / centroid in the checkpointed tables, so the per-pair
+    # work in the assignment, the probe ranking, AND each arm's
+    # re-rank window is the dot alone. cosine_from_parts is
+    # bit-identical to the inline cosine.
     cent = (
         emb.orderBy(F.col("vec_id").asc())
         .limit(_IVF_CELLS)
         .select(F.col("vec_id").alias("__cid"), F.col("embedding").alias("__cvec"))
+        .select("*", l2_norm("__cvec", EMB_DIM).alias("__cn"))
     )
-    sim_to_cent = cosine_sim("embedding", "__cvec", EMB_DIM)
-    qsim = cosine_sim("query_vec", "__cvec", EMB_DIM)
+    sim_to_cent = cosine_from_parts(
+        dot("embedding", "__cvec", EMB_DIM), F.col("__vn"), F.col("__cn")
+    )
+    qsim = cosine_from_parts(
+        dot("query_vec", "__cvec", EMB_DIM), F.col("__qn"), F.col("__cn")
+    )
     qw = Window.partitionBy("query_id").orderBy(
         qsim.desc(), F.col("__cid").asc()
     )
@@ -5511,24 +5526,38 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _assigned():
         return (
-            emb.crossJoin(F.broadcast(cent))
+            emb.select("*", l2_norm("embedding", EMB_DIM).alias("__vn"))
+            .crossJoin(F.broadcast(cent))
             .groupBy("vec_id")
             .agg(
                 F.max_by(
-                    F.struct(F.col("__cid").alias("cell"), F.col("embedding").alias("vec")),
+                    F.struct(
+                        F.col("__cid").alias("cell"),
+                        F.col("embedding").alias("vec"),
+                        F.col("__vn").alias("vn"),
+                    ),
                     F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
                 ).alias("best")
             )
-            .select("vec_id", F.col("best.cell").alias("cell"), F.col("best.vec").alias("vec"))
+            .select(
+                "vec_id",
+                F.col("best.cell").alias("cell"),
+                F.col("best.vec").alias("vec"),
+                F.col("best.vn").alias("__vn"),
+            )
             .localCheckpoint(eager=True)
         )
 
     def _probes():
         return (
-            q.crossJoin(F.broadcast(cent))
+            q.select("*", l2_norm("query_vec", EMB_DIM).alias("__qn"))
+            .crossJoin(F.broadcast(cent))
             .withColumn("__rn", F.row_number().over(qw))
             .filter(F.col("__rn") <= max(_TUNE_PROBES))
-            .select("query_id", "query_vec", F.col("__cid").alias("cell"), "__rn")
+            .select(
+                "query_id", "query_vec", "__qn",
+                F.col("__cid").alias("cell"), "__rn",
+            )
             .localCheckpoint(eager=True)
         )
 
@@ -5547,7 +5576,11 @@ def q_ann_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(probes.filter(F.col("__rn") <= p)), on="cell"
         ).filter(F.col("vec_id") != F.col("query_id"))
         rw = Window.partitionBy("query_id").orderBy(
-            cosine_sim("query_vec", "vec", EMB_DIM).desc(),
+            cosine_from_parts(
+                dot("query_vec", "vec", EMB_DIM),
+                F.col("__qn"),
+                F.col("__vn"),
+            ).desc(),
             F.col("vec_id").asc(),
         )
         approx = (
