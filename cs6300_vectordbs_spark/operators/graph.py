@@ -40,9 +40,19 @@ def connected_components(
     ``edges`` is undirected input (one row per pair, either order).
     Returns (node, component) — bigint node id -> min id reachable.
     """
+    # Materialize the INPUT once before mirroring it (r09): the union
+    # of both edge directions references `edges` twice, and without
+    # this the whole upstream pair pipeline (e.g. semdedup's IVF-cell
+    # self-join) executed twice to build the symmetric edge table.
+    # One checkpoint of the raw pairs, then both directions read the
+    # persisted rows. Same table, one upstream pass.
+    base = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        base.unionByName(
+            base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .distinct()
     )
     e = e.localCheckpoint(eager=True)
