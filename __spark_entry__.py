@@ -5687,7 +5687,11 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit re-rank, then a queries x k recall join."""
     from pyspark.sql.window import Window
 
-    from cs6300_vectordbs_spark.functions.vector import cosine_sim
+    from cs6300_vectordbs_spark.functions.vector import (
+        cosine_from_parts,
+        dot,
+        l2_norm,
+    )
     from cs6300_vectordbs_spark.operators.ann import srp_bits
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -5697,6 +5701,11 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bits) are mutually independent — materialized from a thread pool
     # so Spark overlaps the jobs (guide §2.6), same as
     # ann_tuning_report. Results and plan shapes are identical.
+    # Norms are factored into the checkpointed bit tables (r10, §1.2 —
+    # the last tuning-arm re-rank still paying three unrolled chains
+    # per candidate pair): computed once per corpus row / query row,
+    # so each arm's window orders by one dot + cosine_from_parts,
+    # bit-identical to the inline cosine.
     from concurrent.futures import ThreadPoolExecutor
 
     def _exact():
@@ -5708,6 +5717,7 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return emb.select(
             "vec_id",
             "embedding",
+            l2_norm("embedding", EMB_DIM).alias("__cn"),
             *[
                 b.alias(f"b{i}")
                 for i, b in enumerate(
@@ -5720,6 +5730,7 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return q.select(
             "query_id",
             "query_vec",
+            l2_norm("query_vec", EMB_DIM).alias("__qn"),
             *[
                 b.alias(f"b{i}")
                 for i, b in enumerate(
@@ -5756,10 +5767,10 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for bands in _TUNE_BANDS:
         ck = cbits.select(
-            "vec_id", "embedding", F.explode(keys(bands)).alias("bk")
+            "vec_id", "embedding", "__cn", F.explode(keys(bands)).alias("bk")
         )
         qk = qbits.select(
-            "query_id", "query_vec", F.explode(keys(bands)).alias("bk")
+            "query_id", "query_vec", "__qn", F.explode(keys(bands)).alias("bk")
         )
         cand = (
             ck.join(F.broadcast(qk), on="bk")
@@ -5767,7 +5778,11 @@ def q_lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["query_id", "vec_id"])
         )
         rw = Window.partitionBy("query_id").orderBy(
-            cosine_sim("query_vec", "embedding", EMB_DIM).desc(),
+            cosine_from_parts(
+                dot("query_vec", "embedding", EMB_DIM),
+                F.col("__qn"),
+                F.col("__cn"),
+            ).desc(),
             F.col("vec_id").asc(),
         )
         approx = (

@@ -78,6 +78,19 @@ def _hop_tables(
     cosine_sim evaluates them. For dim=None (or above the unroll cap)
     the HOF cosine_sim is kept per pair: its short-array semantics
     (NULL, no error) must not change.
+
+    RELIABILITY TRADE (guide §5): ``localCheckpoint`` materializes the
+    serving tables as executor-resident blocks with the lineage CUT —
+    losing an executor mid-serve makes the truncated plan
+    unrecoverable and the search must be re-run from the operator
+    entry. That is deliberate here: both tables are cheap to rebuild
+    (one projection over the inputs) and hop latency is the product
+    cost. On clusters with expected executor churn, set
+    ``spark.checkpoint.dir`` to reliable storage and swap these for
+    ``.checkpoint(eager=True)`` — identical semantics, fault-tolerant
+    blocks, one extra write/read per serve. Same trade applies to the
+    per-hop checkpoints in the beam loops and the CC rounds
+    (operators/graph.py); see SCALING.md "localCheckpoint reliability".
     """
     from ..functions.vector import (
         UNROLL_MAX_DIM,
@@ -88,13 +101,26 @@ def _hop_tables(
     def _guarded(norm_col: str, vec: str) -> Column:
         # NULL norm + non-NULL vector: either a short array (the index
         # access RAISES, preserving the lazy ANSI error) or an array
-        # with a NULL element (the access returns some element; the
-        # dot is NULL for that pair, so sim is NULL regardless of the
-        # value substituted here).
+        # with a NULL element, where the norm must come out NULL so
+        # the pair's sim is NULL — exactly what cosine_sim yields.
+        # The r09 form substituted the raw vec[dim-1] VALUE as the
+        # norm; when that element happened to be 0.0 the denominator
+        # became 0.0 and cosine_from_parts' zero-guard returned 0.0
+        # where cosine_sim returns NULL — and 0.0 can enter the beam
+        # (r09 ADVICE, pinned by test_null_element_zero_tail_is_null).
+        # `nullif(x * 0.0, 0.0)` still EVALUATES the index access (the
+        # short-array ANSI raise stays lazy at scoring time) but maps
+        # every finite element to NULL; a NaN element stays NaN, which
+        # matches cosine_sim's NaN propagation.
         return (
             F.when(F.col(norm_col).isNotNull(), F.col(norm_col))
             .when(F.col(vec).isNull(), F.lit(None).cast("double"))
-            .otherwise(F.col(vec).getItem(dim - 1).cast("double"))
+            .otherwise(
+                F.nullif(
+                    F.col(vec).getItem(dim - 1).cast("double") * F.lit(0.0),
+                    F.lit(0.0),
+                )
+            )
         )
 
     if dim is not None and dim <= UNROLL_MAX_DIM:
@@ -595,8 +621,30 @@ def kmeans_centroids_det(
             # 8.9 cold) for the 3-iteration training loop at sf0.1,
             # centroid hash identical. At scale the narrow shuffle
             # rides map-side partials exactly like label_centroids.
+            # Short-array guard (r09 ADVICE): above UNROLL_MAX_DIM the
+            # HOF l2_norm does not raise for mis-dimensioned rows, and
+            # posexplode would silently emit fewer rows — per-dimension
+            # means over differing counts, or a bare KeyError in the
+            # reassembly below. Fail legibly instead, mirroring the
+            # INVALID_ARRAY_INDEX the unrolled (dim <= cap) path raises.
+            # NULL vectors keep their r09 behavior (posexplode emits no
+            # rows); only genuinely short arrays raise.
+            guarded_vec = F.when(
+                F.col("vec").isNull() | (F.size("vec") >= dim),
+                F.col("vec"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kmeans_centroids_det: training vector has "
+                        ),
+                        F.size("vec").cast("string"),
+                        F.lit(f" elements, fixed-dim contract needs {dim}"),
+                    )
+                )
+            )
             ex = assigned.select(
-                "cell", F.posexplode("vec").alias("__d", "__x")
+                "cell", F.posexplode(guarded_vec).alias("__d", "__x")
             )
             means = (
                 ex.groupBy("cell", "__d")
@@ -1277,7 +1325,16 @@ def pq_topk(
 
     # Encode: per (vector, subspace) argmin of squared L2 to the
     # codebook, ties to the lowest cid — m min_by aggregates in ONE
-    # groupBy pass over the ksub-way crossJoin.
+    # groupBy pass over the ksub-way crossJoin. The corpus-side L2
+    # norm is computed here, ONCE PER ROW after the aggregate, so the
+    # exact re-rank below evaluates one unrolled dot per shortlist
+    # pair instead of three chains (r10, guide §1.2 — the
+    # cosine_from_parts discipline every other two-phase operator
+    # already uses). Short arrays still fail identically: d2_slice
+    # touches every in-dim element, so encoding raises before any
+    # norm is evaluated.
+    from ..functions.vector import cosine_from_parts, l2_norm
+
     enc = (
         spread(corpus).crossJoin(F.broadcast(cb))
         .groupBy(corpus_id)
@@ -1294,6 +1351,7 @@ def pq_topk(
                 for mi in range(m)
             ],
         )
+        .withColumn("__nn", l2_norm(corpus_vec, dim))
     )
 
     # Per-query ADC tables: tab{mi}[cid+1] = dot(q_sub, codebook_mi[cid]).
@@ -1328,7 +1386,7 @@ def pq_topk(
             ).alias(f"tab{mi}")
             for mi in range(m)
         ],
-    )
+    ).withColumn("__qn", l2_norm("__qvec", dim))  # once per query (r10)
 
     adc_terms = [
         F.element_at(F.col(f"tab{mi}"), F.col(f"code{mi}") + 1)
@@ -1353,11 +1411,18 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col(corpus_id).asc()
     )
+    # Exact re-rank from precomputed per-row norms: bit-identical to
+    # cosine_sim (same product, division, zero-guard — see
+    # cosine_from_parts), one dot per shortlist pair.
     return (
         shortlist.select(
             F.col("__qid").alias("query_id"),
             F.col(corpus_id),
-            cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+            cosine_from_parts(
+                dot("__qvec", corpus_vec, dim),
+                F.col("__qn"),
+                F.col("__nn"),
+            ).alias("sim"),
             F.col("__adc").alias("adc"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -1448,7 +1513,13 @@ def ivfpq_topk(
             F.max_by(
                 F.col("__cid"),
                 F.struct(sim_to_cent.alias("s"), (-F.col("__cid")).alias("nc")),
-            ).alias("cell")
+            ).alias("cell"),
+            # The row norm is already computed once per row for the
+            # assignment; carry it THROUGH the argmax (constant within
+            # the group) so the exact re-rank below is one dot per
+            # shortlist pair instead of three chains (r10, §1.2 —
+            # same plumbing as ivf_topk's argmax struct).
+            F.first(F.col("__vn")).alias("__nn"),
         )
     )
     # Index build pass 2: PQ encoding (per-subspace argmin L2, ties to
@@ -1557,7 +1628,13 @@ def ivfpq_topk(
         f"__qid {qid_t}, __qvec array<double>, cell {cid_t}, "
         + ", ".join(f"tab{mi} array<double>" for mi in range(m))
     )
-    probe_tabs = spark.createDataFrame(rows, schema)
+    # Query norm once per probe row (broadcast side, n_probe copies per
+    # query — microseconds), so the exact re-rank is one dot per pair.
+    # Computed in SQL with the same l2_norm kernel the corpus side
+    # uses: bit-identical to what cosine_sim would evaluate per pair.
+    probe_tabs = spark.createDataFrame(rows, schema).withColumn(
+        "__qn", l2_norm("__qvec", dim)
+    )
 
     cand = indexed.join(F.broadcast(probe_tabs), on="cell")
     if exclude_self:
@@ -1587,7 +1664,15 @@ def ivfpq_topk(
         shortlist.select(
             F.col("__qid").alias("query_id"),
             F.col(corpus_id),
-            cosine_sim("__qvec", corpus_vec, dim).alias("sim"),
+            # One dot per shortlist pair; norms precomputed per row
+            # (corpus: carried through the assignment argmax; query:
+            # on the broadcast probe table). Bit-identical to
+            # cosine_sim — see cosine_from_parts.
+            cosine_from_parts(
+                dot("__qvec", corpus_vec, dim),
+                F.col("__qn"),
+                F.col("__nn"),
+            ).alias("sim"),
             F.col("__adc").alias("adc"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -1687,6 +1772,14 @@ def nsw_beam_search(
     uniqueness is not, because checking it would add a corpus-of-
     queries-sized aggregate job to every serve call, including every
     streaming micro-batch.)
+
+    RELIABILITY TRADE (guide §5): the joins serve's per-hop EAGER
+    ``localCheckpoint`` (measured 1.8x faster than lazy — it lets AQE
+    replan every hop) stores hop state on executors with lineage cut;
+    an executor loss mid-serve aborts the search, which is then
+    re-run. For churn-prone clusters set ``spark.checkpoint.dir`` and
+    use reliable ``.checkpoint()`` per hop. See _hop_tables and
+    SCALING.md "localCheckpoint reliability".
     """
     # ef >= k, the HNSW convention: the final ranking can only pick
     # from the beam, which is capped at beam_width rows per query —

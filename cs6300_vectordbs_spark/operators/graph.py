@@ -16,7 +16,15 @@ aggregation, nothing quadratic. ``localCheckpoint`` truncates the plan
 lineage each round so the iteration count doesn't compound the DAG
 (Spark's iterative-algorithm idiom, same as GraphX/MLlib internals).
 The driver loop iterates O(diameter) times over COUNTS only — no row
-data ever reaches the driver. For adversarial long-chain graphs at
+data ever reaches the driver.
+
+RELIABILITY TRADE (guide §5): localCheckpoint blocks live on
+executors with the lineage cut — an executor loss mid-fixpoint fails
+the iteration and CC restarts from its edge input. Acceptable for a
+minutes-long fixpoint; for long-running or churn-prone clusters set
+``spark.checkpoint.dir`` and use ``.checkpoint()`` per round instead
+(reliable storage, one extra write/read per round). See SCALING.md
+"localCheckpoint reliability". For adversarial long-chain graphs at
 100 TB, swap in the alternating small-star/large-star contraction
 (Kiveris et al., "Connected Components in MapReduce"), which this
 module's API admits without caller changes.

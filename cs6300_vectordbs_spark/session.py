@@ -61,7 +61,20 @@ def get_spark(
         # sf0.1: 4.4 s -> 1.0 s from this flag alone (jstack showed the
         # hot frame stuck in the un-JIT-ed GeneratedIterator). Applied
         # to the driver (the only JVM in local mode) and executors (the
-        # same generated code runs there on a cluster).
+        # same generated code runs there on a cluster). r10 ran the
+        # idle-host full-bench A/B (3 runs each, both estimators —
+        # OPTIMIZATION_r10.md): the flag wins warm and is neutral cold,
+        # so it stays on; SPARK_GRAFT_JIT_HUGE_METHODS=0 reproduces the
+        # A/B's off arm.
+        #
+        # DEPLOYMENT CAVEAT (r09 ADVICE): driver.extraJavaOptions set
+        # through SparkConf only takes effect when PySpark itself
+        # launches the JVM (this in-process builder). Under
+        # spark-submit (client mode) or against an already-running
+        # session it is silently ignored — pass it there via
+        # --driver-java-options or spark-defaults.conf. _warn_if_jit_
+        # flag_missing() below reads the live JVM's RuntimeMXBean and
+        # warns when the expectation and reality diverge.
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:-DontCompileHugeMethods",
@@ -72,4 +85,47 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_JIT_HUGE_METHODS", "1") == "0":
+        # A/B toggle: build the session WITHOUT the JIT flag (used by
+        # the r10 idle-host flag-on/flag-off bench comparison).
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", ""
+        ).config("spark.executor.extraJavaOptions", "")
+    spark = builder.getOrCreate()
+    _warn_if_jit_flag_missing(spark)
+    return spark
+
+
+_JIT_FLAG_CHECKED = False
+
+
+def _warn_if_jit_flag_missing(spark: SparkSession) -> None:
+    """One-time startup check (r09 ADVICE): confirm the live driver JVM
+    actually received -XX:-DontCompileHugeMethods. getOrCreate() may
+    have returned a pre-existing session, and spark-submit ignores
+    SparkConf-set driver JVM options — in both cases the measured JIT
+    win silently disappears; a warning makes that visible."""
+    global _JIT_FLAG_CHECKED
+    if _JIT_FLAG_CHECKED:
+        return
+    _JIT_FLAG_CHECKED = True
+    if os.environ.get("SPARK_GRAFT_JIT_HUGE_METHODS", "1") == "0":
+        return  # deliberately off (A/B arm) — nothing to warn about
+    try:
+        args = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getRuntimeMXBean().getInputArguments()
+        )
+        if "-XX:-DontCompileHugeMethods" not in [str(a) for a in args]:
+            import warnings
+
+            warnings.warn(
+                "driver JVM is missing -XX:-DontCompileHugeMethods "
+                "(pre-existing session or spark-submit ignored "
+                "SparkConf driver options); large codegen'd vector "
+                "kernels will run interpreted — pass the flag via "
+                "--driver-java-options or spark-defaults.conf",
+                stacklevel=3,
+            )
+    except Exception:  # noqa: BLE001 — diagnostics must never break startup
+        pass

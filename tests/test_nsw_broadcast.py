@@ -235,6 +235,40 @@ def test_null_element_and_null_ids_match_joins(spark):
         assert all(t[2] is None or isinstance(t[2], int) for t in ta)
 
 
+def test_null_element_zero_tail_is_null(spark):
+    """r09-ADVICE pin: a NULL-element vector whose LAST in-dim element
+    is 0.0 must quarantine to sim NULL on the JOINS path too. The r09
+    norm fallback substituted the raw vec[dim-1] value (here 0.0) as
+    the norm, so the denominator became 0.0 and cosine_from_parts'
+    zero-guard returned sim 0.0 — which outranks every negative-sim
+    candidate and poisons the beam, diverging from the broadcast
+    kernel's pinned 'NULL element -> sim NULL' contract."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0])]
+    rng = random.Random(3)
+    for i in range(1, 7):
+        rows.append(
+            (i, [-1.0] + [rng.uniform(-0.1, 0.1) for _ in range(3)])
+        )
+    rows.append((7, [None, 1.0, 2.0, 0.0]))  # NULL elem, 0.0 in-dim tail
+    corpus = _df(spark, rows, "vec_id bigint, embedding array<double>")
+    edges = _df(
+        spark,
+        [(a, b) for a in range(8) for b in range(a + 1, 8)],
+        "a bigint, b bigint",
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ta, tb = _run_both(
+        corpus, q, edges, k=3, dim=4, exclude_self=True, beam_width=8,
+        n_iters=2, n_entries=8,
+    )
+    assert ta == tb
+    assert all(t[2] != 7 for t in ta)  # poisoned row never ranks
+    assert all(t[3] is not None and t[3] < 0.0 for t in ta)
+
+
 def test_short_row_outside_graph_serves_fine(spark):
     """A quarantined short-array row that the beam never reaches must
     not fail broadcast serving (the join path's ANSI error only fires

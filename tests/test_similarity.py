@@ -208,6 +208,29 @@ def test_ivf_kmeans_det_recall_and_convergence(emb):
     assert moved > 0, "Lloyd iteration left every centroid at its init"
 
 
+def test_kmeans_short_row_fails_loud_above_unroll_cap(spark):
+    """r09 ADVICE pin: above UNROLL_MAX_DIM the HOF norm does not raise
+    for a mis-dimensioned training row, and the exploded mean would
+    silently aggregate over differing per-dimension counts (or die in
+    the driver reassembly with a bare KeyError). The posexplode guard
+    must fail with a legible fixed-dim-contract error instead."""
+    import pytest
+
+    from cs6300_vectordbs_spark.functions.vector import UNROLL_MAX_DIM
+    from cs6300_vectordbs_spark.operators.ann import kmeans_centroids_det
+
+    dim = UNROLL_MAX_DIM + 4
+    rows = [(i, [float(i + j) / dim for j in range(dim)]) for i in range(6)]
+    rows[4] = (4, rows[4][1][: dim - 7])  # short row, HOF norm won't raise
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="fixed-dim contract"):
+        kmeans_centroids_det(
+            emb, dim=dim, n_cells=2, n_iters=1, train_n=None
+        )
+
+
 def test_brp_det_matches_cosine_and_threshold(spark, emb):
     """Literal-projection BRP: every reported pair's sim is the exact
     cosine, every sim clears the 0.2 floor, and the candidate set is

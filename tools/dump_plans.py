@@ -1,7 +1,8 @@
 """Dump `.explain("formatted")` output for named queries to files.
 
 Usage:
-    python tools/dump_plans.py <tag> name1 name2 ...   # plans/r09/<name>_<tag>.txt
+    python tools/dump_plans.py <tag> name1 name2 ...
+    # -> plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<tag>.txt (default r10)
 
 <tag> is typically "before" or "after". Runs at $SPARK_GRAFT_PLAN_SF
 (default sf0.001 — plan SHAPE is scale-invariant for these queries; the
@@ -21,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans", "r09",
+    "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r10"),
 )
 
 
