@@ -4266,18 +4266,36 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"),
         template_query("text", 5, prefix="").alias("query"),
     )
-    lex = bm25_topk(docs, qs, k=20)
-    # NULL text embeds to nothing: dropped from the vector corpus on
-    # both sides (oracle: WHERE text IS NOT NULL in the corpus CTE).
-    corpus = docs.filter(F.col("text").isNotNull()).select(
-        "doc_id", embed_text("text", dim=16).alias("embedding")
-    )
-    qv = qs.withColumn("query_vec", embed_text("query", dim=16))
-    # Arrow-blocked exact kernel: bit-identical to similarity_topk but
-    # ~3x faster on the 5k-query x 50k-doc leg at sf0.1.
-    vec = similarity_topk_blocked(
-        corpus, qv, 20, corpus_id="doc_id", exclude_self=False
-    ).select("query_id", "doc_id", "rank")
+
+    # The two retrieval arms are mutually independent until the fusion
+    # union, and EACH serializes driver-synchronized work during
+    # construction (bm25_topk: the postings persist + the collection-
+    # constants collect; the blocked kernel: the query-batch collect
+    # that evaluates embed_text over the sample). Built from a thread
+    # pool so Spark overlaps those jobs (guide §2.6 — the tuning-report
+    # pattern). Results and plan shapes are identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _lex():
+        return bm25_topk(docs, qs, k=20)
+
+    def _vec():
+        # NULL text embeds to nothing: dropped from the vector corpus
+        # on both sides (oracle: WHERE text IS NOT NULL in the corpus
+        # CTE). Arrow-blocked exact kernel: bit-identical to
+        # similarity_topk but ~3x faster on the 5k-query x 50k-doc leg
+        # at sf0.1.
+        corpus = docs.filter(F.col("text").isNotNull()).select(
+            "doc_id", embed_text("text", dim=16).alias("embedding")
+        )
+        qv = qs.withColumn("query_vec", embed_text("query", dim=16))
+        return similarity_topk_blocked(
+            corpus, qv, 20, corpus_id="doc_id", exclude_self=False
+        ).select("query_id", "doc_id", "rank")
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        lex_f, vec_f = pool.submit(_lex), pool.submit(_vec)
+        lex, vec = lex_f.result(), vec_f.result()
     out = rrf_fuse([lex, vec], k=5)
     return out.select(
         F.col("query_id").cast("bigint"),
